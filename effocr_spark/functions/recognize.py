@@ -1,0 +1,96 @@
+"""Recognition kernels: embedding, kNN lookup, prototype index build.
+
+ - `embed_crops`: transform + encoder + L2-normalize
+   (/root/reference/infer_effocr_onnx_multi.py:327-371 semantics, minus
+   the thread pools — Arrow batches replace them)
+ - `knn_lookup`: brute-force inner-product argmax against the prototype
+   matrix — exact FAISS IndexFlatIP semantics, ties → lowest index
+   (/root/reference/infer_effocr_onnx_multi.py:372-375,496-505); the
+   prototype matrix is small (K chars × 64 floats), so at cluster scale it
+   ships as a broadcast variable, never a join
+ - `build_prototypes`: render each charset glyph alone and push it through
+   the *identical* inference path, the analog of building ref.index from
+   NotoSerif renders (/root/reference/train_effocr_recognizer.py:47-62)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..synth import model as synthmodel
+from ..synth.font import EN_CHARSET, JP_CHARSET, render_line
+from . import boxes as boxes_fn
+from . import crops as crops_fn
+
+ZERO_CROP = np.zeros((3, crops_fn.CROP_SIZE, crops_fn.CROP_SIZE), dtype=np.float32)
+
+# Minimum canvas long-side for prototype renders: guarantees the reference
+# scale-back geometry (x * im_width / 640) is exact for the prototype crop
+# just as it is for real (wide) line images.
+_PROTO_PAD = 64
+
+
+def embed_crops(crops: list[np.ndarray | None]) -> np.ndarray:
+    """List of HxWx3 uint8 crops (None → zero tensor, mirroring
+    create_batches' zero-fill, infer_effocr_onnx_multi.py:150-152) →
+    [B, D] L2-normalized embeddings."""
+    if not crops:
+        return np.zeros((0, synthmodel.EMBED_DIM), dtype=np.float32)
+    tensors = [
+        ZERO_CROP if c is None else crops_fn.paired_transform(c) for c in crops
+    ]
+    batch = np.stack(tensors)
+    emb = synthmodel.encode_crops(batch)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (emb / norms).astype(np.float32)
+
+
+def knn_lookup(embeddings: np.ndarray, prototypes: np.ndarray) -> np.ndarray:
+    """[B,D] queries × [K,D] prototypes → [B] argmax indices (k=1 exact
+    inner-product kNN; np.argmax tie-break = lowest index, matching FAISS
+    IndexFlatIP first-hit)."""
+    if embeddings.shape[0] == 0:
+        return np.zeros((0,), dtype=np.int64)
+    return np.argmax(embeddings @ prototypes.T, axis=1)
+
+
+def _prototype_crop(ch: str, vertical: bool) -> np.ndarray | None:
+    """Render a single glyph and extract its crop via the full inference
+    path (head → NMS → scale-back), on a canvas padded so the long side is
+    the scan axis — the same geometry regime as real line images."""
+    img, _, _ = render_line(ch, vertical=vertical)
+    h, w = img.shape
+    if not vertical and w < max(h + 1, _PROTO_PAD):
+        pad = np.full((h, max(h + 1, _PROTO_PAD) - w), 255, dtype=np.uint8)
+        img = np.concatenate([img, pad], axis=1)
+    elif vertical and h < max(w + 1, _PROTO_PAD):
+        pad = np.full((max(w + 1, _PROTO_PAD) - h, img.shape[1]), 255,
+                      dtype=np.uint8)
+        img = np.concatenate([img, pad], axis=0)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    head = synthmodel.synthetic_yolo_head(rgb, vertical=vertical)
+    det = boxes_fn.non_max_suppression(head)
+    det = det[det[:, 5] == synthmodel.CLS_CHAR]
+    if det.shape[0] == 0:
+        return None
+    crop = crops_fn.extract_crops(rgb, det[:, :4], vertical=vertical)[0]
+    return crop
+
+
+def build_prototypes(lang: str = "en"):
+    """→ (chars list[str], [K, D] float32 L2-normalized prototype matrix).
+
+    Driver-side, tiny (K ≤ ~70); broadcast to executors at run time.
+    """
+    charset = EN_CHARSET if lang == "en" else JP_CHARSET
+    vertical = lang == "jp"
+    chars, crops = [], []
+    for ch in charset:
+        crop = _prototype_crop(ch, vertical)
+        if crop is None:
+            continue
+        chars.append(ch)
+        crops.append(crop)
+    protos = embed_crops(crops)
+    return chars, protos

@@ -1,0 +1,179 @@
+"""Deterministic synthetic detector + recognizer ("model artifacts").
+
+These play the role of the reference's ONNX weights
+(best_bbox_mAP.onnx / enc_best.onnx, infer_effocr_onnx_multi.py:475-494):
+both the Spark pipeline and the plain-Python oracle consume them through
+the same call seam, so a real ONNX model can replace them behind the same
+interface (localizer_engine.py:46-66, recognizer_engine.py:23-27).
+
+ - `synthetic_yolo_head(img, vertical)`: projection-profile text detector
+   that emits YOLO-raw-head-style candidates [N, 7] =
+   (cx, cy, w, h, obj_conf, cls0_score, cls1_score) in 640-letterbox
+   coordinates, including deterministic duplicate and sub-threshold decoy
+   candidates so downstream NMS (localizer_engine.py:171-277 semantics)
+   is load-bearing in end-to-end runs.
+ - `encode_crops(batch)`: seeded linear-projection embedding of
+   normalized 224x224 crops (stand-in for the timm encoder,
+   models/encoders.py:32-47); L2-normalized by the caller exactly as
+   infer_effocr_onnx_multi.py:371.
+
+Everything is a pure function of its inputs + fixed seeds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DETECT_SIZE = 640          # letterbox target (localizer_engine.py:17 input_shape)
+WORD_GAP_THRESHOLD = 5.0   # original-pixel gap separating words (synth fixture geometry)
+INK_THRESHOLD = 128        # pixel < this counts as ink
+EMBED_DIM = 64
+_ENC_SEED = 20240817
+_POOL = 16                 # encoder pools the crop to a 16x16 grid before projection
+
+CLS_CHAR = 0
+CLS_WORD = 1
+
+
+def letterbox_geometry(h: int, w: int, new_shape: int = DETECT_SIZE):
+    """Resize/pad geometry of the reference letterbox (auto=False,
+    localizer_engine.py:107-138): returns (r, dw, dh)."""
+    r = min(new_shape / h, new_shape / w)
+    new_unpad = (int(round(w * r)), int(round(h * r)))
+    dw = (new_shape - new_unpad[0]) / 2
+    dh = (new_shape - new_unpad[1]) / 2
+    return r, dw, dh
+
+
+def _ink_runs(profile: np.ndarray):
+    """Contiguous True-runs of a 1-D ink profile → list of (start, stop)."""
+    runs = []
+    in_run = False
+    start = 0
+    for i, v in enumerate(profile):
+        if v and not in_run:
+            in_run, start = True, i
+        elif not v and in_run:
+            in_run = False
+            runs.append((start, i))
+    if in_run:
+        runs.append((start, len(profile)))
+    return runs
+
+
+def _mix(*vals: int) -> float:
+    """Deterministic tiny epsilon in [0, 1e-3) from integer coords —
+    makes every candidate confidence distinct so sort order is stable."""
+    acc = 0x9E3779B9
+    for v in vals:
+        acc = (acc ^ (int(v) + 0x7F4A7C15)) * 0x85EBCA6B % (1 << 32)
+    return (acc % 1000) / 1e6
+
+
+def synthetic_yolo_head(img: np.ndarray, vertical: bool = False) -> np.ndarray:
+    """Detect text boxes in a rendered line image; emit raw-head candidates.
+
+    Output rows (float32): cx, cy, w, h, obj, cls0(char), cls1(word) in
+    DETECT_SIZE-letterbox coordinates. Per true box, three candidates:
+    the true box (high conf), a 1px-shifted duplicate (lower conf, to be
+    NMS-suppressed), and a sub-threshold decoy (conf filter fodder,
+    localizer_engine.py:192).
+    """
+    if img.ndim == 3:
+        gray = img.min(axis=2)
+    else:
+        gray = img
+    h, w = gray.shape
+    ink = gray < INK_THRESHOLD
+    r, dw, dh = letterbox_geometry(h, w)
+
+    axis = 0 if not vertical else 1          # project onto x (cols) or y (rows)
+    profile = ink.any(axis=axis)
+    runs = _ink_runs(profile)
+
+    char_boxes = []  # (x0, y0, x1, y1) original pixels
+    for a, b in runs:
+        if not vertical:
+            rows = np.nonzero(ink[:, a:b].any(axis=1))[0]
+            char_boxes.append((a, rows[0], b, rows[-1] + 1))
+        else:
+            cols = np.nonzero(ink[a:b, :].any(axis=0))[0]
+            char_boxes.append((cols[0], a, cols[-1] + 1, b))
+
+    # group runs into words by gap size (original-pixel units)
+    word_boxes = []
+    if not vertical and char_boxes:
+        group = [char_boxes[0]]
+        for prev, cur in zip(char_boxes, char_boxes[1:]):
+            gap = cur[0] - prev[2]
+            if gap > WORD_GAP_THRESHOLD:
+                word_boxes.append(_merge(group))
+                group = [cur]
+            else:
+                group.append(cur)
+        word_boxes.append(_merge(group))
+
+    cands = []
+
+    def emit(box, cls):
+        x0, y0, x1, y1 = box
+        # map to letterbox space (the space the real model predicts in)
+        lx0, ly0 = x0 * r + dw, y0 * r + dh
+        lx1, ly1 = x1 * r + dw, y1 * r + dh
+        cx, cy = (lx0 + lx1) / 2, (ly0 + ly1) / 2
+        bw, bh = lx1 - lx0, ly1 - ly0
+        eps = _mix(x0, y0, x1, y1, cls)
+        cls_scores = [0.97, 0.02] if cls == CLS_CHAR else [0.02, 0.97]
+        # true candidate
+        cands.append([cx, cy, bw, bh, 0.90 + eps] + cls_scores)
+        # duplicate, shifted ~1px in letterbox space, lower conf → NMS food
+        cands.append([cx + 1.0, cy, bw, bh, 0.60 + eps] + cls_scores)
+        # sub-threshold decoy (dropped by the conf predicate)
+        cands.append([cx, cy + 2.0, bw, bh, 0.10 + eps] + cls_scores)
+
+    for b in char_boxes:
+        emit(b, CLS_CHAR)
+    for b in word_boxes:
+        emit(b, CLS_WORD)
+
+    if not cands:
+        return np.zeros((0, 7), dtype=np.float32)
+    return np.asarray(cands, dtype=np.float32)
+
+
+def _merge(group):
+    return (
+        min(g[0] for g in group),
+        min(g[1] for g in group),
+        max(g[2] for g in group),
+        max(g[3] for g in group),
+    )
+
+
+def _projection_matrix() -> np.ndarray:
+    rng = np.random.RandomState(_ENC_SEED)
+    m = rng.standard_normal((_POOL * _POOL, EMBED_DIM)).astype(np.float32)
+    return m / np.sqrt(_POOL * _POOL)
+
+
+_PROJ = _projection_matrix()
+
+
+def encode_crops(batch: np.ndarray) -> np.ndarray:
+    """[B, 3, 224, 224] normalized crops → [B, EMBED_DIM] raw embeddings.
+
+    Channel-mean → 14x14 mean-pool to 16x16 grid → seeded linear
+    projection. NOT L2-normalized here: the caller normalizes, mirroring
+    the reference seam (infer_effocr_onnx_multi.py:371 normalizes the raw
+    ONNX output).
+    """
+    b = batch.shape[0]
+    if b == 0:
+        return np.zeros((0, EMBED_DIM), dtype=np.float32)
+    x = batch.mean(axis=1)  # [B, S, S]
+    side = x.shape[1]
+    assert side % _POOL == 0, "encoder expects crop side divisible by 16"
+    k = side // _POOL
+    pooled = x.reshape(b, _POOL, k, _POOL, k).mean(axis=(2, 4))  # [B,16,16]
+    feats = pooled.reshape(b, _POOL * _POOL).astype(np.float32)
+    return feats @ _PROJ
