@@ -1,0 +1,205 @@
+"""Spark extraction operators: the OCR branch (fused mapInPandas stage)
+and the DOM branch (scalar pandas UDF).
+
+Design (SURVEY.md §3.1): the reference's three thread-pool stages
+(localize → transform → recognize, infer_effocr_onnx_multi.py:234-364)
+fuse into ONE Arrow-batched Python stage — everything about a url stays
+in its row, so there is no shuffle and no cross-row float accumulation
+(byte-stable under any partitioning). Within each Arrow batch, crops
+from all pages are flattened, encoded in bounded sub-batches, and
+regrouped — the reference's create_batches/regroup (:143-158, :377-386)
+done per Arrow batch. The prototype matrix rides a Spark broadcast
+(the FAISS-index analog, :496-505).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import assemble as asm
+from ..functions import boxes as boxes_fn
+from ..functions import crops as crops_fn
+from ..functions import recognize as rec
+from ..functions.domstrip import strip_html
+from ..functions.spellcheck import (
+    create_common_abbrev,
+    create_homoglyph_dict,
+    create_worddict,
+    visual_spell_checker,
+)
+from ..synth import model as synthmodel
+from ..synth.imgcodec import decode_png, is_png, to_rgb
+
+PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+
+OCR_OUT_SCHEMA = (
+    "url string, extracted_text string, n_chars int, ok boolean, error string"
+)
+
+ENCODE_SUB_BATCH = 1024  # crops per encoder call: bounds UDF peak memory
+
+
+def localize_page(png_bytes: bytes, lang: str, vertical: bool,
+                  conf_thres: float, iou_thres: float):
+    """Per-page localizer: decode → head → NMS → class split → reading
+    order + word-end as-of → crop windows. Returns a dict of per-page
+    arrays (crops stay uint8 until the batched transform)."""
+    im = to_rgb(decode_png(png_bytes))
+    head = synthmodel.synthetic_yolo_head(im, vertical=vertical)
+    det = boxes_fn.non_max_suppression(head, conf_thres=conf_thres,
+                                       iou_thres=iou_thres, max_det=1000)
+    char_det = det[det[:, 5] == synthmodel.CLS_CHAR]
+    word_det = det[det[:, 5] == synthmodel.CLS_WORD]
+
+    if lang == "en":
+        if char_det.shape[0] != 0:
+            sorted_chars, word_end_idx = asm.en_preprocess(
+                char_det[:, :4], word_det[:, :4], vertical=vertical)
+        else:
+            sorted_chars, word_end_idx = np.zeros((0, 4), np.float32), []
+    else:
+        sorted_chars = (asm.jp_preprocess(char_det[:, :4], vertical=vertical)
+                        if char_det.shape[0] else np.zeros((0, 4), np.float32))
+        word_end_idx = []
+
+    crops = crops_fn.extract_crops(im, sorted_chars, vertical=vertical)
+    # heights/bottoms from UNROUNDED letterbox-space boxes
+    # (infer_effocr_onnx_multi.py:320-322)
+    heights = [float(b[3] - b[1]) for b in sorted_chars]
+    bottoms = [float(b[3]) for b in sorted_chars]
+    return {
+        "crops": crops,
+        "word_end_idx": word_end_idx,
+        "heights": heights,
+        "bottoms": bottoms,
+        "n_chars": len(crops),
+    }
+
+
+def assemble_page(chars: list[str], page, lang: str,
+                  anchor_margin, spell_ctx) -> str | None:
+    """Join recognized chars → postprocessed line text
+    (infer_effocr_onnx_multi.py:385-393)."""
+    joined = "".join(c[0] for c in chars).strip()
+    if lang == "en":
+        out = asm.en_postprocess(joined, page["word_end_idx"],
+                                 page["heights"], page["bottoms"],
+                                 anchor_margin=anchor_margin)
+        if spell_ctx is not None and out is not None:
+            out = visual_spell_checker(out, *spell_ctx)
+        return out
+    return joined
+
+
+def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
+                    iou_thres: float = 0.01, anchor_margin=None,
+                    spell_check: bool = False):
+    """Build the mapInPandas function for the fused OCR stage.
+
+    protos_bc: Spark broadcast of {lang: (chars list, [K,D] float32)}.
+    Input rows: (url, html, lang); output: OCR_OUT_SCHEMA.
+    """
+
+    def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        protos = protos_bc.value
+        spell_ctx = ((create_worddict(), create_homoglyph_dict(),
+                      create_common_abbrev()) if spell_check else None)
+        for pdf in batches:
+            urls, texts, ncs, oks, errs = [], [], [], [], []
+            pages, page_langs, flat_crops = [], [], []
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                vertical = lang == "jp"
+                try:
+                    page = localize_page(bytes(html), lang, vertical,
+                                         conf_thres, iou_thres)
+                    err = None
+                except Exception as e:  # quarantine, never crash the job
+                    page = {"crops": [], "word_end_idx": [], "heights": [],
+                            "bottoms": [], "n_chars": 0}
+                    err = f"localize: {e!r}"[:200]
+                pages.append((url, lang, page, err))
+                page_langs.append(lang)
+                flat_crops.extend(page["crops"])
+
+            # batched transform+encode over ALL crops in the Arrow batch,
+            # in bounded sub-batches
+            embs = []
+            for s in range(0, len(flat_crops), ENCODE_SUB_BATCH):
+                embs.append(rec.embed_crops(flat_crops[s: s + ENCODE_SUB_BATCH]))
+            emb = (np.concatenate(embs) if embs
+                   else np.zeros((0, synthmodel.EMBED_DIM), np.float32))
+
+            # per-lang kNN over the flat crop axis, then positional regroup
+            flat_lang = np.repeat([l for _, l, p, _ in pages],
+                                  [p["n_chars"] for _, _, p, _ in pages])
+            flat_chars: list[str] = [""] * emb.shape[0]
+            for lang in set(page_langs):
+                sel = np.nonzero(flat_lang == lang)[0]
+                if sel.size == 0:
+                    continue
+                chars_list, proto_mat = protos[lang]
+                idxs = rec.knn_lookup(emb[sel], proto_mat)
+                for pos, k in zip(sel, idxs):
+                    flat_chars[pos] = chars_list[int(k)]
+
+            cursor = 0
+            for url, lang, page, err in pages:
+                n = page["n_chars"]
+                page_chars = flat_chars[cursor: cursor + n]
+                cursor += n
+                if err is None:
+                    try:
+                        text = assemble_page(page_chars, page, lang,
+                                             anchor_margin, spell_ctx)
+                    except Exception as e:
+                        text, err = None, f"assemble: {e!r}"[:200]
+                else:
+                    text = None
+                urls.append(url)
+                texts.append(text)
+                ncs.append(n)
+                oks.append(err is None)
+                errs.append(err)
+            yield pd.DataFrame({
+                "url": urls, "extracted_text": texts, "n_chars": ncs,
+                "ok": oks, "error": errs,
+            })
+
+    return ocr_batches
+
+
+def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
+               iou_thres: float = 0.01, anchor_margin=None,
+               spell_check: bool = False) -> DataFrame:
+    """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error)."""
+    fn = make_ocr_map_fn(protos_bc, conf_thres, iou_thres,
+                         anchor_margin, spell_check)
+    return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
+
+
+def _strip_html_series(html: pd.Series) -> pd.Series:
+    """Vectorized DOM-heuristic main-content extraction."""
+    return html.map(lambda b: strip_html(bytes(b)) if b is not None else "")
+
+
+def dom_branch(df: DataFrame) -> DataFrame:
+    """(url, html) pages → same output schema as the OCR branch."""
+    # UDF constructed lazily: pandas_udf return-type parsing needs an
+    # active SparkSession, so module import must stay session-free
+    strip_udf = F.pandas_udf(_strip_html_series, "string")
+    return df.select(
+        "url",
+        strip_udf(F.col("html")).alias("extracted_text"),
+        F.lit(0).alias("n_chars"),
+        F.lit(True).alias("ok"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def is_image_page(html_col):
+    """JVM-side content sniff: PNG magic bytes prefix (no Python UDF)."""
+    return F.substring(html_col, 1, 8) == F.lit(PNG_MAGIC)
