@@ -1,0 +1,52 @@
+from effocr_spark.functions.domstrip import strip_html
+from effocr_spark.synth.pages import generate_page
+
+
+def test_basic_main_content():
+    html = b"""<html><head><script>x=1</script></head><body>
+    <nav><a href="/a">aaaa</a><a href="/b">bbbb</a></nav>
+    <div><p>The main story text lives here in a paragraph.</p>
+    <p>And a second paragraph of body copy.</p></div>
+    <footer><a href="/c">contact us now</a></footer>
+    </body></html>"""
+    out = strip_html(html)
+    assert out == ("The main story text lives here in a paragraph.\n"
+                   "And a second paragraph of body copy.")
+
+
+def test_boilerplate_dropped():
+    html = b"<body><nav>MENU MENU MENU MENU</nav><div><p>real text body</p></div></body>"
+    assert "MENU" not in strip_html(html)
+
+
+def test_link_density_penalty():
+    html = (b'<body><div><a href="/1">linky linky linky linky linky</a></div>'
+            b"<div><p>plain body prose of similar length here</p></div></body>")
+    assert strip_html(html) == "plain body prose of similar length here"
+
+
+def test_whitespace_normalized():
+    html = b"<body><div><p>a   b\n\t c</p></div></body>"
+    assert strip_html(html) == "a b c"
+
+
+def test_malformed_html_tolerated():
+    html = b"<body><div><p>unclosed paragraph<div><p>another</body>"
+    out = strip_html(html)
+    assert "unclosed paragraph" in out
+
+
+def test_empty_and_garbage():
+    assert strip_html(b"") == ""
+    assert strip_html(b"\x00\x01\x02") == ""
+    assert strip_html(b"no tags at all") == ""
+
+
+def test_generated_pages_match_golden():
+    checked = 0
+    for i in range(300):
+        p = generate_page(i, seed=42)
+        if p["branch"] == "dom":
+            assert strip_html(p["html"]) == p["true_text"], p["url"]
+            checked += 1
+    assert checked > 100

@@ -1,0 +1,60 @@
+"""Kill/resume: an interrupted checkpointed run, resumed, must equal the
+uninterrupted run exactly (north rule: resumable from checkpoint with
+per-partition lineage + metrics)."""
+
+import pytest
+
+from effocr_spark import lineage
+from effocr_spark.synth.pages import pages_df
+
+N_PAGES = 120
+
+
+def _results_dict(spark, out_dir):
+    return {
+        r["url"]: (r["extracted_text"], r["branch"], r["ok"])
+        for r in lineage.read_results(spark, out_dir).collect()
+    }
+
+
+def test_kill_and_resume_equals_uninterrupted(spark, protos_bc, tmp_path):
+    pages, _ = pages_df(spark, N_PAGES, seed=42)
+
+    full_dir = str(tmp_path / "full")
+    lineage.run_extraction(spark, pages, full_dir, protos_bc,
+                           run_id="full", n_chunks=4)
+    full = _results_dict(spark, full_dir)
+    assert len(full) == N_PAGES
+
+    # interrupted run: crash injected after chunk 1
+    part_dir = str(tmp_path / "partial")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        lineage.run_extraction(spark, pages, part_dir, protos_bc,
+                               run_id="r1", n_chunks=4, fail_after_chunk=1)
+    partial = _results_dict(spark, part_dir)
+    assert 0 < len(partial) < N_PAGES
+
+    # resume: completes only the missing chunks
+    lineage.run_extraction(spark, pages, part_dir, protos_bc,
+                           run_id="r2", n_chunks=4)
+    resumed = _results_dict(spark, part_dir)
+    assert resumed == full
+
+    # metrics cover all chunks, counts add up
+    metrics = lineage.read_metrics(spark, part_dir)
+    rows = metrics.collect()
+    assert {r["chunk_id"] for r in rows} == {0, 1, 2, 3}
+    assert sum(r["n_rows"] for r in rows) == N_PAGES
+    assert all(r["wall_ms"] >= 0 for r in rows)
+
+
+def test_resume_is_noop_when_complete(spark, protos_bc, tmp_path):
+    pages, _ = pages_df(spark, 40, seed=7)
+    out = str(tmp_path / "done")
+    lineage.run_extraction(spark, pages, out, protos_bc, run_id="a", n_chunks=2)
+    before = _results_dict(spark, out)
+    lineage.run_extraction(spark, pages, out, protos_bc, run_id="b", n_chunks=2)
+    after = _results_dict(spark, out)
+    assert before == after
+    # no duplicate chunks in metrics beyond the original two
+    assert lineage.read_metrics(spark, out).count() == 2
