@@ -1,38 +1,811 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family from SURVEY.md §2
+(or a training-data-pipeline extension) over the driver-provided tables;
+``oracle_sql()`` gives the DuckDB-equivalent for the value-hash
+correctness gate. Extraction-pipeline queries that need the synthetic
+`pages` fixture (PNG line images) generate it deterministically in-flight
+and carry no SQL oracle (rows-only check) — their byte-exactness is
+covered by tests/ against the pinned plain-Python oracle.
+
+Column names AND types are aligned on both sides (Spark ↔ DuckDB):
+counts → bigint, ratios → double rounded, ids → bigint.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------------
+# relational core (scans / filters / joins / aggs / windows)
+# ----------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan+filter+groupBy agg (SURVEY §2.2 P1, §2.4)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Equi-joins + agg + deterministic top-k (SURVEY §2.3 J5, §2.6)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, derived revenue, top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_orderkey"), F.col("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_gt_pred_eval(spark, sf_dir):
+    """GT↔pred left join with ''-fill + accuracy/CER aggregate
+    (SURVEY §2.3 J2 + §2.4 A1; eval_utils.py:25-70 semantics)."""
+    from effocr_spark.operators.evalagg import textline_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    gts = docs.select(F.col("doc_id"), F.col("text").alias("gt"))
+    preds = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id"), F.expr("substring(text, 2)").alias("pred"))
+    pairs = gts.join(preds, "doc_id", "left").na.fill({"pred": ""})
+    res = textline_eval(pairs, "gt", "pred")
+    return res.select(F.round("accuracy", 4).alias("accuracy"),
+                      F.round("cer", 6).alias("cer"), F.col("n"))
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (SURVEY §2.3 J1 relational spelling): for each 'view'
+    event, the nearest later 'click' by the same user."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"))
+    joined = views.join(clicks, ["user_id"], "left").filter(
+        F.col("click_ts") > F.col("view_ts"))
+    matched = joined.groupBy("user_id", "view_id").agg(
+        F.min("click_ts").alias("next_click_ts"))
+    return (
+        matched.groupBy("user_id")
+        .agg(F.count("*").alias("n_matched_views"))
+        .orderBy("user_id")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k via ranking window (SURVEY §2.5 W2/W3)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+def q_reading_order(spark, sf_dir):
+    """Reading-order sort within partition (SURVEY §2.5 W1): first 5
+    events per user by time."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("seq", F.row_number().over(w).cast("long"))
+        .filter(F.col("seq") <= 5)
+        .select("user_id", "event_id", "seq")
+    )
+
+
+def q_lead_lag(spark, sf_dir):
+    """lag() neighbor context (SURVEY §2.5 W6 relational spelling)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """EXCEPT set semantics (SURVEY §2.7 E1): langs seen in src0 but not
+    in src1."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") == "src0").select("lang")
+    b = docs.filter(F.col("source") == "src1").select("lang")
+    return a.exceptAll(b).distinct()
+
+
+def q_row_replicate(spark, sf_dir):
+    """Row replication via explode (SURVEY §2.2 P8: --n_repeats)."""
+    r = _t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("copy_idx"),
+    ).select("r_regionkey", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval/range join (SURVEY §2.3 J6 analog): same-user event pairs
+    within 60 seconds."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.select(F.col("user_id"), F.col("event_id").alias("id_a"),
+                  F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("user_id"), F.col("event_id").alias("id_b"),
+                  F.col("ts").alias("ts_b"))
+    pairs = a.join(b, ["user_id"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.unix_timestamp("ts_a") - F.unix_timestamp("ts_b")) <= 60))
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs")) \
+                .orderBy("user_id")
+
+
+def q_events_daily(spark, sf_dir):
+    """Event-time rollup (date_trunc partition-pruning shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.col("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_hourly_windows(spark, sf_dir):
+    """Tumbling event-time window aggregate (streaming-shaped batch:
+    the same plan Structured Streaming runs with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def q_quarantine_counts(spark, sf_dir):
+    """Schema-check violations → metrics, not crashes (SURVEY §1.4/P9)."""
+    docs = _t(spark, sf_dir, "documents")
+    bad = (F.col("n_chars") != F.length(F.col("text"))).cast("int")
+    return docs.groupBy("source").agg(
+        F.sum(bad).cast("long").alias("n_bad"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_hex_codepoint(spark, sf_dir):
+    """hex↔codepoint scalar functions (SURVEY §2.8 F9)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return docs.select(
+        "doc_id",
+        F.hex(F.ascii(F.substring("text", 1, 1))).alias("first_cp_hex"),
+    )
+
+
+def q_string_battery(spark, sf_dir):
+    """Scalar string functions battery (SURVEY §2.8 F1-F8)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.trim(F.upper(F.substring(t, 1, 20))).alias("head_upper"),
+        F.translate(t, "aeiou", "").alias("no_vowels"),
+        F.size(F.split(t, " ")).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(t, "[^a-z]", "")).cast("long").alias("n_alpha"),
+        F.concat_ws("|", F.slice(F.split(t, " "), 1, 3)).alias("first3"),
+        F.levenshtein(F.substring(t, 1, 10), F.substring(t, 11, 10))
+        .cast("long").alias("self_edit"),
+    )
+
+
+# ----------------------------------------------------------------------
+# dedup family
+# ----------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    from effocr_spark.operators.dedup import exact_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_dedup(ev, ["user_id", "event_type"], "event_id") \
+        .select("user_id", "event_type",
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("dup_count"))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from effocr_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures(docs, "doc_id", "text")
+
+
+def q_lsh_buckets(spark, sf_dir):
+    from effocr_spark.operators.dedup import lsh_band_buckets, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    return lsh_band_buckets(sigs, "doc_id").select(
+        "band_id", "band_val", "bucket_size",
+        F.col("min_id").cast("long").alias("min_id"))
+
+
+def q_simhash(spark, sf_dir):
+    from effocr_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(docs, "doc_id", "text")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from effocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, max_id=40)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+# ----------------------------------------------------------------------
+# text analysis family
+# ----------------------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    from effocr_spark.operators.textstats import document_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = document_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "punct_ratio", "quality", "lang_pred", "fingerprint")
+
+
+def q_langid_confusion(spark, sf_dir):
+    from effocr_spark.operators.textstats import langid
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    )
+
+
+# ----------------------------------------------------------------------
+# similarity search family
+# ----------------------------------------------------------------------
+
+def _dot_double(a, b):
+    from effocr_spark.operators.similarity import dot
+    return dot(F.transform(a, lambda x: x.cast("double")),
+               F.transform(b, lambda x: x.cast("double")))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(v)).cast("double") for v in qvec])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    num = F.aggregate(F.zip_with(e, qlit, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+    qn = sum(float(v) * float(v) for v in qvec) ** 0.5
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", (num / (nrm * F.lit(qn))).alias("raw"))
+    return (
+        scored.orderBy(F.desc("raw"), F.col("vec_id")).limit(5)
+        .select("vec_id", F.round("raw", 4).alias("score"))
+    )
+
+
+def q_centroid_knn(spark, sf_dir):
+    from effocr_spark.operators.similarity import centroid_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_knn_join(emb, "embedding", "vec_id", "label")
+    return out.select("vec_id", F.col("label").cast("long").alias("label"),
+                      F.col("pred_label").cast("long").alias("pred_label"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from effocr_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, "embedding", "vec_id",
+                                    threshold=0.9, max_id=150)
+    return pairs.select("id_a", "id_b", F.round("score", 4).alias("score"))
+
+
+def q_srp_buckets(spark, sf_dir):
+    """Sign-projection LSH bucket histogram with engine-portable ±1
+    planes: sign(plane i, dim j) = +1 iff (j*(i+3)) % 7 < 3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("j", "v"))
+    bits = []
+    for i in range(4):
+        sign = F.when(((F.col("j") * (i + 3)) % 7) < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
+        bits.append(F.sum(F.col("v").cast("double") * sign).alias(f"proj_{i}"))
+    projs = dims.groupBy("vec_id").agg(*bits)
+    bucket = sum(
+        (F.col(f"proj_{i}") > 0).cast("long") * (1 << i) for i in range(4))
+    return (
+        projs.select(bucket.alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
+# ----------------------------------------------------------------------
+# extraction pipeline (synthetic pages fixture; rows-only checks)
+# ----------------------------------------------------------------------
+
+_PROTOS_CACHE: dict = {}
+
+
+def _protos_bc(spark):
+    key = id(spark.sparkContext)
+    if key not in _PROTOS_CACHE:
+        from effocr_spark.pipeline import broadcast_prototypes
+        _PROTOS_CACHE[key] = broadcast_prototypes(spark)
+    return _PROTOS_CACHE[key]
+
+
+def q_extract_pages(spark, sf_dir):
+    """Flagship: full two-branch extraction over the synthetic pages
+    fixture (FIXTURES.md §1). Byte-parity vs the pinned oracle is
+    asserted in tests/test_pipeline_e2e.py; here the driver checks rows
+    and schema stability."""
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.pages import pages_df
+
+    pages, _ = pages_df(spark, 300, seed=42)
+    res = extract_pages(pages, _protos_bc(spark), salt_partitions=16)
+    return res.select("url", "extracted_text", "branch", "ok")
+
+
+def q_extract_match_rate(spark, sf_dir):
+    """Extraction quality gate as a query: per-branch byte-identical
+    match rate vs the generator's ground truth."""
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.pages import pages_df
+
+    pages, golden = pages_df(spark, 300, seed=42)
+    res = extract_pages(pages, _protos_bc(spark), salt_partitions=8)
+    joined = res.join(golden.select("url", "true_text"), "url")
+    return (
+        joined.groupBy("branch")
+        .agg(F.count("*").alias("n"),
+             F.sum((F.col("extracted_text") == F.col("true_text")).cast("int"))
+             .cast("long").alias("n_exact"))
+        .orderBy("branch")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: decode+featurize binary media columns."""
+    from effocr_spark.operators.multimodal import media_features
+    from effocr_spark.synth.pages import pages_df
+    from effocr_spark.operators.extract import is_image_page
+
+    pages, _ = pages_df(spark, 200, seed=42)
+    media = pages.filter(is_image_page(F.col("html"))).select(
+        F.xxhash64("url").alias("id"), F.col("html").alias("media"))
+    out = media_features(media)
+    return out.select("id", "media_type", "width", "height",
+                      F.round("mean_luma", 2).alias("mean_luma"), "ok")
+
+
+def q_spellcheck(spark, sf_dir):
+    """Visual homoglyph spell check as a vectorized UDF (SURVEY §2.8 F10;
+    opt-in branch). Pure-Python oracle in tests; rows-only here."""
+    from effocr_spark.functions.spellcheck import (
+        create_common_abbrev, create_homoglyph_dict, create_worddict,
+        visual_spell_checker)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+
+    def fix(texts: pd.Series) -> pd.Series:
+        wd, sd, ab = create_worddict(), create_homoglyph_dict(), create_common_abbrev()
+        return texts.map(lambda t: visual_spell_checker(t[:80], wd, sd, ab))
+
+    fix_udf = F.pandas_udf(fix, "string")
+    return docs.select("doc_id", fix_udf(F.col("text")).alias("checked"))
+
+
+# ----------------------------------------------------------------------
+# contract
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_pages(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
+        "gt_pred_eval": q_gt_pred_eval,
+        "asof_join": q_asof_join,
+        "topk_per_group": q_topk_per_group,
+        "reading_order": q_reading_order,
+        "lead_lag": q_lead_lag,
+        "set_ops": q_set_ops,
+        "row_replicate": q_row_replicate,
+        "interval_join": q_interval_join,
+        "events_daily": q_events_daily,
+        "hourly_windows": q_hourly_windows,
+        "quarantine_counts": q_quarantine_counts,
+        "hex_codepoint": q_hex_codepoint,
+        "string_battery": q_string_battery,
+        "exact_dedup": q_exact_dedup,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_buckets": q_lsh_buckets,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_stats": q_doc_stats,
+        "langid_confusion": q_langid_confusion,
+        "cosine_topk": q_cosine_topk,
+        "centroid_knn": q_centroid_knn,
+        "embedding_neardup": q_embedding_neardup,
+        "srp_buckets": q_srp_buckets,
+        "extract_pages": q_extract_pages,
+        "extract_match_rate": q_extract_match_rate,
+        "media_features": q_media_features,
+        "spellcheck": q_spellcheck,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = (
+        "SELECT doc_id, unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN "
+        "list_transform(generate_series(1, len(string_split(text,' ')) - 2), "
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')) "
+        "ELSE [] END) AS shingle FROM documents WHERE doc_id < {maxid}"
+    )
+    sig_cols = ", ".join(
+        f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(8))
+    minhash_cte = (
+        f"WITH sh AS ({shingles}), sigs AS "
+        f"(SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)"
+    )
+    simhash_bits = ", ".join(
+        f"(avg((ascii(substr(md5(w),{i + 1},1)) % 2)::DOUBLE) > 0.5)::INT AS bit_{i}"
+        for i in range(16))
+    simhash_sum = " + ".join(f"bit_{i} * {1 << i}" for i in range(16))
+
+    stop = {
+        "en": "['the','and','of','to','in','is','that','for','with']",
+        "de": "['der','die','das','und','ist','nicht','mit','ein']",
+        "es": "['el','la','los','que','de','y','es','con','por']",
+        "fr": "['le','la','les','et','est','que','des','pour','une']",
+    }
+    hits = {k: (f"len(list_intersect(string_split(lower(text),' '), {v}))")
+            for k, v in stop.items()}
+    # votes in a CTE, folded exactly like the Spark langid loop
+    # (first language in de<en<es<fr order achieving the max vote wins)
+    langid_cte = (
+        "WITH v AS (SELECT *, "
+        + ", ".join(f"{hits[k]} AS hit_{k}" for k in sorted(stop))
+        + ", length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > 0 AS cjk "
+          "FROM documents), "
+        "folded AS (SELECT *, "
+        "CASE WHEN cjk THEN 'zh' ELSE "
+        " CASE "
+        "  WHEN hit_fr > hit_es AND hit_fr > hit_en AND hit_fr > hit_de AND hit_fr > 0 THEN 'fr' "
+        "  WHEN hit_es > hit_en AND hit_es > hit_de AND hit_es >= hit_fr AND hit_es > 0 THEN 'es' "
+        "  WHEN hit_en > hit_de AND hit_en >= hit_es AND hit_en >= hit_fr AND hit_en > 0 THEN 'en' "
+        "  WHEN hit_de >= hit_en AND hit_de >= hit_es AND hit_de >= hit_fr AND hit_de > 0 THEN 'de' "
+        "  ELSE 'und' END END AS lang_pred FROM v)"
+    )
+
+    quality_sql = (
+        "round(("
+        "least(len(string_split(text,' ')) / 50.0, 1.0) + "
+        "(CASE WHEN (length(replace(text,' ','')) / greatest(len(string_split(text,' ')),1)) "
+        " BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) + "
+        "least(len(list_intersect(string_split(lower(text),' '), "
+        f"{stop['en']})) / 3.0, 1.0) + "
+        "(CASE WHEN ((length(text) - length(regexp_replace(text,'[\\.,;:!\\?]','','g')))::DOUBLE "
+        " / greatest(length(text),1)) < 0.1 THEN 1.0 ELSE 0.0 END)"
+        ") / 4.0, 4)"
+    )
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "gt_pred_eval": """
+            WITH pairs AS (
+              SELECT g.text AS gt, coalesce(p.pred, '') AS pred
+              FROM documents g LEFT JOIN (
+                SELECT doc_id, substring(text, 2) AS pred
+                FROM documents WHERE doc_id % 3 != 0) p
+              ON g.doc_id = p.doc_id)
+            SELECT round(avg((trim(gt) = trim(pred))::INT) * 100, 4) AS accuracy,
+                   round(sum(levenshtein(trim(gt), trim(pred))::DOUBLE)
+                         / sum(length(gt)), 6) AS cer,
+                   count(*) AS n
+            FROM pairs
+        """,
+        "asof_join": """
+            WITH matched AS (
+              SELECT v.user_id, v.event_id AS view_id, min(c.ts) AS next_click_ts
+              FROM (SELECT * FROM events WHERE event_type = 'view') v
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON v.user_id = c.user_id AND c.ts > v.ts
+              GROUP BY v.user_id, v.event_id)
+            SELECT user_id, count(*) AS n_matched_views
+            FROM matched GROUP BY user_id ORDER BY user_id
+        """,
+        "topk_per_group": """
+            SELECT event_type, event_id, value, rn FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "reading_order": """
+            SELECT user_id, event_id, seq FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS seq
+              FROM events) WHERE seq <= 5
+        """,
+        "lead_lag": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+                   AS prev_orderkey
+            FROM orders
+        """,
+        "set_ops": """
+            SELECT DISTINCT lang FROM (
+              SELECT lang FROM documents WHERE source = 'src0'
+              EXCEPT ALL
+              SELECT lang FROM documents WHERE source = 'src1')
+        """,
+        "row_replicate": """
+            SELECT r_regionkey, i AS copy_idx
+            FROM region, generate_series(0, 2) AS t(i)
+        """,
+        "interval_join": """
+            SELECT a.user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch(date_trunc('second', a.ts))
+                     - epoch(date_trunc('second', b.ts))) <= 60
+            GROUP BY a.user_id ORDER BY a.user_id
+        """,
+        "events_daily": """
+            SELECT date_trunc('day', ts)::DATE AS day, event_type,
+                   count(*) AS n,
+                   round(avg(value), 4) AS avg_value,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "hourly_windows": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "quarantine_counts": """
+            SELECT source,
+                   sum((n_chars != length(text))::INT)::BIGINT AS n_bad,
+                   count(*) AS n_rows
+            FROM documents GROUP BY source
+        """,
+        "hex_codepoint": """
+            SELECT doc_id, upper(to_hex(ascii(substr(text, 1, 1)))) AS first_cp_hex
+            FROM documents WHERE doc_id < 30
+        """,
+        "string_battery": """
+            SELECT doc_id,
+                   trim(upper(substr(text, 1, 20))) AS head_upper,
+                   translate(text, 'aeiou', '') AS no_vowels,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS first3,
+                   levenshtein(substr(text, 1, 10), substr(text, 11, 10))::BIGINT AS self_edit
+            FROM documents WHERE doc_id < 50
+        """,
+        "exact_dedup": """
+            SELECT user_id, event_type, min(event_id)::BIGINT AS event_id,
+                   count(*) AS dup_count
+            FROM events GROUP BY user_id, event_type
+        """,
+        "minhash_sigs": minhash_cte.format(maxid=50) + " SELECT * FROM sigs",
+        "lsh_buckets": minhash_cte.format(maxid=200) + """
+            , bands AS (
+              SELECT doc_id, 0 AS band_id, md5(concat_ws('|', sig_0, sig_1)) AS band_val FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, md5(concat_ws('|', sig_6, sig_7)) FROM sigs)
+            SELECT band_id, band_val, count(*) AS bucket_size,
+                   min(doc_id)::BIGINT AS min_id
+            FROM bands GROUP BY band_id, band_val
+        """,
+        "simhash": f"""
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE doc_id < 100),
+            bits AS (SELECT doc_id, {simhash_bits} FROM w GROUP BY doc_id)
+            SELECT doc_id, ({simhash_sum})::BIGINT AS simhash FROM bits
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(string_split(text,' ')) >= 3 THEN
+                  list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))
+                ELSE [] END) AS g
+              FROM documents WHERE doc_id < 40),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1)
+            SELECT id_a, id_b,
+                   round(n_inter::DOUBLE / (sa.n_grams + sb.n_grams - n_inter), 5)
+                   AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id
+        """,
+        "doc_stats": langid_cte + f"""
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   round(length(replace(text, ' ', ''))::DOUBLE
+                         / greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len,
+                   round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   {quality_sql} AS quality,
+                   lang_pred,
+                   concat_ws('-', md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+                             len(string_split(text, ' '))::VARCHAR) AS fingerprint
+            FROM folded WHERE doc_id < 100
+        """,
+        "langid_confusion": langid_cte + """
+            SELECT lang, lang_pred, count(*) AS n FROM folded
+            GROUP BY lang, lang_pred
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_inner_product(list_transform(embedding, x -> x::DOUBLE), qv)
+                     / (sqrt(list_inner_product(list_transform(embedding, x -> x::DOUBLE),
+                                                list_transform(embedding, x -> x::DOUBLE)))
+                        * sqrt(list_inner_product(qv, qv))) AS raw
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id, round(raw, 4) AS score
+            FROM scored ORDER BY raw DESC, vec_id LIMIT 5
+        """,
+        "centroid_knn": """
+            WITH dims AS (
+              SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
+              FROM embeddings, generate_series(1, 64) AS t(i)
+              GROUP BY label, i),
+            cent AS (
+              SELECT label AS pred_label,
+                     list(m ORDER BY pos) AS centroid
+              FROM dims GROUP BY label),
+            scored AS (
+              SELECT e.vec_id, e.label, c.pred_label,
+                     list_inner_product(list_transform(e.embedding, x -> x::DOUBLE), c.centroid)
+                     / (sqrt(list_inner_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                                list_transform(e.embedding, x -> x::DOUBLE)))
+                        * sqrt(list_inner_product(c.centroid, c.centroid))) AS score
+              FROM embeddings e CROSS JOIN cent c),
+            ranked AS (
+              SELECT vec_id, label, pred_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY score DESC, pred_label) AS rn
+              FROM scored)
+            SELECT vec_id, label::BIGINT AS label, pred_label::BIGINT AS pred_label
+            FROM ranked WHERE rn = 1
+        """,
+        "embedding_neardup": """
+            WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                          FROM embeddings WHERE vec_id < 150)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.e, b.e)
+                         / (sqrt(list_inner_product(a.e, a.e))
+                            * sqrt(list_inner_product(b.e, b.e))), 4) AS score
+            FROM base a JOIN base b ON a.vec_id < b.vec_id
+            WHERE list_inner_product(a.e, b.e)
+                  / (sqrt(list_inner_product(a.e, a.e))
+                     * sqrt(list_inner_product(b.e, b.e))) >= 0.9
+        """,
+        "srp_buckets": """
+            WITH dims AS (
+              SELECT vec_id, i - 1 AS j, embedding[i]::DOUBLE AS v
+              FROM embeddings, generate_series(1, 64) AS t(i)),
+            projs AS (
+              SELECT vec_id,
+                     sum(v * (CASE WHEN (j * 3) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS proj_0,
+                     sum(v * (CASE WHEN (j * 4) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS proj_1,
+                     sum(v * (CASE WHEN (j * 5) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS proj_2,
+                     sum(v * (CASE WHEN (j * 6) % 7 < 3 THEN 1.0 ELSE -1.0 END)) AS proj_3
+              FROM dims GROUP BY vec_id)
+            SELECT ((proj_0 > 0)::BIGINT + (proj_1 > 0)::BIGINT * 2
+                    + (proj_2 > 0)::BIGINT * 4 + (proj_3 > 0)::BIGINT * 8) AS bucket,
+                   count(*) AS n
+            FROM projs GROUP BY 1
+        """,
+        # extract_pages / extract_match_rate / media_features / spellcheck:
+        # no SQL oracle (synthetic fixture + Python kernels); the driver
+        # records rows-only checks, byte-parity is pinned in tests/.
+    }

@@ -1,0 +1,176 @@
+"""Deduplication operators over document tables.
+
+All JVM-side (built-in pyspark.sql.functions — no Python in the hot
+path), engine-portable hashing (md5, available bit-identically in
+DuckDB for the correctness oracle). Scale notes per operator below; the
+common discipline is ONE shuffle per dedup pass (groupBy on the
+signature), with map-side partial aggregation doing the heavy lifting.
+
+Reference analog: render-hash dedup, groupBy(hash).count().filter(>2)
+(/root/reference/format_effocr_recognizer_dataset.py:195-205); the
+MinHash/SimHash/LSH family is the web-scale generalization a training
+-data pipeline needs (near-dup removal before training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+N_MINHASHES = 8
+LSH_BANDS = 4  # 2 signature components per band
+SIMHASH_BITS = 16
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per duplicate group (hash-groupBy dedup).
+
+    Scale: one shuffle on the key; at 100 TB prefer groupBy+min_by over
+    Window(row_number) — it partial-aggregates map-side instead of
+    sorting whole partitions.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def _shingle_expr(text_col: str, k: int) -> str:
+    """SQL expr: array of k-word shingles (space tokenization, JVM-side).
+    Guards the <k-words case (Spark's sequence(1, 0) counts DOWN)."""
+    return (
+        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))) "
+        f"ELSE array() END"
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = N_MINHASHES, k: int = 3) -> DataFrame:
+    """→ (id, sig_0..sig_{n-1}) MinHash signatures over k-word shingles.
+
+    Hash family: md5(shingle || '#' || i); the minimum of a deterministic
+    hash over a set is a valid MinHash permutation, and comparing hex
+    strings lexicographically is engine-portable (pure ASCII). One
+    explode + one groupBy (single shuffle); all n mins computed in the
+    same aggregate pass (map-side combine keeps shuffle rows = distinct
+    ids × 1).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.expr(_shingle_expr(text_col, k))).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(sigs: DataFrame, id_col: str,
+                     n_hashes: int = N_MINHASHES,
+                     bands: int = LSH_BANDS) -> DataFrame:
+    """Band signatures → bucket sizes (candidate-pair generation).
+
+    Scale: banding is what makes MinHash sub-quadratic — only ids
+    sharing a band bucket are candidate pairs; groupBy(band_id, band_val)
+    is one shuffle keyed by the band hash, naturally balanced.
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"),
+                     F.md5(F.concat_ws("|", *parts)).alias("band_val"))
+        )
+    return (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        .groupBy("band.band_id", "band.band_val")
+        .agg(F.count("*").alias("bucket_size"),
+             F.min(id_col).alias("min_id"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        n_hashes: int = N_MINHASHES,
+                        bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band, with the
+    estimated Jaccard = fraction of equal signature components."""
+    rows_per_band = n_hashes // bands
+    banded = sigs
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        banded = banded.withColumn(f"band_{b}", F.md5(F.concat_ws("|", *parts)))
+    exploded = banded.select(
+        id_col, *[f"sig_{i}" for i in range(n_hashes)],
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
+    )
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    pairs = (
+        left.join(right, (F.col("a.band") == F.col("b.band"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int").alias(f"eq_{i}")
+              for i in range(n_hashes)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = sum(F.col(f"eq_{i}") for i in range(n_hashes)) / float(n_hashes)
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """→ (id, simhash int) per-bit-majority fingerprint.
+
+    Bit i of a word's hash = ascii(md5(word)[i]) % 2 — engine-portable
+    (no hex→int needed). Majority over the doc's words sets the bit.
+    One explode + one groupBy; all bit-averages in a single agg pass.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    words = words.withColumn("h", F.md5("w"))
+    aggs = [
+        (F.avg((F.ascii(F.substring("h", i + 1, 1)) % 2).cast("double")) > 0.5)
+        .cast("int").alias(f"bit_{i}")
+        for i in range(bits)
+    ]
+    agged = words.groupBy(id_col).agg(*aggs)
+    sim = sum(F.col(f"bit_{i}") * (1 << i) for i in range(bits))
+    return agged.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, min_jaccard: float = 0.0,
+                        max_id: int | None = None) -> DataFrame:
+    """Exact word-n-gram Jaccard for all pairs (a < b) — the quadratic
+    baseline the LSH path approximates; cap with max_id at scale."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.expr(_shingle_expr(text_col, n))).alias("g"),
+    ).distinct()
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("ga"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("gb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("ga") + F.col("gb") - F.col("n_inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

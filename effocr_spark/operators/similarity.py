@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's recognition IS a similarity search: kNN of crop
+embeddings against a broadcast prototype matrix
+(/root/reference/infer_effocr_onnx_multi.py:372-375). These operators
+generalize it to table-scale ANN for a training-data pipeline.
+
+All dot products are JVM-side (zip_with + aggregate higher-order
+functions) — no Python UDF in the scan path. The LSH-bucketed variant
+is the 100 TB path: candidate generation by sign-random-projection
+bucket join instead of a cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _vec_lit(vec) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _as_double(a) -> F.Column:
+    # promote BEFORE multiplying: float*float would round each product to
+    # float32, losing parity with double-math oracles and precision at scale
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    """JVM-side dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
+                k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k vs one query vector (the exact baseline).
+
+    Scale: a single scan with a JVM-side expression + TakeOrderedAndProject
+    (no shuffle beyond the final top-k reduce) — this IS the right plan
+    for one query at any scale; batch query sets use the bucketed path.
+    """
+    q = _vec_lit(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def centroid_knn_join(df: DataFrame, vec_col: str, id_col: str,
+                      label_col: str) -> DataFrame:
+    """Assign each vector to the nearest label centroid (broadcast kNN
+    join — the relational spelling of the reference's prototype lookup).
+
+    → (id, label, pred_label, score). Centroids computed by
+    posexplode+groupBy (one shuffle over n_labels × dim rows), then
+    broadcast to a crossJoin + per-id argmax window.
+    """
+    dims = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    cent = (
+        dims.groupBy(label_col, "pos").agg(F.avg("v").alias("m"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col(label_col).alias("pred_label"),
+                F.expr("transform(pm, x -> x.m)").alias("centroid"))
+    )
+    scored = (
+        df.select(id_col, label_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("score", cosine(F.col(vec_col), F.col("centroid")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("pred_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, label_col, "pred_label", "score")
+    )
+
+
+def srp_buckets(df: DataFrame, vec_col: str, id_col: str,
+                n_planes: int = 8, seed: int = 7) -> DataFrame:
+    """Sign-random-projection LSH bucket per vector (the ANN scale path).
+
+    The hyperplanes are a seeded driver-side constant folded into the
+    plan (tiny literal matrix); bucket = bit-packed signs. Candidate
+    pairs come from a groupBy/join on `bucket` — sub-quadratic.
+    """
+    rng = np.random.RandomState(seed)
+    dim = len(df.select(vec_col).first()[0])
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = None
+    for i in range(n_planes):
+        bit = (dot(F.col(vec_col), _vec_lit(planes[i])) > 0).cast("long")
+        bucket = bit * (1 << i) if bucket is None else bucket + bit * (1 << i)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                            threshold: float = 0.95,
+                            max_id: int | None = None) -> DataFrame:
+    """Exact cosine near-dup pairs (a < b) above threshold — quadratic
+    baseline; cap with max_id, or pre-bucket with srp_buckets at scale."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

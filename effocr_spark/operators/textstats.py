@@ -1,0 +1,99 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — the per-document filters a web-scale training
+-data pipeline runs before anything expensive.
+
+All pure JVM expressions (split / array_intersect / regexp / md5);
+engine-portable so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "los", "que", "de", "y", "es", "con", "por"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "pour", "une"],
+}
+
+
+def tokens(text_col) -> Column:
+    return F.split(text_col, " ")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def avg_token_len(text_col) -> Column:
+    # total non-space chars / token count
+    return (
+        F.length(F.regexp_replace(text_col, " ", ""))
+        / F.greatest(token_count(text_col), F.lit(1))
+    )
+
+
+def stopword_hits(text_col, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.array_intersect(
+        tokens(F.lower(text_col)),
+        F.array(*[F.lit(w) for w in words]),
+    ))
+
+
+def punct_ratio(text_col) -> Column:
+    total = F.greatest(F.length(text_col), F.lit(1))
+    punct = F.length(text_col) - F.length(
+        F.regexp_replace(text_col, r"[\.,;:!\?]", ""))
+    return punct / total
+
+
+def quality_score(text_col) -> Column:
+    """Composite [0,1]-ish quality heuristic: long-enough docs with
+    moderate word length, some stopwords, low punctuation density."""
+    tc = token_count(text_col)
+    len_ok = F.least(tc / F.lit(50.0), F.lit(1.0))
+    wordlen = avg_token_len(text_col)
+    wordlen_ok = F.when((wordlen >= 2) & (wordlen <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.least(stopword_hits(text_col, "en") / F.lit(3.0), F.lit(1.0))
+    punct_ok = F.when(punct_ratio(text_col) < 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + wordlen_ok + stop_ok + punct_ok) / 4.0
+
+
+def langid(text_col) -> Column:
+    """Stopword-vote language-ID over the supported set; 'zh' if CJK
+    chars present; 'und' when nothing votes. Deterministic tie-break by
+    language-code order (greatest picks the later on equal scores, so we
+    compare sequentially)."""
+    cjk = F.length(F.regexp_replace(text_col, r"[\x00-\x7F]", "")) > 0
+    scores = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(STOPWORDS):  # deterministic order; strict > keeps earlier on ties
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return F.when(cjk, F.lit("zh")).otherwise(best_lang)
+
+
+def fingerprint(text_col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    plus the token count — cheap exact-dup key."""
+    norm = F.lower(F.regexp_replace(text_col, r"\s+", " "))
+    return F.concat_ws("-", F.md5(norm), token_count(text_col).cast("string"))
+
+
+def document_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per document with the full stat battery."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.round(avg_token_len(t), 4).alias("avg_token_len"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(quality_score(t), 4).alias("quality"),
+        langid(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -41,6 +41,7 @@ def get_spark(app_name: str = "effocr_spark", cpus: int | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()
