@@ -26,6 +26,12 @@ def get_spark(app_name: str = "effocr_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Pin per-worker BLAS/OMP threads to 1: tasks ARE the parallelism.
+    # The reference does the same with ONNX intra_op_num_threads
+    # (localizer_engine.py:18-20) — cores = tasks x intra_op must not
+    # oversubscribe (SURVEY.md §4).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -38,6 +44,12 @@ def get_spark(app_name: str = "effocr_spark", cpus: int | None = None,
                 str(ARROW_MAX_RECORDS))
         # broadcast threshold: prototype/dim tables are tiny; 64MB headroom
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # UDF-compute-bound scans (strip_html / OCR over page bytes) need
+        # far finer input splits than the IO-oriented 128MB default: a
+        # 128MB split of ~3KB pages is ~45k rows of Python work pinned to
+        # ONE task. 4MB keeps every core fed without any shuffle.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

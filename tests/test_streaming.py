@@ -1,0 +1,66 @@
+"""Structured Streaming skin: AvailableNow extraction equals the batch
+pipeline; incremental files are picked up from the checkpoint."""
+
+from effocr_spark import pipeline, streaming
+from effocr_spark.synth.pages import pages_df
+
+
+def _collect_results(spark, out_dir):
+    return {
+        r["url"]: (r["extracted_text"], r["branch"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_stream_extract_matches_batch(spark, protos_bc, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages, _ = pages_df(spark, 80, seed=42)
+    pages.write.mode("overwrite").parquet(pages_dir)
+
+    q = streaming.stream_extract(spark, pages_dir, out_dir, ckpt, protos_bc)
+    q.awaitTermination(300)
+    got = _collect_results(spark, out_dir)
+
+    batch = pipeline.extract_pages(spark.read.parquet(pages_dir), protos_bc)
+    exp = {r["url"]: (r["extracted_text"], r["branch"]) for r in batch.collect()}
+    assert got == exp
+
+
+def test_stream_extract_incremental_resume(spark, protos_bc, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first, _ = pages_df(spark, 40, seed=7)
+    first.write.mode("overwrite").parquet(pages_dir)
+    q = streaming.stream_extract(spark, pages_dir, out_dir, ckpt, protos_bc)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 40
+
+    # new files arrive; a new AvailableNow run drains ONLY them
+    import pyspark.sql.functions as F
+
+    second, _ = pages_df(spark, 70, seed=7)
+    second.filter(F.xxhash64("url").isNotNull()).write.mode("append") \
+        .parquet(pages_dir)
+    q2 = streaming.stream_extract(spark, pages_dir, out_dir, ckpt, protos_bc)
+    q2.awaitTermination(300)
+    res = spark.read.parquet(out_dir)
+    # first 40 urls appear twice (re-written in batch 2's files) is NOT
+    # expected: checkpoint skips already-processed FILES; the second
+    # append added all 70 rows as new files, so 40 dupes by url exist —
+    # exactly-once is per FILE; url-level dedup stays the reader's job
+    assert res.count() == 110
+    assert res.dropDuplicates(["url"]).count() == 70
+
+
+def test_windowed_event_counts_batch_equivalence(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = streaming.windowed_event_counts(ev).collect()
+    assert len(out) > 0
+    total = sum(r["n"] for r in out)
+    assert total == ev.count()
