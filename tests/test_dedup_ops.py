@@ -1,0 +1,102 @@
+"""Dedup operators vs plain-Python oracles (MinHash/SimHash/Jaccard
+recomputed with hashlib; exact dedup vs pandas groupby)."""
+
+import hashlib
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from effocr_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "totally different content here about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "a b"),  # fewer than 3 words → zero shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _shingles(text: str, k: int = 3) -> list[str]:
+    w = text.split(" ")
+    if len(w) < k:
+        return []
+    return [" ".join(w[i: i + k]) for i in range(len(w) - k + 1)]
+
+
+def test_minhash_matches_hashlib_oracle(docs_df):
+    out = {r["doc_id"]: r for r in
+           dedup.minhash_signatures(docs_df, "doc_id", "text").collect()}
+    # doc 4 has no shingles → no row (groupBy over empty explode)
+    assert 4 not in out
+    for doc_id, text in DOCS:
+        sh = _shingles(text)
+        if not sh:
+            continue
+        for i in range(dedup.N_MINHASHES):
+            exp = min(_md5(f"{s}#{i}") for s in sh)
+            assert out[doc_id][f"sig_{i}"] == exp, (doc_id, i)
+
+
+def test_minhash_identical_docs_identical_sigs(docs_df):
+    out = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8))
+           for r in dedup.minhash_signatures(docs_df, "doc_id", "text").collect()}
+    assert out[0] == out[3]
+    assert out[0] != out[2]
+
+
+def test_lsh_candidate_pairs_find_near_dups(spark, docs_df):
+    sigs = dedup.minhash_signatures(docs_df, "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert pairs[(0, 3)] == 1.0          # exact dups share every band
+    assert (0, 1) in pairs               # near dups share ≥1 band
+    assert (0, 2) not in pairs           # unrelated docs share none
+
+
+def test_simhash_oracle(docs_df):
+    out = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs_df, "doc_id", "text").collect()}
+    for doc_id, text in DOCS:
+        words = text.split(" ")
+        bits = 0
+        for i in range(dedup.SIMHASH_BITS):
+            vote = sum(ord(_md5(w)[i]) % 2 for w in words) / len(words)
+            if vote > 0.5:
+                bits |= 1 << i
+        assert out[doc_id] == bits, doc_id
+    assert out[0] == out[3]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 20)],
+        "id long, k string, v long")
+    out = {(r["k"], r["v"]): (r["id"], r["dup_count"])
+           for r in dedup.exact_dedup(df, ["k", "v"], "id").collect()}
+    assert out[("a", 10)] == (1, 2)
+    assert out[("b", 20)] == (3, 1)
+
+
+def test_ngram_jaccard_oracle(spark, docs_df):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text").collect()}
+    g = {d: set(_shingles(t)) for d, t in DOCS}
+    for a, b in itertools.combinations([0, 1, 2, 3], 2):
+        inter = len(g[a] & g[b])
+        if inter == 0:
+            assert (a, b) not in out
+        else:
+            exp = inter / len(g[a] | g[b])
+            assert abs(out[(a, b)] - exp) < 1e-9, (a, b)
+    assert out[(0, 3)] == 1.0

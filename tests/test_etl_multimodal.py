@@ -1,0 +1,80 @@
+"""COCO ETL operators (combine/split/subset/join) + multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from effocr_spark.operators import etl_coco, multimodal
+from effocr_spark.synth.imgcodec import decode_png, encode_png
+import numpy as np
+
+
+@pytest.fixture(scope="module")
+def coco(spark):
+    images = spark.createDataFrame(
+        [(i, f"im{i}.png", 100, 20, "txt") for i in range(20)],
+        "id long, file_name string, width int, height int, text string")
+    annos = spark.createDataFrame(
+        [(i * 10 + j, i, 0, [j, 0, 5, 9]) for i in range(20) for j in range(3)],
+        "id long, image_id long, category_id int, bbox array<int>")
+    return images, annos
+
+
+def test_split_disjoint_and_complete(coco):
+    """SURVEY §2.7 E3: split disjointness (recognizer_datasets.py:106-109)."""
+    images, annos = coco
+    parts = etl_coco.coco_split(images, annos, fracs=(0.6, 0.2, 0.2), seed=5)
+    ids = [set(r["id"] for r in p[0].collect()) for p in parts]
+    assert ids[0] | ids[1] | ids[2] == set(range(20))
+    assert not (ids[0] & ids[1] or ids[0] & ids[2] or ids[1] & ids[2])
+    # annotations follow their images
+    for part_imgs, part_annos in parts:
+        im_ids = {r["id"] for r in part_imgs.collect()}
+        assert {r["image_id"] for r in part_annos.collect()} <= im_ids
+    # deterministic
+    parts2 = etl_coco.coco_split(images, annos, fracs=(0.6, 0.2, 0.2), seed=5)
+    assert ids[0] == {r["id"] for r in parts2[0][0].collect()}
+
+
+def test_subset(coco):
+    images, annos = coco
+    sub_i, sub_a = etl_coco.coco_subset(images, annos, 5)
+    assert sub_i.count() == 5
+    assert sub_a.count() == 15
+
+
+def test_combine_reassigns_ids(spark, coco):
+    images, annos = coco
+    im2 = images.withColumn("id", F.col("id"))  # same ids on purpose
+    ci, ca = etl_coco.coco_combine([images, im2], [annos, annos])
+    new_ids = [r["new_image_id"] for r in ci.collect()]
+    assert len(new_ids) == 40
+    assert len(set(new_ids)) == 40  # globally unique after combine
+    assert ca.count() == 120
+
+
+def test_annotations_with_images_join(coco):
+    images, annos = coco
+    j = etl_coco.annotations_with_images(images, annos)
+    assert j.count() == 60
+    assert "file_name" in j.columns
+
+
+def test_media_features_real_png_and_quarantine(spark):
+    img = np.full((7, 11), 128, dtype=np.uint8)
+    rows = [(1, bytearray(encode_png(img))), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r["id"]: r for r in multimodal.media_features(df).collect()}
+    assert out[1]["ok"] and out[1]["width"] == 11 and out[1]["height"] == 7
+    assert abs(out[1]["mean_luma"] - 128.0) < 1e-6
+    assert out[1]["media_type"] == "image/png"
+    assert not out[2]["ok"] and "NotImplementedError" in out[2]["error"]
+
+
+def test_media_resize_roundtrip(spark):
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    df = spark.createDataFrame([(1, bytearray(encode_png(img)))],
+                               "id long, media binary")
+    out = multimodal.media_resize(df, 4).collect()[0]
+    assert out["ok"]
+    back = decode_png(bytes(out["media"]))
+    assert back.shape == (4, 4, 3)

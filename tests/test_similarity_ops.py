@@ -1,0 +1,74 @@
+"""Similarity operators vs NumPy oracles."""
+
+import numpy as np
+import pytest
+
+from effocr_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(11)
+    v = rng.standard_normal((40, 8)).astype(np.float32)
+    # plant a near-dup pair: 7 ≈ 3
+    v[7] = v[3] + 0.001 * rng.standard_normal(8).astype(np.float32)
+    labels = (np.arange(40) % 3).astype(int)
+    return v, labels
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vecs):
+    v, labels = vecs
+    rows = [(int(i), [float(x) for x in v[i]], int(labels[i]))
+            for i in range(len(v))]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def _cos(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df, vecs):
+    v, _ = vecs
+    q = v[0].astype(np.float64)
+    out = sim.cosine_topk(emb_df.filter("vec_id != 0"), "embedding",
+                          "vec_id", q, k=5).collect()
+    scores = {int(i): _cos(v[i], q) for i in range(1, len(v))}
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["vec_id"] for r in out] == [e[0] for e in exp]
+    for r, e in zip(out, exp):
+        assert abs(r["score"] - e[1]) < 1e-9
+
+
+def test_centroid_knn_matches_numpy(emb_df, vecs):
+    v, labels = vecs
+    cents = {l: v[labels == l].astype(np.float64).mean(axis=0)
+             for l in set(labels)}
+    out = {r["vec_id"]: r["pred_label"]
+           for r in sim.centroid_knn_join(emb_df, "embedding", "vec_id",
+                                          "label").collect()}
+    for i in range(len(v)):
+        scores = {l: _cos(v[i], c) for l, c in cents.items()}
+        exp = min(sorted(scores.items(), key=lambda kv: (-kv[1], kv[0])))[0]
+        best = max(scores.values())
+        exp = min(l for l, s in scores.items() if s == best)
+        assert out[i] == exp, i
+
+
+def test_neardup_pairs_find_planted_pair(emb_df):
+    pairs = {(r["id_a"], r["id_b"]): r["score"]
+             for r in sim.embedding_neardup_pairs(
+                 emb_df, "embedding", "vec_id", threshold=0.99).collect()}
+    assert (3, 7) in pairs
+    assert pairs[(3, 7)] > 0.999
+
+
+def test_srp_buckets_deterministic_and_groups_dups(spark, emb_df):
+    a = {r["vec_id"]: r["bucket"]
+         for r in sim.srp_buckets(emb_df, "embedding", "vec_id").collect()}
+    b = {r["vec_id"]: r["bucket"]
+         for r in sim.srp_buckets(emb_df, "embedding", "vec_id").collect()}
+    assert a == b
+    assert a[3] == a[7]  # near-identical vectors land in the same bucket
