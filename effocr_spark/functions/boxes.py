@@ -46,12 +46,26 @@ def box_iom(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray
     return inter / (np.minimum(area1, area2) + eps)
 
 
+# precompute the full IoU matrix when it fits; beyond this, fall back to
+# row-at-a-time (memory: MATRIX_CAP^2 doubles = 128 MB)
+_NMS_MATRIX_CAP = 4000
+
+
 def _greedy_nms(boxes: np.ndarray, iou_thres: float) -> np.ndarray:
     """Greedy NMS over score-desc pre-sorted [N,4] boxes → kept indices
     (in score order, like torchvision.ops.nms on sorted input)."""
     n = boxes.shape[0]
-    keep = []
     suppressed = np.zeros(n, dtype=bool)
+    keep = []
+    if n <= _NMS_MATRIX_CAP:
+        ious = box_iou(boxes, boxes)  # one vectorized pass
+        for i in range(n):
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            if i + 1 < n:
+                suppressed[i + 1 :] |= ious[i, i + 1 :] > iou_thres
+        return np.asarray(keep, dtype=np.int64)
     for i in range(n):
         if suppressed[i]:
             continue

@@ -30,16 +30,40 @@ ZERO_CROP = np.zeros((3, crops_fn.CROP_SIZE, crops_fn.CROP_SIZE), dtype=np.float
 _PROTO_PAD = 64
 
 
+def _transform_batched(crops: list[np.ndarray | None]) -> np.ndarray:
+    """paired_transform over a crop list, vectorized by (h, w) shape
+    group: crops of identical shape share one pad+resize+normalize pass.
+    Elementwise ops on a stacked array are bit-identical to the per-crop
+    path (same constants, same dtypes), so byte-parity with the oracle's
+    per-crop transform is preserved — tests assert it."""
+    size = crops_fn.CROP_SIZE
+    out = np.empty((len(crops), 3, size, size), dtype=np.float32)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, c in enumerate(crops):
+        if c is None:
+            out[i] = ZERO_CROP
+        else:
+            groups.setdefault(c.shape[:2], []).append(i)
+    for (h, w), idxs in groups.items():
+        side = max(h, w)
+        stack = np.full((len(idxs), side, side, 3), 255, dtype=np.uint8)
+        for j, i in enumerate(idxs):
+            stack[j, :h, :w, :] = crops[i]
+        ys = np.minimum((np.arange(size) * side) // size, side - 1)
+        xs = ys  # square: identical index vector
+        rs = stack[:, ys[:, None], xs[None, :], :].astype(np.float32) / 255.0
+        rs = (rs - crops_fn.IMAGENET_MEAN) / crops_fn.IMAGENET_STD
+        out[idxs] = rs.transpose(0, 3, 1, 2)
+    return out
+
+
 def embed_crops(crops: list[np.ndarray | None]) -> np.ndarray:
     """List of HxWx3 uint8 crops (None → zero tensor, mirroring
     create_batches' zero-fill, infer_effocr_onnx_multi.py:150-152) →
     [B, D] L2-normalized embeddings."""
     if not crops:
         return np.zeros((0, synthmodel.EMBED_DIM), dtype=np.float32)
-    tensors = [
-        ZERO_CROP if c is None else crops_fn.paired_transform(c) for c in crops
-    ]
-    batch = np.stack(tensors)
+    batch = _transform_batched(crops)
     emb = synthmodel.encode_crops(batch)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
