@@ -249,6 +249,40 @@ def q_string_battery(spark, sf_dir):
 # dedup family
 # ----------------------------------------------------------------------
 
+def q_max_by(spark, sf_dir):
+    """max-frequency/argmax pick (SURVEY §2.4 A5 relational spelling):
+    per event_type, the event carrying the max value (ties → max id,
+    via struct ordering — deterministic unlike bare max_by)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max(F.struct(F.col("value"), F.col("event_id")))
+             .alias("m"))
+        .select("event_type", F.col("m.event_id").alias("event_id"),
+                F.col("m.value").alias("value"))
+    )
+
+
+def q_posexplode_zip(spark, sf_dir):
+    """Positional zip join (SURVEY §2.3 J4: arrays_zip/posexplode) —
+    first 3 words of each doc with their positions."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 3))
+        .alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+def q_distinct_users(spark, sf_dir):
+    """Distinct aggregate (metrics-dashboard shape, SURVEY §2.4 note)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     from effocr_spark.operators.dedup import exact_dedup
 
@@ -482,6 +516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_counts": q_quarantine_counts,
         "hex_codepoint": q_hex_codepoint,
         "string_battery": q_string_battery,
+        "max_by": q_max_by,
+        "posexplode_zip": q_posexplode_zip,
+        "distinct_users": q_distinct_users,
         "exact_dedup": q_exact_dedup,
         "minhash_sigs": q_minhash_sigs,
         "lsh_buckets": q_lsh_buckets,
@@ -678,6 +715,24 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS first3,
                    levenshtein(substr(text, 1, 10), substr(text, 11, 10))::BIGINT AS self_edit
             FROM documents WHERE doc_id < 50
+        """,
+        "max_by": """
+            SELECT event_type, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "posexplode_zip": """
+            SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS word
+            FROM documents,
+                 generate_series(1, least(3, len(string_split(text, ' ')))) AS t(i)
+            WHERE doc_id < 10
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "exact_dedup": """
             SELECT user_id, event_type, min(event_id)::BIGINT AS event_id,
