@@ -210,6 +210,29 @@ def q_hourly_windows(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): the canonical
+    stateful-stream operator, spelled as cumulative window functions so
+    it runs JVM-side batch; the streaming twin is
+    applyInPandasWithState over the same gap rule."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"))
+    )
+
+
 def q_quarantine_counts(spark, sf_dir):
     """Schema-check violations → metrics, not crashes (SURVEY §1.4/P9)."""
     docs = _t(spark, sf_dir, "documents")
@@ -513,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "events_daily": q_events_daily,
         "hourly_windows": q_hourly_windows,
+        "sessionize": q_sessionize,
         "quarantine_counts": q_quarantine_counts,
         "hex_codepoint": q_hex_codepoint,
         "string_battery": q_string_battery,
@@ -696,6 +720,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1, 2
         """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts, event_id,
+                     epoch(date_trunc('second', ts))
+                     - epoch(date_trunc('second',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))) AS gap
+              FROM events),
+            marked AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+              FROM gaps)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start
+            FROM marked GROUP BY user_id, session_id
+        """,
         "quarantine_counts": """
             SELECT source,
                    sum((n_chars != length(text))::INT)::BIGINT AS n_bad,
@@ -724,10 +767,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events) WHERE rn = 1
         """,
         "posexplode_zip": """
-            SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS word
-            FROM documents,
-                 generate_series(1, least(3, len(string_split(text, ' ')))) AS t(i)
-            WHERE doc_id < 10
+            SELECT doc_id,
+                   unnest(generate_series(1, least(3, len(ws)))) - 1 AS pos,
+                   unnest(list_slice(ws, 1, least(3, len(ws)))) AS word
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id < 10)
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
