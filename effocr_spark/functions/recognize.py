@@ -57,17 +57,32 @@ def _transform_batched(crops: list[np.ndarray | None]) -> np.ndarray:
     return out
 
 
-def embed_crops(crops: list[np.ndarray | None]) -> np.ndarray:
+def embed_crops(crops: list[np.ndarray | None],
+                normalize: bool = True) -> np.ndarray:
     """List of HxWx3 uint8 crops (None → zero tensor, mirroring
     create_batches' zero-fill, infer_effocr_onnx_multi.py:150-152) →
-    [B, D] L2-normalized embeddings."""
+    [B, D] embeddings. L2-normalized for the kNN recognizer
+    (infer_effocr_onnx_multi.py:371); raw logits-path embeddings for the
+    FFNN classifier head (infer_effocr.py:325-333 skips normalization)."""
     if not crops:
         return np.zeros((0, synthmodel.EMBED_DIM), dtype=np.float32)
     batch = _transform_batched(crops)
     emb = synthmodel.encode_crops(batch)
+    if not normalize:
+        return emb.astype(np.float32)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return (emb / norms).astype(np.float32)
+
+
+def ffnn_lookup(raw_embeddings: np.ndarray, class_matrix: np.ndarray) -> np.ndarray:
+    """FFNN classifier head: argmax over linear logits
+    (infer_effocr.py:325-333; class_map semantics :214-218). The
+    synthetic head's weight matrix is the prototype matrix, so the
+    class_map is the prototype char list."""
+    if raw_embeddings.shape[0] == 0:
+        return np.zeros((0,), dtype=np.int64)
+    return np.argmax(raw_embeddings @ class_matrix.T, axis=1)
 
 
 def knn_lookup(embeddings: np.ndarray, prototypes: np.ndarray) -> np.ndarray:

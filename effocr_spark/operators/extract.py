@@ -97,11 +97,16 @@ def assemble_page(chars: list[str], page, lang: str,
 
 def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     iou_thres: float = 0.01, anchor_margin=None,
-                    spell_check: bool = False):
+                    spell_check: bool = False, recognizer: str = "knn"):
     """Build the mapInPandas function for the fused OCR stage.
 
     protos_bc: Spark broadcast of {lang: (chars list, [K,D] float32)}.
     Input rows: (url, html, lang); output: OCR_OUT_SCHEMA.
+    recognizer: "knn" (CPU path, L2+inner-product kNN,
+    infer_effocr_onnx_multi.py:371-375) or "ffnn" (classifier-head path,
+    raw-logit argmax + class_map, infer_effocr.py:325-333) — the
+    synthetic FFNN weights ARE the prototype matrix, so the class map is
+    the prototype char list.
     """
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,7 +134,9 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
             # in bounded sub-batches
             embs = []
             for s in range(0, len(flat_crops), ENCODE_SUB_BATCH):
-                embs.append(rec.embed_crops(flat_crops[s: s + ENCODE_SUB_BATCH]))
+                embs.append(rec.embed_crops(
+                    flat_crops[s: s + ENCODE_SUB_BATCH],
+                    normalize=(recognizer == "knn")))
             emb = (np.concatenate(embs) if embs
                    else np.zeros((0, synthmodel.EMBED_DIM), np.float32))
 
@@ -142,7 +149,10 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                 if sel.size == 0:
                     continue
                 chars_list, proto_mat = protos[lang]
-                idxs = rec.knn_lookup(emb[sel], proto_mat)
+                if recognizer == "knn":
+                    idxs = rec.knn_lookup(emb[sel], proto_mat)
+                else:
+                    idxs = rec.ffnn_lookup(emb[sel], proto_mat)
                 for pos, k in zip(sel, idxs):
                     flat_chars[pos] = chars_list[int(k)]
 
@@ -174,10 +184,10 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
 
 def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                iou_thres: float = 0.01, anchor_margin=None,
-               spell_check: bool = False) -> DataFrame:
+               spell_check: bool = False, recognizer: str = "knn") -> DataFrame:
     """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error)."""
     fn = make_ocr_map_fn(protos_bc, conf_thres, iou_thres,
-                         anchor_margin, spell_check)
+                         anchor_margin, spell_check, recognizer)
     return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
 
 

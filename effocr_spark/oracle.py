@@ -180,7 +180,8 @@ def oracle_en_postprocess(line_output, word_end_idx, charheights, charbottoms,
 
 def run_reference_ocr(images, candidate_chars, prototypes, lang="en",
                       vertical=False, conf_thres=0.35, iou_thres=0.01,
-                      anchor_margin=None, spell_check=False):
+                      anchor_margin=None, spell_check=False,
+                      recognizer="knn"):
     """images: list[(url, png_bytes)] → {url: extracted_text_or_None}.
 
     Single-threaded, list-based, ordered exactly like the reference's
@@ -247,9 +248,13 @@ def run_reference_ocr(images, candidate_chars, prototypes, lang="en",
     if tensors:
         batch = np.stack(tensors)
         emb = synthmodel.encode_crops(batch)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        emb = emb / norms
+        if recognizer == "knn":
+            # CPU path: L2 normalize + inner-product kNN (:371-375)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            emb = emb / norms
+        # FFNN path: raw-logit argmax over the classifier head
+        # (infer_effocr.py:325-333); class_map = candidate_chars
         indices = [int(np.argmax(e @ prototypes.T)) for e in emb]
     else:
         indices = []

@@ -49,6 +49,7 @@ def extract_pages(
     iou_thres: float = 0.01,
     anchor_margin: float | None = None,
     spell_check: bool = False,
+    recognizer: str = "knn",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
     (url, extracted_text, n_chars, ok, error, branch)."""
@@ -63,7 +64,7 @@ def extract_pages(
             salt_partitions, F.xxhash64(F.col("url"), F.lit(0x5A17)))
 
     ocr = ocr_branch(image_rows, protos_bc, conf_thres, iou_thres,
-                     anchor_margin, spell_check)
+                     anchor_margin, spell_check, recognizer)
     dom = dom_branch(dom_rows)
     return (
         ocr.withColumn("branch", F.lit("ocr"))
