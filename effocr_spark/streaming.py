@@ -57,6 +57,60 @@ def stream_extract(
     )
 
 
+SESSION_OUT_SCHEMA = ("user_id long, session_id long, n_events long, "
+                      "session_start timestamp")
+SESSION_STATE_SCHEMA = "last_ts double, session_id long, start_ts double"
+
+
+def stateful_sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    gap-based sessionization whose per-user state (last event time,
+    running session id) persists across micro-batches through the
+    checkpoint. Batch twin: the cumulative-window spelling in
+    __spark_entry__.q_sessionize — tests assert they agree.
+
+    Emits one row per (user, session) per micro-batch with that batch's
+    event count (append mode; downstream sums per session)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        user_id = int(key[0])
+        if state.exists:
+            last_ts, session_id, start_ts = state.get
+        else:
+            last_ts, session_id, start_ts = None, 0, None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out: dict[int, dict] = {}
+        for ts in rows["ts"]:
+            ep = ts.timestamp()
+            if last_ts is None or ep - last_ts > gap_sec:
+                session_id += 1
+                start_ts = ep
+            last_ts = ep
+            rec = out.setdefault(session_id, {
+                "n": 0, "start": start_ts})
+            rec["n"] += 1
+        state.update((last_ts, session_id, start_ts))
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(out),
+            "session_id": list(out.keys()),
+            "n_events": [v["n"] for v in out.values()],
+            "session_start": [
+                pd.Timestamp(int(round(v["start"] * 1_000_000)),
+                             unit="us", tz="UTC")
+                for v in out.values()],
+        })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout)
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts — the streaming aggregation
