@@ -66,6 +66,44 @@ def coco_subset(images: DataFrame, annotations: DataFrame, n: int):
     return sub, annotations.join(ids, "image_id", "inner")
 
 
+def envelope_join(chars: DataFrame, words: DataFrame,
+                  iom_thresh: float = 0.8) -> DataFrame:
+    """Enveloping-object interval join: char box ↔ word box on the same
+    image with intersection-over-min-area ≥ threshold
+    (format_effocr_recognizer_dataset.py:84-103, IoM math :44-81) —
+    spelled as a JVM-side equi-join on image_id plus an IoM filter
+    expression over [x, y, w, h] bbox arrays.
+
+    Scale: the equi-join on image_id shuffles both sides once; the IoM
+    predicate is whole-stage-codegen arithmetic, no UDF.
+    """
+    def xyxy(prefix):
+        b = F.col(f"{prefix}.bbox")
+        return (b[0].cast("double"), b[1].cast("double"),
+                (b[0] + b[2]).cast("double"), (b[1] + b[3]).cast("double"))
+
+    c = chars.alias("c")
+    w = words.alias("w")
+    cx0, cy0, cx1, cy1 = xyxy("c")
+    wx0, wy0, wx1, wy1 = xyxy("w")
+    inter_w = F.greatest(
+        F.least(cx1, wx1) - F.greatest(cx0, wx0), F.lit(0.0))
+    inter_h = F.greatest(
+        F.least(cy1, wy1) - F.greatest(cy0, wy0), F.lit(0.0))
+    inter = inter_w * inter_h
+    area_c = (cx1 - cx0) * (cy1 - cy0)
+    area_w = (wx1 - wx0) * (wy1 - wy0)
+    iom = inter / (F.least(area_c, area_w) + F.lit(1e-7))
+    return (
+        c.join(w, F.col("c.image_id") == F.col("w.image_id"))
+        .filter(iom >= iom_thresh)
+        .select(F.col("c.id").alias("char_id"),
+                F.col("w.id").alias("word_id"),
+                F.col("c.image_id").alias("image_id"),
+                iom.alias("iom"))
+    )
+
+
 def annotations_with_images(images: DataFrame,
                             annotations: DataFrame) -> DataFrame:
     """The annotation↔image equi-join the reference runs as a nested loop

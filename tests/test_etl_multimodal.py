@@ -59,6 +59,37 @@ def test_annotations_with_images_join(coco):
     assert "file_name" in j.columns
 
 
+def test_envelope_join(spark):
+    """IoM ≥ 0.8 char↔word join vs the numpy box_iom kernel."""
+    import itertools
+    from effocr_spark.functions.boxes import box_iom
+
+    chars = spark.createDataFrame(
+        [(1, 10, [0, 0, 5, 9]), (2, 10, [20, 0, 5, 9]),
+         (3, 11, [0, 0, 5, 9])],
+        "id long, image_id long, bbox array<int>")
+    words = spark.createDataFrame(
+        [(100, 10, [0, 0, 12, 9]), (101, 10, [19, 0, 7, 9]),
+         (102, 11, [40, 0, 5, 9])],
+        "id long, image_id long, bbox array<int>")
+    got = {(r["char_id"], r["word_id"])
+           for r in etl_coco.envelope_join(chars, words).collect()}
+
+    def to_xyxy(b):
+        return [b[0], b[1], b[0] + b[2], b[1] + b[3]]
+    exp = set()
+    for c in chars.collect():
+        for w in words.collect():
+            if c["image_id"] != w["image_id"]:
+                continue
+            iom = box_iom(np.array([to_xyxy(c["bbox"])], dtype=float),
+                          np.array([to_xyxy(w["bbox"])], dtype=float))[0, 0]
+            if iom >= 0.8:
+                exp.add((c["id"], w["id"]))
+    assert got == exp
+    assert (1, 100) in got and (3, 102) not in got
+
+
 def test_media_features_real_png_and_quarantine(spark):
     img = np.full((7, 11), 128, dtype=np.uint8)
     rows = [(1, bytearray(encode_png(img))), (2, bytearray(b"not an image"))]
