@@ -56,11 +56,16 @@ def boxes_list(draw, max_n=25):
 def test_en_preprocess_matches_oracle(chars, words, vertical):
     if not chars:
         return
+    # both paths consume float32 NMS output in production — feed the
+    # oracle the same float32-quantized values (float64 would change
+    # tie/qualification decisions at the epsilon edge)
     c = np.asarray(chars, dtype=np.float32)
     w = (np.asarray(words, dtype=np.float32)
          if words else np.zeros((0, 4), np.float32))
+    chars32 = [tuple(b) for b in c]
+    words32 = [tuple(b) for b in w]
     got_c, got_we = A.en_preprocess(c, w, vertical=vertical)
-    exp_c, exp_we = O.oracle_en_preprocess(chars, words, vertical=vertical)
+    exp_c, exp_we = O.oracle_en_preprocess(chars32, words32, vertical=vertical)
     assert got_we == exp_we
     assert np.allclose(got_c[:, :4], np.asarray(exp_c)[:, :4])
 
