@@ -26,12 +26,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone for time-arithmetic queries: parquet
+    timestamps are naive, DuckDB treats them as-is, and Spark's
+    unix_timestamp/date_trunc interpret through the session TZ — only
+    UTC makes the two engines agree under any driver configuration."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # ----------------------------------------------------------------------
 # relational core (scans / filters / joins / aggs / windows)
 # ----------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan+filter+groupBy agg (SURVEY §2.2 P1, §2.4)."""
+    _utc(spark)
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     return (
@@ -97,6 +106,7 @@ def q_gt_pred_eval(spark, sf_dir):
 def q_asof_join(spark, sf_dir):
     """As-of join (SURVEY §2.3 J1 relational spelling): for each 'view'
     event, the nearest later 'click' by the same user."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id"), F.col("event_id").alias("view_id"),
@@ -118,6 +128,7 @@ def q_topk_per_group(spark, sf_dir):
     """Per-group top-k via ranking window (SURVEY §2.5 W2/W3)."""
     from pyspark.sql import Window
 
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
     return (
@@ -132,6 +143,7 @@ def q_reading_order(spark, sf_dir):
     events per user by time."""
     from pyspark.sql import Window
 
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     return (
@@ -145,6 +157,7 @@ def q_lead_lag(spark, sf_dir):
     """lag() neighbor context (SURVEY §2.5 W6 relational spelling)."""
     from pyspark.sql import Window
 
+    _utc(spark)
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
     return o.select(
@@ -174,6 +187,7 @@ def q_row_replicate(spark, sf_dir):
 def q_interval_join(spark, sf_dir):
     """Interval/range join (SURVEY §2.3 J6 analog): same-user event pairs
     within 60 seconds."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     a = ev.select(F.col("user_id"), F.col("event_id").alias("id_a"),
                   F.col("ts").alias("ts_a"))
@@ -188,6 +202,7 @@ def q_interval_join(spark, sf_dir):
 
 def q_events_daily(spark, sf_dir):
     """Event-time rollup (date_trunc partition-pruning shape)."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -202,6 +217,7 @@ def q_events_daily(spark, sf_dir):
 def q_hourly_windows(spark, sf_dir):
     """Tumbling event-time window aggregate (streaming-shaped batch:
     the same plan Structured Streaming runs with a watermark)."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -217,6 +233,7 @@ def q_sessionize(spark, sf_dir):
     applyInPandasWithState over the same gap rule."""
     from pyspark.sql import Window
 
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -276,6 +293,7 @@ def q_max_by(spark, sf_dir):
     """max-frequency/argmax pick (SURVEY §2.4 A5 relational spelling):
     per event_type, the event carrying the max value (ties → max id,
     via struct ordering — deterministic unlike bare max_by)."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -299,6 +317,7 @@ def q_posexplode_zip(spark, sf_dir):
 
 def q_distinct_users(spark, sf_dir):
     """Distinct aggregate (metrics-dashboard shape, SURVEY §2.4 note)."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
@@ -309,6 +328,7 @@ def q_distinct_users(spark, sf_dir):
 def q_exact_dedup(spark, sf_dir):
     from effocr_spark.operators.dedup import exact_dedup
 
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return exact_dedup(ev, ["user_id", "event_type"], "event_id") \
         .select("user_id", "event_type",
