@@ -1,0 +1,63 @@
+"""Line segmentation: page image → per-line strips.
+
+The reference's unit of work is a pre-rendered textline image
+(EffOCRInferenceDataset, effocr_datasets/inference_datasets.py:6-20); a
+Common-Crawl-style page carries many lines, so this pre-stage cuts a
+page into line strips and the unchanged per-line dataflow runs on each
+strip (the SURVEY §2.10 `render_page` seam). Pure NumPy; shared by the
+Spark path and the oracle as page-level infrastructure (the per-line
+OCR semantics remain independently implemented on both sides).
+
+Each strip is the ink row-band plus a fixed white margin, matching the
+single-line fixture geometry (synth/font.py MARGIN) so line strips are
+pixel-compatible with the prototype index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INK_THRESHOLD = 128
+MIN_GAP = 3      # blank-row run that separates lines (fixture gap is 6)
+STRIP_MARGIN = 3  # white rows re-added around each band (= font.MARGIN)
+
+
+def segment_lines(gray: np.ndarray) -> list[tuple[int, int]]:
+    """→ list of (row_start, row_stop) ink bands, top to bottom.
+    Bands separated by >= MIN_GAP blank rows; single-band pages (the
+    classic line-image input) come back as one band."""
+    ink_rows = (gray < INK_THRESHOLD).any(axis=1)
+    bands: list[tuple[int, int]] = []
+    start = None
+    blank_run = 0
+    for i, has_ink in enumerate(ink_rows):
+        if has_ink:
+            if start is None:
+                start = i
+            elif blank_run >= MIN_GAP:
+                bands.append((start, last_ink + 1))
+                start = i
+            blank_run = 0
+            last_ink = i
+        else:
+            if start is not None:
+                blank_run += 1
+    if start is not None:
+        bands.append((start, last_ink + 1))
+    return bands
+
+
+def line_strips(img: np.ndarray) -> list[np.ndarray]:
+    """Page (H x W [x3]) → list of line-strip images, each the ink band
+    padded with STRIP_MARGIN white rows top and bottom."""
+    gray = img.min(axis=2) if img.ndim == 3 else img
+    strips = []
+    w = img.shape[1]
+    for y0, y1 in segment_lines(gray):
+        band = img[y0:y1]
+        if img.ndim == 3:
+            pad = np.full((STRIP_MARGIN, w, 3), 255, dtype=img.dtype)
+        else:
+            pad = np.full((STRIP_MARGIN, w), 255, dtype=img.dtype)
+        strips.append(np.concatenate([pad, band, pad], axis=0))
+    return strips

@@ -45,10 +45,26 @@ ENCODE_SUB_BATCH = 1024  # crops per encoder call: bounds UDF peak memory
 
 def localize_page(png_bytes: bytes, lang: str, vertical: bool,
                   conf_thres: float, iou_thres: float):
-    """Per-page localizer: decode → head → NMS → class split → reading
-    order + word-end as-of → crop windows. Returns a dict of per-page
-    arrays (crops stay uint8 until the batched transform)."""
+    """Per-page localizer: decode → line segmentation (multi-line pages
+    cut into strips, functions/lineseg.py) → per strip: head → NMS →
+    class split → reading order + word-end as-of → crop windows.
+    Returns {'lines': [per-line dicts], 'crops': flat crop list,
+    'n_chars': total} — crops stay uint8 until the batched transform."""
+    from ..functions.lineseg import line_strips
+
     im = to_rgb(decode_png(png_bytes))
+    strips = [im] if vertical else line_strips(im)
+    lines = [_localize_strip(s, lang, vertical, conf_thres, iou_thres)
+             for s in strips]
+    crops: list = []
+    for ln in lines:
+        crops.extend(ln["crops"])
+    return {"lines": lines, "crops": crops, "n_chars": len(crops)}
+
+
+def _localize_strip(im: np.ndarray, lang: str, vertical: bool,
+                    conf_thres: float, iou_thres: float):
+    """The reference per-line dataflow over one strip image."""
     head = synthmodel.synthetic_yolo_head(im, vertical=vertical)
     det = boxes_fn.non_max_suppression(head, conf_thres=conf_thres,
                                        iou_thres=iou_thres, max_det=1000)
@@ -80,19 +96,34 @@ def localize_page(png_bytes: bytes, lang: str, vertical: bool,
     }
 
 
-def assemble_page(chars: list[str], page, lang: str,
+def assemble_line(chars: list[str], line, lang: str,
                   anchor_margin, spell_ctx) -> str | None:
     """Join recognized chars → postprocessed line text
     (infer_effocr_onnx_multi.py:385-393)."""
     joined = "".join(c[0] for c in chars).strip()
     if lang == "en":
-        out = asm.en_postprocess(joined, page["word_end_idx"],
-                                 page["heights"], page["bottoms"],
+        out = asm.en_postprocess(joined, line["word_end_idx"],
+                                 line["heights"], line["bottoms"],
                                  anchor_margin=anchor_margin)
         if spell_ctx is not None and out is not None:
             out = visual_spell_checker(out, *spell_ctx)
         return out
     return joined
+
+
+def assemble_page(chars: list[str], page, lang: str,
+                  anchor_margin, spell_ctx) -> str | None:
+    """Per-line assembly + '\\n' join; all-None / zero-line pages → None."""
+    texts = []
+    cursor = 0
+    for line in page["lines"]:
+        n = line["n_chars"]
+        t = assemble_line(chars[cursor: cursor + n], line, lang,
+                          anchor_margin, spell_ctx)
+        cursor += n
+        if t is not None:
+            texts.append(t)
+    return "\n".join(texts) if texts else None
 
 
 def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
@@ -123,8 +154,7 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                                          conf_thres, iou_thres)
                     err = None
                 except Exception as e:  # quarantine, never crash the job
-                    page = {"crops": [], "word_end_idx": [], "heights": [],
-                            "bottoms": [], "n_chars": 0}
+                    page = {"lines": [], "crops": [], "n_chars": 0}
                     err = f"localize: {e!r}"[:200]
                 pages.append((url, lang, page, err))
                 page_langs.append(lang)

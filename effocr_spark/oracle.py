@@ -183,6 +183,52 @@ def run_reference_ocr(images, candidate_chars, prototypes, lang="en",
                       anchor_margin=None, spell_check=False,
                       recognizer="knn"):
     """images: list[(url, png_bytes)] → {url: extracted_text_or_None}.
+    The reference's native shape: one textline image per key."""
+    arrays = [(url, to_rgb(decode_png(png))) for url, png in images]
+    return _run_reference_ocr_arrays(
+        arrays, candidate_chars, prototypes, lang=lang, vertical=vertical,
+        conf_thres=conf_thres, iou_thres=iou_thres,
+        anchor_margin=anchor_margin, spell_check=spell_check,
+        recognizer=recognizer)
+
+
+def run_reference_extraction(images, candidate_chars, prototypes,
+                             lang="en", vertical=False, conf_thres=0.35,
+                             iou_thres=0.01, anchor_margin=None,
+                             spell_check=False, recognizer="knn"):
+    """Page-level oracle: segment each page into line strips (shared
+    page-level infra, functions/lineseg.py), run the per-line reference
+    dataflow on every strip, join non-None lines with '\\n' per url
+    (all-None / zero-line pages → None). Mirrors the Spark pipeline's
+    multi-line extension of the reference's per-line contract."""
+    from .functions.lineseg import line_strips
+
+    strip_imgs = []
+    page_lines: dict = {}
+    for url, png in images:
+        im = to_rgb(decode_png(png))
+        strips = [im] if vertical else line_strips(im)
+        page_lines[url] = len(strips)
+        for i, s in enumerate(strips):
+            strip_imgs.append(((url, i), s))
+    per_line = _run_reference_ocr_arrays(
+        strip_imgs, candidate_chars, prototypes, lang=lang,
+        vertical=vertical, conf_thres=conf_thres, iou_thres=iou_thres,
+        anchor_margin=anchor_margin, spell_check=spell_check,
+        recognizer=recognizer)
+    results = {}
+    for url, n in page_lines.items():
+        texts = [per_line[(url, i)] for i in range(n)]
+        texts = [t for t in texts if t is not None]
+        results[url] = "\n".join(texts) if texts else None
+    return results
+
+
+def _run_reference_ocr_arrays(images, candidate_chars, prototypes,
+                              lang="en", vertical=False, conf_thres=0.35,
+                              iou_thres=0.01, anchor_margin=None,
+                              spell_check=False, recognizer="knn"):
+    """images: list[(key, HxWx3 uint8 array)] → {key: text_or_None}.
 
     Single-threaded, list-based, ordered exactly like the reference's
     queue-drain dataflow (which Spark's keyed-by-url model makes moot).
@@ -192,8 +238,7 @@ def run_reference_ocr(images, candidate_chars, prototypes, lang="en",
     char_crops, word_end_idxs, n_chars = [], [], []
     charheights, charbottoms, new_order = [], [], []
 
-    for url, png in images:
-        im = to_rgb(decode_png(png))
+    for url, im in images:
         new_order.append(url)
         head = synthmodel.synthetic_yolo_head(im, vertical=vertical)
         result = oracle_nms(head, conf_thres=conf_thres, iou_thres=iou_thres,

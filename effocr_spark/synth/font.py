@@ -27,6 +27,7 @@ LINE_H = ASCENT + DESCENT  # 12
 CHAR_GAP = 2      # blank columns between chars within a word
 WORD_GAP = 8      # blank columns between words (detector threshold ~5)
 MARGIN = 3        # blank border around the line
+LINE_GAP = 6      # blank rows between lines on multi-line pages
 
 _DESCENDERS = set("gjpqy")
 _TALL_LOWER = set("bdfhklt")  # full-height lowercase
@@ -142,6 +143,26 @@ def render_line(text: str, vertical: bool = False):
         return img, char_boxes, word_boxes
 
     # vertical: stack in y, fixed column width, no word semantics
+    return _render_vertical(glyphs, text)
+
+
+def render_page(lines: list[str]):
+    """Render a multi-line page: each line via render_line, stacked with
+    LINE_GAP blank rows, left-aligned on a common-width white canvas.
+    → uint8 HxW image."""
+    rendered = [render_line(t)[0] for t in lines]
+    width = max(r.shape[1] for r in rendered)
+    rows = []
+    for i, r in enumerate(rendered):
+        if r.shape[1] < width:
+            pad = np.full((r.shape[0], width - r.shape[1]), 255, dtype=np.uint8)
+            r = np.concatenate([r, pad], axis=1)
+        # render_line carries MARGIN top+bottom = 6 rows between bands
+        rows.append(r)
+    return np.concatenate(rows, axis=0)
+
+
+def _render_vertical(glyphs, text):
     y = MARGIN
     char_boxes = []
     placed = []

@@ -20,7 +20,7 @@ import datetime as dt
 
 import numpy as np
 
-from .font import EN_CHARSET, JP_CHARSET, render_line
+from .font import EN_CHARSET, JP_CHARSET, render_line, render_page
 from .imgcodec import encode_png
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -55,6 +55,25 @@ def _en_sentence(rng: np.random.RandomState, n_words: int) -> str:
     text = " ".join(words)
     assert all(c in EN_CHARSET or c == " " for c in text), text
     return text
+
+
+_DESC_WORDS = [w for w in _VOCAB if any(c in "gjpqy" for c in w)]
+
+
+def _en_ocr_line(rng: np.random.RandomState, n_words: int) -> str:
+    """Rendered-line text with full typographic coverage: a capital
+    (ascender) and a descender per line, so every line's ink band spans
+    the full font cell and line strips match the prototype geometry
+    exactly (functions/lineseg.py strip contract)."""
+    words = [str(_VOCAB[rng.randint(len(_VOCAB))]) for _ in range(n_words)]
+    words[0] = words[0].capitalize()
+    if not any(c in "gjpqy" for w in words for c in w):
+        words.append(str(_DESC_WORDS[rng.randint(len(_DESC_WORDS))]))
+    if rng.random_sample() < 0.3:
+        words.append(str(rng.randint(1800, 1999)))
+    if rng.random_sample() < 0.3:
+        words[-1] = words[-1] + "."
+    return " ".join(words)
 
 
 def _jp_sequence(rng: np.random.RandomState, n_chars: int) -> str:
@@ -95,15 +114,19 @@ def generate_page(i: int, seed: int = 42) -> dict:
     ts = EPOCH + dt.timedelta(seconds=int(i) * 17 % (86400 * 30))
 
     if host < IMAGE_HOSTS:
-        # OCR branch page: rendered text-line PNG in `html`
+        # OCR branch page: rendered PNG in `html` — a vertical jp line,
+        # a single en line, or a multi-line en page (line segmentation)
         if rng.random_sample() < 0.15:
             lang = "jp"
             true_text = _jp_sequence(rng, 4 + int(rng.randint(7)))
             img, _, _ = render_line(true_text, vertical=True)
         else:
             lang = "en"
-            true_text = _en_sentence(rng, 3 + int(rng.randint(6)))
-            img, _, _ = render_line(true_text, vertical=False)
+            n_lines = 1 if rng.random_sample() < 0.4 else 2 + int(rng.randint(4))
+            lines = [_en_ocr_line(rng, 3 + int(rng.randint(6)))
+                     for _ in range(n_lines)]
+            true_text = "\n".join(lines)
+            img = render_page(lines)
         return {
             "url": url, "warc_ts": ts, "html": encode_png(img),
             "text": "", "lang": lang,

@@ -29,10 +29,10 @@ def test_ffnn_pipeline_matches_oracle(spark, protos_bc, prototypes):
         p = generate_page(i, seed=42)
         if is_png(p["html"]):
             (en if p["lang"] == "en" else jp).append((p["url"], p["html"]))
-    exp = oracle.run_reference_ocr(en, *prototypes["en"], lang="en",
-                                   recognizer="ffnn")
-    exp.update(oracle.run_reference_ocr(jp, *prototypes["jp"], lang="jp",
-                                        vertical=True, recognizer="ffnn"))
+    exp = oracle.run_reference_extraction(en, *prototypes["en"], lang="en",
+                                          recognizer="ffnn")
+    exp.update(oracle.run_reference_extraction(jp, *prototypes["jp"], lang="jp",
+                                               vertical=True, recognizer="ffnn"))
     pages, _ = pages_df(spark, n, seed=42)
     res = pipeline.extract_pages(pages, protos_bc, recognizer="ffnn")
     got = {r["url"]: r["extracted_text"]

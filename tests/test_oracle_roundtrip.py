@@ -41,9 +41,9 @@ def test_generated_ocr_pages_roundtrip(prototypes):
         gold[p["url"]] = p["true_text"]
         (en_imgs if p["lang"] == "en" else jp_imgs).append((p["url"], p["html"]))
     assert en_imgs and jp_imgs
-    res = oracle.run_reference_ocr(en_imgs, *prototypes["en"], lang="en")
-    res.update(oracle.run_reference_ocr(jp_imgs, *prototypes["jp"],
-                                        lang="jp", vertical=True))
+    res = oracle.run_reference_extraction(en_imgs, *prototypes["en"], lang="en")
+    res.update(oracle.run_reference_extraction(jp_imgs, *prototypes["jp"],
+                                               lang="jp", vertical=True))
     for url, text in res.items():
         assert text == gold[url], url
 

@@ -23,11 +23,11 @@ def expected(prototypes):
             (en_imgs if p["lang"] == "en" else jp_imgs).append((p["url"], p["html"]))
         else:
             exp[p["url"]] = (strip_html(p["html"]), "dom")
-    r = oracle.run_reference_ocr(en_imgs, *prototypes["en"], lang="en")
+    r = oracle.run_reference_extraction(en_imgs, *prototypes["en"], lang="en")
     for u, t in r.items():
         exp[u] = (t, "ocr")
-    r = oracle.run_reference_ocr(jp_imgs, *prototypes["jp"], lang="jp",
-                                 vertical=True)
+    r = oracle.run_reference_extraction(jp_imgs, *prototypes["jp"], lang="jp",
+                                        vertical=True)
     for u, t in r.items():
         exp[u] = (t, "ocr")
     return exp

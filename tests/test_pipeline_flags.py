@@ -29,12 +29,12 @@ def _ocr_pages():
 ])
 def test_flags_match_oracle(spark, protos_bc, prototypes, flags):
     en, jp = _ocr_pages()
-    exp = oracle.run_reference_ocr(
+    exp = oracle.run_reference_extraction(
         en, *prototypes["en"], lang="en",
         conf_thres=flags.get("conf_thres", 0.35),
         anchor_margin=flags.get("anchor_margin"),
         spell_check=flags.get("spell_check", False))
-    exp.update(oracle.run_reference_ocr(
+    exp.update(oracle.run_reference_extraction(
         jp, *prototypes["jp"], lang="jp", vertical=True,
         conf_thres=flags.get("conf_thres", 0.35),
         anchor_margin=flags.get("anchor_margin"),
