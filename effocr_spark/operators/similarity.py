@@ -110,6 +110,29 @@ def srp_buckets(df: DataFrame, vec_col: str, id_col: str,
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                      threshold: float = 0.95, n_planes: int = 8,
+                      seed: int = 7) -> DataFrame:
+    """ANN near-dup pairs at scale: SRP-LSH bucket join for candidate
+    generation (sub-quadratic — only same-bucket ids pair up), exact
+    cosine verify on the candidates. Recall vs the brute-force baseline
+    is measured in tests; more planes → fewer candidates/lower recall,
+    fewer → the reverse."""
+    buckets = srp_buckets(df, vec_col, id_col, n_planes=n_planes, seed=seed)
+    tagged = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
+    a = tagged.select(F.col("bucket"), F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = tagged.select(F.col("bucket"), F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
                             threshold: float = 0.95,
                             max_id: int | None = None) -> DataFrame:

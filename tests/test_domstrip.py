@@ -42,6 +42,42 @@ def test_empty_and_garbage():
     assert strip_html(b"no tags at all") == ""
 
 
+def test_entity_references_decoded():
+    html = b"<body><div><p>salt &amp; pepper &lt;tags&gt; &#65;BC</p></div></body>"
+    assert strip_html(html) == "salt & pepper <tags> ABC"
+
+
+def test_table_layout_page():
+    html = (b"<body><table><tr><td><a href='/x'>nav nav nav nav</a></td>"
+            b"<td><p>the real article body sits in this cell with plenty of prose "
+            b"to win on text density over the nav cell</p></td></tr></table></body>")
+    out = strip_html(html)
+    assert "real article body" in out
+    assert "nav nav" not in out
+
+
+def test_nested_article_with_comments():
+    html = (b"<body><article><h1>Title Here</h1><p>First paragraph of the story "
+            b"with enough words to dominate scoring.</p><p>Second paragraph also "
+            b"quite long with many words in it.</p></article>"
+            b"<div id='comments'><a href='/u/1'>user1</a> short comment "
+            b"<a href='/u/2'>user2</a> another comment reply here</div></body>")
+    out = strip_html(html)
+    assert out.startswith("Title Here")
+    assert "First paragraph" in out and "Second paragraph" in out
+    assert "user1" not in out
+
+
+def test_unicode_content_preserved():
+    html = "<body><div><p>naïve café — résumé 日本語テキスト</p></div></body>".encode("utf-8")
+    assert strip_html(html) == "naïve café — résumé 日本語テキスト"
+
+
+def test_br_splits_paragraphs():
+    html = b"<body><div><p>line one<br>line two</p></div></body>"
+    assert strip_html(html) == "line one\nline two"
+
+
 def test_generated_pages_match_golden():
     checked = 0
     for i in range(300):

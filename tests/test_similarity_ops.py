@@ -65,6 +65,29 @@ def test_neardup_pairs_find_planted_pair(emb_df):
     assert pairs[(3, 7)] > 0.999
 
 
+def test_srp_neardup_recall_vs_bruteforce(spark):
+    """Planted near-dup pairs: the LSH path must recover what the
+    brute-force baseline finds (recall measured, = 1.0 here)."""
+    rng = np.random.RandomState(21)
+    v = rng.standard_normal((60, 8)).astype(np.float32)
+    planted = [(50, 55), (51, 56), (52, 57), (53, 58), (54, 59)]
+    for a, b in planted:
+        v[b] = v[a] + 1e-4 * rng.standard_normal(8).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(len(v))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r["id_a"], r["id_b"]) for r in
+             sim.embedding_neardup_pairs(df, "embedding", "vec_id",
+                                         threshold=0.999).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in
+              sim.srp_neardup_pairs(df, "embedding", "vec_id",
+                                    threshold=0.999).collect()}
+    assert set(planted) <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall == 1.0
+    assert approx <= exact  # verify step kills false candidates
+
+
 def test_srp_buckets_deterministic_and_groups_dups(spark, emb_df):
     a = {r["vec_id"]: r["bucket"]
          for r in sim.srp_buckets(emb_df, "embedding", "vec_id").collect()}
