@@ -81,6 +81,20 @@ def rendered_glyphs(spark: SparkSession, charset: str) -> DataFrame:
              .select("codepoint", "source", "image")
 
 
+def hard_negatives(spark: SparkSession, chars: list[str],
+                   prototypes: np.ndarray, k: int = 8) -> DataFrame:
+    """Hard-negative mining: for every prototype char, its k nearest
+    OTHER chars by embedding inner product
+    (/root/reference/train_effocr_recognizer.py:25-44,389-404; sink
+    analog of hns.txt, :43-44). Driver-side matmul (K×K is tiny), result
+    as a table instead of a text file."""
+    sims = prototypes @ prototypes.T
+    np.fill_diagonal(sims, -np.inf)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    rows = [(c, [chars[j] for j in order[i]]) for i, c in enumerate(chars)]
+    return spark.createDataFrame(rows, "char string, negatives array<string>")
+
+
 def build_recognizer_dataset(spark: SparkSession, images: DataFrame,
                              annotations: DataFrame,
                              charset: str) -> DataFrame:

@@ -59,6 +59,22 @@ def test_dataset_contents(spark, fixtures):
     assert sorted(r["codepoint"] for r in renders) == [ord(c) for c in "abc"]
 
 
+def test_hard_negatives(spark, prototypes):
+    from effocr_spark.operators.etl_recognizer import hard_negatives
+
+    chars, protos = prototypes["en"]
+    df = hard_negatives(spark, chars, protos, k=3)
+    rows = {r["char"]: r["negatives"] for r in df.collect()}
+    assert len(rows) == len(chars)
+    for c, negs in rows.items():
+        assert len(negs) == 3
+        assert c not in negs  # self excluded
+    # deterministic
+    rows2 = {r["char"]: r["negatives"]
+             for r in hard_negatives(spark, chars, protos, k=3).collect()}
+    assert rows == rows2
+
+
 def test_quarantined_page_excluded(spark, fixtures):
     texts, images, annos = fixtures
     ds = build_recognizer_dataset(spark, images, annos, "a")
