@@ -128,11 +128,15 @@ def assemble_page(chars: list[str], page, lang: str,
 
 def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     iou_thres: float = 0.01, anchor_margin=None,
-                    spell_check: bool = False, recognizer: str = "knn"):
+                    spell_check: bool = False, recognizer: str = "knn",
+                    vertical_override: bool | None = None):
     """Build the mapInPandas function for the fused OCR stage.
 
     protos_bc: Spark broadcast of {lang: (chars list, [K,D] float32)}.
     Input rows: (url, html, lang); output: OCR_OUT_SCHEMA.
+    vertical_override: force text orientation for every row (the
+    reference's global --vertical flag, infer_effocr_onnx_multi.py:429);
+    default None derives it per row (jp → vertical).
     recognizer: "knn" (CPU path, L2+inner-product kNN,
     infer_effocr_onnx_multi.py:371-375) or "ffnn" (classifier-head path,
     raw-logit argmax + class_map, infer_effocr.py:325-333) — the
@@ -148,7 +152,8 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
             urls, texts, ncs, oks, errs = [], [], [], [], []
             pages, page_langs, flat_crops = [], [], []
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
-                vertical = lang == "jp"
+                vertical = (vertical_override if vertical_override is not None
+                            else lang == "jp")
                 try:
                     page = localize_page(bytes(html), lang, vertical,
                                          conf_thres, iou_thres)
@@ -214,10 +219,12 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
 
 def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                iou_thres: float = 0.01, anchor_margin=None,
-               spell_check: bool = False, recognizer: str = "knn") -> DataFrame:
+               spell_check: bool = False, recognizer: str = "knn",
+               vertical_override: bool | None = None) -> DataFrame:
     """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error)."""
     fn = make_ocr_map_fn(protos_bc, conf_thres, iou_thres,
-                         anchor_margin, spell_check, recognizer)
+                         anchor_margin, spell_check, recognizer,
+                         vertical_override)
     return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
 
 
