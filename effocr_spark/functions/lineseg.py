@@ -47,6 +47,29 @@ def segment_lines(gray: np.ndarray) -> list[tuple[int, int]]:
     return bands
 
 
+def segment_columns(gray: np.ndarray) -> list[tuple[int, int]]:
+    """Vertical-text twin: (col_start, col_stop) ink bands, left to
+    right (callers reverse for tategaki reading order)."""
+    return segment_lines(gray.T)
+
+
+def column_strips(img: np.ndarray) -> list[np.ndarray]:
+    """Vertical page (tategaki) → column strips in READING order
+    (right-to-left), each ink col-band padded with STRIP_MARGIN white
+    columns — pixel-compatible with single-column fixtures."""
+    gray = img.min(axis=2) if img.ndim == 3 else img
+    strips = []
+    h = img.shape[0]
+    for x0, x1 in reversed(segment_columns(gray)):
+        band = img[:, x0:x1]
+        if img.ndim == 3:
+            pad = np.full((h, STRIP_MARGIN, 3), 255, dtype=img.dtype)
+        else:
+            pad = np.full((h, STRIP_MARGIN), 255, dtype=img.dtype)
+        strips.append(np.concatenate([pad, band, pad], axis=1))
+    return strips
+
+
 def line_strips(img: np.ndarray) -> list[np.ndarray]:
     """Page (H x W [x3]) → list of line-strip images, each the ink band
     padded with STRIP_MARGIN white rows top and bottom."""

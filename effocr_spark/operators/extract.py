@@ -50,10 +50,10 @@ def localize_page(png_bytes: bytes, lang: str, vertical: bool,
     class split → reading order + word-end as-of → crop windows.
     Returns {'lines': [per-line dicts], 'crops': flat crop list,
     'n_chars': total} — crops stay uint8 until the batched transform."""
-    from ..functions.lineseg import line_strips
+    from ..functions.lineseg import column_strips, line_strips
 
     im = to_rgb(decode_png(png_bytes))
-    strips = [im] if vertical else line_strips(im)
+    strips = column_strips(im) if vertical else line_strips(im)
     lines = [_localize_strip(s, lang, vertical, conf_thres, iou_thres)
              for s in strips]
     crops: list = []

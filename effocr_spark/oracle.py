@@ -201,13 +201,13 @@ def run_reference_extraction(images, candidate_chars, prototypes,
     dataflow on every strip, join non-None lines with '\\n' per url
     (all-None / zero-line pages → None). Mirrors the Spark pipeline's
     multi-line extension of the reference's per-line contract."""
-    from .functions.lineseg import line_strips
+    from .functions.lineseg import column_strips, line_strips
 
     strip_imgs = []
     page_lines: dict = {}
     for url, png in images:
         im = to_rgb(decode_png(png))
-        strips = [im] if vertical else line_strips(im)
+        strips = column_strips(im) if vertical else line_strips(im)
         page_lines[url] = len(strips)
         for i, s in enumerate(strips):
             strip_imgs.append(((url, i), s))

@@ -162,6 +162,22 @@ def render_page(lines: list[str]):
     return np.concatenate(rows, axis=0)
 
 
+def render_page_vertical(columns: list[str]):
+    """Render a multi-column vertical (tategaki) page: columns[0] is the
+    FIRST column in reading order = the RIGHTMOST on the canvas.
+    → uint8 HxW image."""
+    rendered = [render_line(t, vertical=True)[0] for t in columns]
+    height = max(r.shape[0] for r in rendered)
+    cols = []
+    for r in reversed(rendered):  # rightmost first in reading order
+        if r.shape[0] < height:
+            pad = np.full((height - r.shape[0], r.shape[1]), 255,
+                          dtype=np.uint8)
+            r = np.concatenate([r, pad], axis=0)
+        cols.append(r)
+    return np.concatenate(cols, axis=1)
+
+
 def _render_vertical(glyphs, text):
     y = MARGIN
     char_boxes = []

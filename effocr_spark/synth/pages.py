@@ -20,7 +20,13 @@ import datetime as dt
 
 import numpy as np
 
-from .font import EN_CHARSET, JP_CHARSET, render_line, render_page
+from .font import (
+    EN_CHARSET,
+    JP_CHARSET,
+    render_line,
+    render_page,
+    render_page_vertical,
+)
 from .imgcodec import encode_png
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -118,8 +124,12 @@ def generate_page(i: int, seed: int = 42) -> dict:
         # a single en line, or a multi-line en page (line segmentation)
         if rng.random_sample() < 0.15:
             lang = "jp"
-            true_text = _jp_sequence(rng, 4 + int(rng.randint(7)))
-            img, _, _ = render_line(true_text, vertical=True)
+            n_cols = 1 if rng.random_sample() < 0.5 else 2 + int(rng.randint(2))
+            cols = [_jp_sequence(rng, 4 + int(rng.randint(7)))
+                    for _ in range(n_cols)]
+            true_text = "\n".join(cols)
+            img = (render_line(cols[0], vertical=True)[0] if n_cols == 1
+                   else render_page_vertical(cols))
         else:
             lang = "en"
             n_lines = 1 if rng.random_sample() < 0.4 else 2 + int(rng.randint(4))
