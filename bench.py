@@ -30,8 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # sized so even the widest pass stays compute-dominated (fixed ~2-3s of
-# stage scheduling otherwise swamps the scaling measurement)
-N_PAGES = int(os.environ.get("BENCH_PAGES", "150000"))
+# stage scheduling otherwise swamps the scaling measurement) while the
+# local[2] pass keeps total bench wall-clock bounded
+N_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
 SCALE_LOW = 2
 SCALE_HIGH = 8
 PAGES_PATH = "/tmp/effocr_bench_pages"
