@@ -47,18 +47,10 @@ def letterbox_geometry(h: int, w: int, new_shape: int = DETECT_SIZE):
 
 def _ink_runs(profile: np.ndarray):
     """Contiguous True-runs of a 1-D ink profile → list of (start, stop)."""
-    runs = []
-    in_run = False
-    start = 0
-    for i, v in enumerate(profile):
-        if v and not in_run:
-            in_run, start = True, i
-        elif not v and in_run:
-            in_run = False
-            runs.append((start, i))
-    if in_run:
-        runs.append((start, len(profile)))
-    return runs
+    d = np.diff(np.concatenate(([0], profile.astype(np.int8), [0])))
+    starts = np.flatnonzero(d == 1)
+    stops = np.flatnonzero(d == -1)
+    return list(zip(starts.tolist(), stops.tolist()))
 
 
 def _mix(*vals: int) -> float:
@@ -68,6 +60,16 @@ def _mix(*vals: int) -> float:
     for v in vals:
         acc = (acc ^ (int(v) + 0x7F4A7C15)) * 0x85EBCA6B % (1 << 32)
     return (acc % 1000) / 1e6
+
+
+def _mix_vec(cols: list[np.ndarray]) -> np.ndarray:
+    """Vectorized _mix over column arrays (exact same values: every
+    intermediate fits in uint64, and (x mod 2^64) mod 2^32 == x mod 2^32)."""
+    acc = np.full(cols[0].shape, 0x9E3779B9, dtype=np.uint64)
+    for v in cols:
+        acc = (acc ^ (v.astype(np.uint64) + np.uint64(0x7F4A7C15))) \
+            * np.uint64(0x85EBCA6B) % np.uint64(1 << 32)
+    return (acc % np.uint64(1000)).astype(np.float64) / 1e6
 
 
 def synthetic_yolo_head(img: np.ndarray, vertical: bool = False) -> np.ndarray:
@@ -113,32 +115,32 @@ def synthetic_yolo_head(img: np.ndarray, vertical: bool = False) -> np.ndarray:
                 group.append(cur)
         word_boxes.append(_merge(group))
 
-    cands = []
-
-    def emit(box, cls):
-        x0, y0, x1, y1 = box
-        # map to letterbox space (the space the real model predicts in)
-        lx0, ly0 = x0 * r + dw, y0 * r + dh
-        lx1, ly1 = x1 * r + dw, y1 * r + dh
-        cx, cy = (lx0 + lx1) / 2, (ly0 + ly1) / 2
-        bw, bh = lx1 - lx0, ly1 - ly0
-        eps = _mix(x0, y0, x1, y1, cls)
-        cls_scores = [0.97, 0.02] if cls == CLS_CHAR else [0.02, 0.97]
-        # true candidate
-        cands.append([cx, cy, bw, bh, 0.90 + eps] + cls_scores)
-        # duplicate, shifted ~1px in letterbox space, lower conf → NMS food
-        cands.append([cx + 1.0, cy, bw, bh, 0.60 + eps] + cls_scores)
-        # sub-threshold decoy (dropped by the conf predicate)
-        cands.append([cx, cy + 2.0, bw, bh, 0.10 + eps] + cls_scores)
-
-    for b in char_boxes:
-        emit(b, CLS_CHAR)
-    for b in word_boxes:
-        emit(b, CLS_WORD)
-
-    if not cands:
+    all_boxes = list(char_boxes) + list(word_boxes)
+    if not all_boxes:
         return np.zeros((0, 7), dtype=np.float32)
-    return np.asarray(cands, dtype=np.float32)
+    bx = np.asarray(all_boxes, dtype=np.int64)  # [N,4] original pixels
+    cls = np.concatenate([
+        np.full(len(char_boxes), CLS_CHAR, dtype=np.int64),
+        np.full(len(word_boxes), CLS_WORD, dtype=np.int64),
+    ])
+    # map to letterbox space (the space the real model predicts in);
+    # float64 throughout, truncated to float32 once at the end — same
+    # values as the per-box python spelling
+    lx0 = bx[:, 0] * r + dw
+    ly0 = bx[:, 1] * r + dh
+    lx1 = bx[:, 2] * r + dw
+    ly1 = bx[:, 3] * r + dh
+    cx, cy = (lx0 + lx1) / 2, (ly0 + ly1) / 2
+    bw, bh = lx1 - lx0, ly1 - ly0
+    eps = _mix_vec([bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3], cls])
+    c0 = np.where(cls == CLS_CHAR, 0.97, 0.02)
+    c1 = np.where(cls == CLS_CHAR, 0.02, 0.97)
+    # per box: true candidate / 1px-shifted NMS-food dup / sub-threshold decoy
+    cands = np.empty((bx.shape[0], 3, 7), dtype=np.float64)
+    cands[:, 0] = np.stack([cx, cy, bw, bh, 0.90 + eps, c0, c1], axis=1)
+    cands[:, 1] = np.stack([cx + 1.0, cy, bw, bh, 0.60 + eps, c0, c1], axis=1)
+    cands[:, 2] = np.stack([cx, cy + 2.0, bw, bh, 0.10 + eps, c0, c1], axis=1)
+    return cands.reshape(-1, 7).astype(np.float32)
 
 
 def _merge(group):
