@@ -70,14 +70,19 @@ def run_extraction(
         subset = pages.filter(F.col("_chunk") == chunk).drop("_chunk")
         result = extract_pages(subset, protos_bc, **extract_kwargs)
         result = result.withColumn("chunk_id", F.lit(chunk)) \
-                       .withColumn("run_id", F.lit(run_id))
+                       .withColumn("run_id", F.lit(run_id)) \
+                       .withColumn("partition_id", F.spark_partition_id())
         result.write.mode("append").parquet(results_path)
 
         # lineage commit AFTER results: a crash between the two writes
         # re-runs the chunk on resume, appending identical rows that
         # read_results de-duplicates
+        # scope to THIS run's rows: a chunk interrupted between its
+        # results and lineage writes leaves partial rows under the old
+        # run_id; they are superseded (read_results dedups by url) and
+        # must not inflate this run's metrics
         written = spark.read.parquet(results_path).filter(
-            F.col("chunk_id") == chunk)
+            (F.col("chunk_id") == chunk) & (F.col("run_id") == run_id))
         stats = written.agg(
             F.count("*").alias("n_rows"),
             F.sum(F.col("ok").cast("int")).alias("n_ok"),
@@ -96,6 +101,13 @@ def run_extraction(
             "n_err long, wall_ms long",
         ).write.mode("append").parquet(metrics_path)
 
+        # per-PARTITION metrics within the chunk (task-granular lineage:
+        # which executor partition produced what, skew visibility)
+        written.groupBy("run_id", "chunk_id", "partition_id", "branch") \
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("ok").cast("long")).alias("n_ok")) \
+            .write.mode("append").parquet(f"{out_dir}/partition_metrics")
+
         if fail_after_chunk is not None and chunk >= fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {chunk}")
 
@@ -108,3 +120,7 @@ def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/metrics")
+
+
+def read_partition_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/partition_metrics")

@@ -47,6 +47,13 @@ def test_kill_and_resume_equals_uninterrupted(spark, protos_bc, tmp_path):
     assert sum(r["n_rows"] for r in rows) == N_PAGES
     assert all(r["wall_ms"] >= 0 for r in rows)
 
+    # per-partition metrics sum to the same totals
+    pm = lineage.read_partition_metrics(spark, part_dir).collect()
+    assert sum(r["n_rows"] for r in pm) == N_PAGES
+    assert {r["branch"] for r in pm} == {"ocr", "dom"}
+    assert len({(r["chunk_id"], r["partition_id"], r["branch"])
+                for r in pm}) == len(pm)
+
 
 def test_resume_is_noop_when_complete(spark, protos_bc, tmp_path):
     pages, _ = pages_df(spark, 40, seed=7)
