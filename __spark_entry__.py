@@ -26,6 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# committed golden outputs for the Python-kernel queries (deterministic
+# seed-42 fixtures; regenerate with tools/make_goldens.py after any
+# intentional kernel change)
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "goldens")
+
+
+def _golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}/*.parquet')"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -434,11 +444,14 @@ def q_centroid_knn(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Threshold 0.35 chosen to be non-vacuous on the fixture (max
+    pairwise cosine at sf0.01 is ~0.44 → 26 real pairs): an oracle
+    hash over an empty result proves nothing."""
     from effocr_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(emb, "embedding", "vec_id",
-                                    threshold=0.9, max_id=150)
+                                    threshold=0.35, max_id=150)
     return pairs.select("id_a", "id_b", F.round("score", 4).alias("score"))
 
 
@@ -457,6 +470,99 @@ def q_srp_buckets(spark, sf_dir):
     return (
         projs.select(bucket.alias("bucket"))
         .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
+def q_lsh_candidates(spark, sf_dir):
+    """LSH candidate-pair generation WITH the hot-bucket cap active
+    (operators/dedup.py lsh_candidate_pairs): the sub-quadratic near-dup
+    scale path — only same-band ids pair up, buckets above the cap are
+    quarantined before the self-join."""
+    from effocr_spark.operators.dedup import (lsh_candidate_pairs,
+                                              minhash_signatures)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=20)
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def q_knn_topk(spark, sf_dir):
+    """k>1 kNN lookup (SURVEY §2.3 J3 at k>1; the GPU path's k=10
+    retrieval and the k=8 hard-negative mining shape): queries vec_id<10
+    against a broadcast prototype matrix (vec_id in [10,100)), top-3 by
+    inner product via the knn_topk kernel inside mapInPandas."""
+    import numpy as np
+    from effocr_spark.functions.recognize import knn_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    protos = sorted(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"])
+    proto_ids = np.array([r["vec_id"] for r in protos], dtype=np.int64)
+    proto_mat = np.array([list(r["embedding"]) for r in protos],
+                         dtype=np.float64)
+    bc = spark.sparkContext.broadcast((proto_ids, proto_mat))
+
+    def topk_batches(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([list(v) for v in pdf["embedding"]],
+                         dtype=np.float64)
+            idx, sc = knn_topk(q, mat, k=3)
+            out = {"vec_id": np.repeat(pdf["vec_id"].to_numpy(), 3),
+                   "rank": np.tile(np.arange(1, 4, dtype=np.int64),
+                                   len(pdf)),
+                   "neighbor_id": ids[idx].ravel(),
+                   "score": np.round(sc.ravel(), 4)}
+            yield pd.DataFrame(out)
+
+    qdf = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    return qdf.mapInPandas(
+        topk_batches,
+        "vec_id long, rank long, neighbor_id long, score double")
+
+
+def q_coco_spans(spark, sf_dir):
+    """K2 COCO sink entry-builder round-trip with an exact oracle:
+    deterministic spans from lineitem → anno_struct → to_json →
+    from_json → flat columns. The oracle recomputes the flat columns
+    (area, segmentation vertices, bbox) directly — any drift in the
+    writer expressions or the JSON round-trip breaks the hash."""
+    from effocr_spark.operators.coco_sink import anno_struct
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 60)
+    spans = li.select(
+        F.col("l_orderkey").cast("long").alias("image_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+        .alias("anno_id"),
+        F.pmod(F.col("l_partkey"), F.lit(97)).cast("int").alias("x"),
+        F.pmod(F.col("l_suppkey"), F.lit(53)).cast("int").alias("y"),
+        (F.col("l_linenumber") + 2).cast("int").alias("w"),
+        F.lit(7).cast("int").alias("h"),
+        F.col("l_returnflag").alias("text"),
+        F.lit(0).alias("category_id"),
+    )
+    js = spans.select(F.to_json(anno_struct()).alias("js"))
+    schema = ("segmentation array<array<long>>, area long, iscrowd int, "
+              "image_id long, bbox array<long>, category_id int, "
+              "id long, score double, text string")
+    a = js.select(F.from_json("js", schema).alias("a"))
+    return a.select(
+        F.col("a.id").alias("anno_id"),
+        F.col("a.image_id").alias("image_id"),
+        F.col("a.bbox")[0].alias("x"),
+        F.col("a.bbox")[1].alias("y"),
+        F.col("a.bbox")[2].alias("w"),
+        F.col("a.bbox")[3].alias("h"),
+        F.col("a.area").alias("area"),
+        F.col("a.segmentation")[0][4].alias("seg_x2"),
+        F.col("a.segmentation")[0][5].alias("seg_y2"),
+        F.col("a.text").alias("text"),
     )
 
 
@@ -579,6 +685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_knn": q_centroid_knn,
         "embedding_neardup": q_embedding_neardup,
         "srp_buckets": q_srp_buckets,
+        "lsh_candidates": q_lsh_candidates,
+        "knn_topk": q_knn_topk,
+        "coco_spans": q_coco_spans,
         "extract_pages": q_extract_pages,
         "extract_match_rate": q_extract_match_rate,
         "media_features": q_media_features,
@@ -617,7 +726,11 @@ def oracle_sql() -> dict[str, str]:
     langid_cte = (
         "WITH v AS (SELECT *, "
         + ", ".join(f"{hits[k]} AS hit_{k}" for k in sorted(stop))
-        + ", length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > 0 AS cjk "
+        # actual CJK ranges (Han+kana), mirroring effocr_spark.operators.
+        # textstats._CJK_CLASS — NOT "any non-ASCII" (accented Latin must
+        # keep its stopword vote); RE2 \x{...} spelling for DuckDB
+        + ", length(text) != length(regexp_replace(text, "
+          "'[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]', '', 'g')) AS cjk "
           "FROM documents), "
         "folded AS (SELECT *, "
         "CASE WHEN cjk THEN 'zh' ELSE "
@@ -911,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base a JOIN base b ON a.vec_id < b.vec_id
             WHERE list_inner_product(a.e, b.e)
                   / (sqrt(list_inner_product(a.e, a.e))
-                     * sqrt(list_inner_product(b.e, b.e))) >= 0.9
+                     * sqrt(list_inner_product(b.e, b.e))) >= 0.35
         """,
         "srp_buckets": """
             WITH dims AS (
@@ -929,7 +1042,73 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM projs GROUP BY 1
         """,
+        "lsh_candidates": minhash_cte.format(maxid=200) + """
+            , bands AS (
+              SELECT doc_id, md5(concat_ws('|', sig_0, sig_1)) AS band_val FROM sigs
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', sig_4, sig_5)) FROM sigs
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', sig_6, sig_7)) FROM sigs),
+            small AS (
+              SELECT band_val FROM (
+                SELECT band_val, count(*) AS n FROM bands GROUP BY 1)
+              WHERE n <= 20),
+            kept AS (SELECT bands.* FROM bands JOIN small USING (band_val)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band_val = b.band_val AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(((sa.sig_0 = sb.sig_0)::INT + (sa.sig_1 = sb.sig_1)::INT
+                        + (sa.sig_2 = sb.sig_2)::INT + (sa.sig_3 = sb.sig_3)::INT
+                        + (sa.sig_4 = sb.sig_4)::INT + (sa.sig_5 = sb.sig_5)::INT
+                        + (sa.sig_6 = sb.sig_6)::INT + (sa.sig_7 = sb.sig_7)::INT
+                        ) / 8.0, 4) AS est_jaccard
+            FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+                      JOIN sigs sb ON cand.id_b = sb.doc_id
+        """,
+        "knn_topk": """
+            WITH q AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                       FROM embeddings WHERE vec_id < 10),
+            p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                  FROM embeddings WHERE vec_id >= 10 AND vec_id < 100),
+            scored AS (
+              SELECT q.vec_id AS vec_id, p.vec_id AS neighbor_id,
+                     list_inner_product(q.e, p.e) AS s
+              FROM q CROSS JOIN p),
+            ranked AS (
+              SELECT vec_id, neighbor_id, s,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT vec_id, rank::BIGINT AS rank, neighbor_id,
+                   round(s, 4) AS score
+            FROM ranked WHERE rank <= 3
+        """,
+        "coco_spans": """
+            SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS anno_id,
+                   l_orderkey::BIGINT AS image_id,
+                   (l_partkey % 97)::BIGINT AS x,
+                   (l_suppkey % 53)::BIGINT AS y,
+                   (l_linenumber + 2)::BIGINT AS w,
+                   7::BIGINT AS h,
+                   ((l_linenumber + 2) * 7)::BIGINT AS area,
+                   ((l_partkey % 97) + l_linenumber + 2)::BIGINT AS seg_x2,
+                   ((l_suppkey % 53) + 7)::BIGINT AS seg_y2,
+                   l_returnflag AS text
+            FROM lineitem WHERE l_orderkey < 60
+        """,
         # extract_pages / extract_match_rate / media_features / spellcheck:
-        # no SQL oracle (synthetic fixture + Python kernels); the driver
-        # records rows-only checks, byte-parity is pinned in tests/.
+        # Python-kernel queries over a fully deterministic fixture
+        # (seed 42), exact-pinned via committed golden parquet
+        # (tools/make_goldens.py) served to DuckDB through read_parquet.
+        # Not circular: the same outputs are independently asserted
+        # byte-identical to the pinned plain-Python reference oracle in
+        # tests/ (test_pipeline_e2e, test_spellcheck, test_etl_multimodal).
+        "extract_pages": _golden_sql("extract_pages"),
+        "extract_match_rate": _golden_sql("extract_match_rate"),
+        "media_features": _golden_sql("media_features"),
+        "spellcheck": _golden_sql("spellcheck"),
     }

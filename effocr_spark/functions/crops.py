@@ -14,6 +14,8 @@ Reimplements, in deterministic NumPy:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
@@ -24,7 +26,12 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 # transform contract (pad→resize→normalize→encode) is identical and a real
 # ONNX recognizer would simply set this back to 224. (16x16 also keeps the
 # per-crop tensor 588x smaller, which matters on shared memory buses.)
-CROP_SIZE = 16
+# EFFOCR_CROP_SIZE=224 (set BEFORE import, e.g. in a spark-submit env or
+# tools/bench_real_tensors.py) runs the whole pipeline at reference tensor
+# sizes — bench.py reports that configuration alongside the fixture one so
+# the throughput headline survives a real-model drop-in. Must be a
+# multiple of 16 (encoder pool grid).
+CROP_SIZE = int(os.environ.get("EFFOCR_CROP_SIZE", "16"))
 
 
 def scale_back_boxes(boxes_640: np.ndarray, im_h: int, im_w: int,

@@ -53,10 +53,12 @@ def segment_columns(gray: np.ndarray) -> list[tuple[int, int]]:
     return segment_lines(gray.T)
 
 
-def column_strips(img: np.ndarray) -> list[np.ndarray]:
-    """Vertical page (tategaki) → column strips in READING order
-    (right-to-left), each ink col-band padded with STRIP_MARGIN white
-    columns — pixel-compatible with single-column fixtures."""
+def column_strips_with_offsets(img: np.ndarray) -> list[tuple[np.ndarray, int]]:
+    """Vertical page (tategaki) → (column strip, page x-offset) pairs in
+    READING order (right-to-left), each ink col-band padded with
+    STRIP_MARGIN white columns — pixel-compatible with single-column
+    fixtures. strip-local x + offset = page x (the offset accounts for
+    the left padding)."""
     gray = img.min(axis=2) if img.ndim == 3 else img
     strips = []
     h = img.shape[0]
@@ -66,13 +68,15 @@ def column_strips(img: np.ndarray) -> list[np.ndarray]:
             pad = np.full((h, STRIP_MARGIN, 3), 255, dtype=img.dtype)
         else:
             pad = np.full((h, STRIP_MARGIN), 255, dtype=img.dtype)
-        strips.append(np.concatenate([pad, band, pad], axis=1))
+        strips.append((np.concatenate([pad, band, pad], axis=1),
+                       x0 - STRIP_MARGIN))
     return strips
 
 
-def line_strips(img: np.ndarray) -> list[np.ndarray]:
-    """Page (H x W [x3]) → list of line-strip images, each the ink band
-    padded with STRIP_MARGIN white rows top and bottom."""
+def line_strips_with_offsets(img: np.ndarray) -> list[tuple[np.ndarray, int]]:
+    """Page (H x W [x3]) → (line-strip image, page y-offset) pairs, each
+    strip the ink band padded with STRIP_MARGIN white rows top and
+    bottom. strip-local y + offset = page y."""
     gray = img.min(axis=2) if img.ndim == 3 else img
     strips = []
     w = img.shape[1]
@@ -82,5 +86,16 @@ def line_strips(img: np.ndarray) -> list[np.ndarray]:
             pad = np.full((STRIP_MARGIN, w, 3), 255, dtype=img.dtype)
         else:
             pad = np.full((STRIP_MARGIN, w), 255, dtype=img.dtype)
-        strips.append(np.concatenate([pad, band, pad], axis=0))
+        strips.append((np.concatenate([pad, band, pad], axis=0),
+                       y0 - STRIP_MARGIN))
     return strips
+
+
+def column_strips(img: np.ndarray) -> list[np.ndarray]:
+    """column_strips_with_offsets minus the offsets (oracle-shared API)."""
+    return [s for s, _ in column_strips_with_offsets(img)]
+
+
+def line_strips(img: np.ndarray) -> list[np.ndarray]:
+    """line_strips_with_offsets minus the offsets (oracle-shared API)."""
+    return [s for s, _ in line_strips_with_offsets(img)]

@@ -88,10 +88,37 @@ def ffnn_lookup(raw_embeddings: np.ndarray, class_matrix: np.ndarray) -> np.ndar
 def knn_lookup(embeddings: np.ndarray, prototypes: np.ndarray) -> np.ndarray:
     """[B,D] queries × [K,D] prototypes → [B] argmax indices (k=1 exact
     inner-product kNN; np.argmax tie-break = lowest index, matching FAISS
-    IndexFlatIP first-hit)."""
+    IndexFlatIP first-hit). The k>1 generalization is `knn_topk`."""
     if embeddings.shape[0] == 0:
         return np.zeros((0,), dtype=np.int64)
     return np.argmax(embeddings @ prototypes.T, axis=1)
+
+
+def knn_topk(embeddings: np.ndarray, prototypes: np.ndarray,
+             k: int = 10,
+             exclude_self: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """[B,D] queries × [K,D] prototypes → ([B,k] indices, [B,k] scores),
+    exact inner-product kNN sorted by score desc, ties → lowest index
+    (stable argsort of -sims — FAISS IndexFlatIP ordering).
+
+    Reference analogs: the GPU path retrieves k=10 and uses the top hit
+    (/root/reference/infer_effocr.py:317-319); hard-negative mining takes
+    the k=8 nearest OTHER prototypes
+    (/root/reference/train_effocr_recognizer.py:25-44) — that is
+    `exclude_self=True` over the square self-similarity (requires B==K;
+    row i's own column is masked to -inf before ranking)."""
+    if embeddings.shape[0] == 0:
+        return (np.zeros((0, k), dtype=np.int64),
+                np.zeros((0, k), dtype=np.float32))
+    sims = embeddings @ prototypes.T
+    if exclude_self:
+        if sims.shape[0] != sims.shape[1]:
+            raise ValueError("exclude_self requires queries == prototypes")
+        np.fill_diagonal(sims, -np.inf)
+    k = min(k, sims.shape[1])
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    scores = np.take_along_axis(sims, order, axis=1)
+    return order.astype(np.int64), scores  # scores keep the input dtype
 
 
 def _prototype_crop(ch: str, vertical: bool) -> np.ndarray | None:

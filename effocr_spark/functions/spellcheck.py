@@ -70,8 +70,45 @@ _EMBEDDED_FREQS = {
 }
 
 
-def create_worddict() -> dict[str, int]:
-    worddict = dict(_EMBEDDED_FREQS)
+def load_frequency_dictionary(path: str, spark=None) -> dict[str, int]:
+    """symspellpy-format frequency dictionary: one `word count` per line,
+    space- or tab-separated (the reference loads the bundled 82k-word
+    frequency_dictionary_en_82_765.txt this way,
+    /root/reference/utils/spell_check_utils.py:14-23).
+
+    With a SparkSession this is the S5 ingestion path (SURVEY §2.1):
+    spark.read.csv → collect → dict, ready for sc.broadcast at cluster
+    scale (the dict is a few MB — a broadcast variable, never a join
+    side). Plain-Python fallback without a session."""
+    if spark is not None:
+        from pyspark.sql import functions as F
+        rows = (
+            spark.read.text(path)
+            .select(F.split(F.trim("value"), r"\s+").alias("p"))
+            .filter(F.size("p") >= 2)
+            .select(F.col("p")[0].alias("w"),
+                    F.col("p")[1].cast("long").alias("n"))
+            .collect()
+        )
+        return {r["w"]: int(r["n"]) for r in rows if r["n"] is not None}
+    out: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2 and parts[1].lstrip("-").isdigit():
+                out[parts[0]] = int(parts[1])
+    return out
+
+
+def create_worddict(freq_path: str | None = None, spark=None) -> dict[str, int]:
+    """word → corpus frequency, with abbreviations removed
+    (spell_check_utils.py:14-23). `freq_path` loads a full-scale
+    dictionary file (see load_frequency_dictionary); default falls back
+    to the embedded table."""
+    if freq_path is not None:
+        worddict = load_frequency_dictionary(freq_path, spark=spark)
+    else:
+        worddict = dict(_EMBEDDED_FREQS)
     for a in create_common_abbrev():
         worddict.pop(depunctuate(a), None)
     return worddict
@@ -115,7 +152,14 @@ def _safe_index_is_digit(s: str, i: int) -> bool:
 
 def majority_normalize(s: str, simdict) -> str:
     """Digit↔alpha homoglyph normalization toward the majority class
-    (spell_check_utils.py:98-119)."""
+    (spell_check_utils.py:98-119).
+
+    Documented parity divergence: in the digit-majority branch, when a
+    homoglyph entry has no digit alternative the reference crashes with
+    IndexError (`[x for x in simdict[s[i]] if x.isdigit()][0]` on an
+    empty list, spell_check_utils.py:117); we deliberately keep the
+    original char instead (quarantine-not-crash, SURVEY §1.4). Outputs
+    only differ on inputs the reference cannot process at all."""
     num_digits = sum(1 for c in s if c.isdigit())
     num_alphas = sum(1 for c in s if c.isalpha())
     outs = ""

@@ -5,17 +5,34 @@ lineage and metrics. The reference has nothing comparable (a crash loses
 the whole run, SURVEY.md §2.9); here the input is split into
 deterministic url-hash chunks, each committed atomically:
 
-    results/   extracted rows,  appended per completed chunk
+    manifest/  (n_chunks) — the chunking configuration, written once
+    results/   extracted rows, appended per completed chunk,
+               partitionBy(chunk_id) so any per-chunk read prunes to one
+               directory instead of scanning the whole table
     processed/ (url, chunk_id, run_id) lineage, appended AFTER results
     metrics/   (run_id, chunk_id, n_rows, n_ok, n_err, wall_ms)
 
-Resume = left-anti join of the input against `processed` — only
-incomplete chunks re-run. Because extraction is a pure per-url function,
+Resume semantics: chunk membership is pmod(xxhash64(url), n_chunks), so
+the processed-chunk set is only valid for the SAME n_chunks — the
+manifest pins it and resume fails fast on mismatch (resuming with a
+different --chunks would silently skip urls that hash into a done
+chunk). Within a fixed chunking, extraction is a pure per-url function:
 re-running a partially-written chunk appends byte-identical rows;
 `read_results` de-duplicates by url, giving exactly-once semantics at
-read time. On a real cluster each chunk commit is a single Iceberg
-atomic append (or a Structured Streaming Trigger.AvailableNow batch);
-plain parquet directories stand in here.
+read time.
+
+Per-chunk metrics are computed from the chunk's own in-flight DataFrame
+(persist → write → aggregate the cache), NOT by re-reading the results
+directory: a disk re-read both costs O(total-written) per chunk — O(n²)
+I/O over a run, a genuine 100 TB killer — and double-counts when a
+chunk crashed between its results and lineage writes and is resumed
+under the same run_id (the partial first-attempt rows sit in the same
+(chunk_id, run_id) slice; they are superseded at read time by the url
+dedup but must not inflate metrics).
+
+On a real cluster each chunk commit is a single Iceberg atomic append
+(or a Structured Streaming Trigger.AvailableNow batch); plain parquet
+directories stand in here.
 """
 
 from __future__ import annotations
@@ -36,6 +53,23 @@ def _exists(path: str) -> bool:
     ) if os.path.isdir(path) else False
 
 
+def _check_manifest(spark: SparkSession, manifest_path: str,
+                    n_chunks: int) -> None:
+    """Pin the chunking config; fail fast when a resume disagrees."""
+    if _exists(manifest_path):
+        stored = spark.read.parquet(manifest_path).head()["n_chunks"]
+        if stored != n_chunks:
+            raise ValueError(
+                f"resume with n_chunks={n_chunks} but this run directory "
+                f"was chunked with n_chunks={stored}; chunk membership is "
+                f"pmod(xxhash64(url), n_chunks), so a different value "
+                f"would silently skip urls — re-run with "
+                f"n_chunks={stored} or start a fresh out_dir")
+    else:
+        spark.createDataFrame([(n_chunks,)], "n_chunks int") \
+            .write.mode("overwrite").parquet(manifest_path)
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -51,6 +85,8 @@ def run_extraction(
     results_path = f"{out_dir}/results"
     processed_path = f"{out_dir}/processed"
     metrics_path = f"{out_dir}/metrics"
+
+    _check_manifest(spark, f"{out_dir}/manifest", n_chunks)
 
     pages = pages.withColumn(
         "_chunk", F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)).cast("int"))
@@ -72,25 +108,35 @@ def run_extraction(
         result = result.withColumn("chunk_id", F.lit(chunk)) \
                        .withColumn("run_id", F.lit(run_id)) \
                        .withColumn("partition_id", F.spark_partition_id())
-        result.write.mode("append").parquet(results_path)
+        # cache the chunk: ONE extraction pass feeds the results write,
+        # the chunk metrics, the per-partition metrics, and the lineage
+        # append — no re-read of the results directory (which would cost
+        # O(everything written so far) per chunk and double-count partial
+        # rows from a same-run_id crash)
+        result = result.persist()
+        result.write.mode("append").partitionBy("chunk_id") \
+            .parquet(results_path)
+
+        stats = result.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("ok").cast("int")).alias("n_ok"),
+        ).collect()[0]
+
+        # per-PARTITION metrics within the chunk (task-granular lineage:
+        # which executor partition produced what, skew visibility)
+        result.groupBy("run_id", "chunk_id", "partition_id", "branch") \
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("ok").cast("long")).alias("n_ok")) \
+            .write.mode("append").parquet(f"{out_dir}/partition_metrics")
 
         # lineage commit AFTER results: a crash between the two writes
         # re-runs the chunk on resume, appending identical rows that
         # read_results de-duplicates
-        # scope to THIS run's rows: a chunk interrupted between its
-        # results and lineage writes leaves partial rows under the old
-        # run_id; they are superseded (read_results dedups by url) and
-        # must not inflate this run's metrics
-        written = spark.read.parquet(results_path).filter(
-            (F.col("chunk_id") == chunk) & (F.col("run_id") == run_id))
-        stats = written.agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("ok").cast("int")).alias("n_ok"),
-        ).collect()[0]
-        written.select("url").distinct() \
+        result.select("url").distinct() \
             .withColumn("chunk_id", F.lit(chunk)) \
             .withColumn("run_id", F.lit(run_id)) \
             .write.mode("append").parquet(processed_path)
+        result.unpersist()
 
         wall_ms = int((time.time() - t0) * 1000)
         spark.createDataFrame(
@@ -100,13 +146,6 @@ def run_extraction(
             "run_id string, chunk_id int, n_rows long, n_ok long, "
             "n_err long, wall_ms long",
         ).write.mode("append").parquet(metrics_path)
-
-        # per-PARTITION metrics within the chunk (task-granular lineage:
-        # which executor partition produced what, skew visibility)
-        written.groupBy("run_id", "chunk_id", "partition_id", "branch") \
-            .agg(F.count("*").alias("n_rows"),
-                 F.sum(F.col("ok").cast("long")).alias("n_ok")) \
-            .write.mode("append").parquet(f"{out_dir}/partition_metrics")
 
         if fail_after_chunk is not None and chunk >= fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {chunk}")

@@ -22,9 +22,11 @@ SIMHASH_BITS = 16
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep the min-id row per duplicate group (hash-groupBy dedup).
+    """→ (key_cols..., id, dup_count): the min-id SURVIVOR ID per
+    duplicate group plus its multiplicity (hash-groupBy dedup). Callers
+    wanting the full surviving rows join back via `exact_dedup_rows`.
 
-    Scale: one shuffle on the key; at 100 TB prefer groupBy+min_by over
+    Scale: one shuffle on the key; at 100 TB prefer groupBy+min over
     Window(row_number) — it partial-aggregates map-side instead of
     sorting whole partitions.
     """
@@ -32,6 +34,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
         df.groupBy(*key_cols)
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
     )
+
+
+def exact_dedup_rows(df: DataFrame, key_cols: list[str],
+                     id_col: str) -> DataFrame:
+    """Full surviving rows (all original columns) of the min-id
+    representative per duplicate group: exact_dedup + a left-semi join
+    back on (key, id). Two passes over the input but still a single
+    shuffle pattern on the same key (AQE reuses the exchange)."""
+    winners = exact_dedup(df, key_cols, id_col).select(*key_cols, id_col)
+    return df.join(winners, key_cols + [id_col], "left_semi")
 
 
 def _shingle_expr(text_col: str, k: int) -> str:
@@ -94,9 +106,18 @@ def lsh_band_buckets(sigs: DataFrame, id_col: str,
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
                         n_hashes: int = N_MINHASHES,
-                        bands: int = LSH_BANDS) -> DataFrame:
+                        bands: int = LSH_BANDS,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band, with the
-    estimated Jaccard = fraction of equal signature components."""
+    estimated Jaccard = fraction of equal signature components.
+
+    `max_bucket_size` caps degenerate hot buckets: at web scale some band
+    value is guaranteed to collect a huge member set (empty docs, site
+    boilerplate), and a bucket of B members emits B·(B-1)/2 join rows ON
+    ONE SHUFFLE KEY — quadratic blowup plus maximal skew. Buckets above
+    the cap are dropped BEFORE the self-join (the standard move: their
+    members are better handled by exact-fingerprint dedup); count them
+    with `lsh_oversize_buckets` and log the number."""
     rows_per_band = n_hashes // bands
     banded = sigs
     for b in range(bands):
@@ -106,6 +127,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
         id_col, *[f"sig_{i}" for i in range(n_hashes)],
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
     )
+    if max_bucket_size is not None:
+        # one extra groupBy on the SAME key as the join (no new shuffle
+        # pattern; AQE coalesces), trading it for bounded join fan-out
+        small = (exploded.groupBy("band")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket_size)
+                 .select("band"))
+        exploded = exploded.join(small, "band")
     left = exploded.alias("a")
     right = exploded.alias("b")
     pairs = (
@@ -121,6 +150,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     )
     est = sum(F.col(f"eq_{i}") for i in range(n_hashes)) / float(n_hashes)
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def lsh_oversize_buckets(sigs: DataFrame, id_col: str,
+                         max_bucket_size: int,
+                         n_hashes: int = N_MINHASHES,
+                         bands: int = LSH_BANDS) -> DataFrame:
+    """→ (band_id, band_val, bucket_size) of the buckets
+    `lsh_candidate_pairs(max_bucket_size=...)` quarantines — the metrics
+    side of the cap (log `count()`, route members to exact dedup)."""
+    return (lsh_band_buckets(sigs, id_col, n_hashes=n_hashes, bands=bands)
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .select("band_id", "band_val", "bucket_size"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

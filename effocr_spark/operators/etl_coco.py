@@ -13,6 +13,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _dense_ids(df: DataFrame, out_col: str) -> DataFrame:
+    """Globally-unique sequential ids ordered by (_src, id) WITHOUT a
+    global no-partition Window (which funnels the whole union through
+    one task): per-_src row_number + driver-side cumulative offsets from
+    the tiny per-source counts. Identical ids to
+    row_number().over(Window.orderBy('_src','id'))."""
+    counts = {r["_src"]: r["n"] for r in
+              df.groupBy("_src").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for src in sorted(counts):
+        offsets[src] = acc
+        acc += counts[src]
+    off = F.lit(0)
+    for src, o in offsets.items():
+        off = F.when(F.col("_src") == src, F.lit(o)).otherwise(off)
+    w = Window.partitionBy("_src").orderBy("id")
+    return df.withColumn(out_col, F.row_number().over(w) + off)
+
+
 def coco_combine(images_list: list[DataFrame],
                  annotations_list: list[DataFrame]):
     """Union several COCO datasets, reassigning globally-unique ids
@@ -30,9 +49,8 @@ def coco_combine(images_list: list[DataFrame],
     for t in tagged_annos[1:]:
         annos = annos.unionByName(t)
 
-    w = Window.orderBy("_src", "id")
-    images = images.withColumn("new_image_id", F.row_number().over(w))
-    annos = annos.withColumn("new_anno_id", F.row_number().over(Window.orderBy("_src", "id")))
+    images = _dense_ids(images, "new_image_id")
+    annos = _dense_ids(annos, "new_anno_id")
     key = images.select("_src", F.col("id").alias("image_id"),
                         "new_image_id")
     annos = annos.join(key, ["_src", "image_id"], "inner")

@@ -50,9 +50,16 @@ def paired_crops(images: DataFrame, annotations: DataFrame) -> DataFrame:
                 if len(boxes) != len(clean):
                     continue  # arity quarantine (:335 assert → skip)
                 img = to_rgb(decode_png(bytes(png)))
+                im_h, im_w = img.shape[:2]
                 for ch, row in zip(clean, boxes):
                     x, y, w, h = [int(v) for v in row["bbox"]]
-                    crop = img[y: y + h, x: x + w]
+                    # clamp before slicing: negative x/y are legal in
+                    # COCO and would numpy-wrap to a wrong-region crop;
+                    # the reference clamps the same way
+                    # (format_effocr_recognizer_dataset.py:346)
+                    x0, y0 = max(x, 0), max(y, 0)
+                    x1, y1 = min(x + w, im_w), min(y + h, im_h)
+                    crop = img[y0:y1, x0:x1]
                     if crop.size == 0:
                         continue
                     cps.append(ord(ch))
@@ -86,11 +93,13 @@ def hard_negatives(spark: SparkSession, chars: list[str],
     """Hard-negative mining: for every prototype char, its k nearest
     OTHER chars by embedding inner product
     (/root/reference/train_effocr_recognizer.py:25-44,389-404; sink
-    analog of hns.txt, :43-44). Driver-side matmul (K×K is tiny), result
-    as a table instead of a text file."""
-    sims = prototypes @ prototypes.T
-    np.fill_diagonal(sims, -np.inf)
-    order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    analog of hns.txt, :43-44). Runs through the shared k>1 kNN kernel
+    (knn_topk, exclude_self) — the same ranking the GPU retrieval path
+    uses. Driver-side matmul (K×K is tiny), result as a table instead of
+    a text file."""
+    from ..functions.recognize import knn_topk
+
+    order, _ = knn_topk(prototypes, prototypes, k=k, exclude_self=True)
     rows = [(c, [chars[j] for j in order[i]]) for i, c in enumerate(chars)]
     return spark.createDataFrame(rows, "char string, negatives array<string>")
 

@@ -40,6 +40,12 @@ OCR_OUT_SCHEMA = (
     "url string, extracted_text string, n_chars int, ok boolean, error string"
 )
 
+# span-emitting variant (the K2 COCO-sink feed): adds page dims + per-char
+# page-space COCO boxes [x,y,w,h] parallel to the recognized chars
+OCR_SPANS_SCHEMA = OCR_OUT_SCHEMA + (
+    ", width int, height int, boxes array<array<int>>, chars array<string>"
+)
+
 ENCODE_SUB_BATCH = 1024  # crops per encoder call: bounds UDF peak memory
 
 
@@ -50,16 +56,22 @@ def localize_page(png_bytes: bytes, lang: str, vertical: bool,
     class split → reading order + word-end as-of → crop windows.
     Returns {'lines': [per-line dicts], 'crops': flat crop list,
     'n_chars': total} — crops stay uint8 until the batched transform."""
-    from ..functions.lineseg import column_strips, line_strips
+    from ..functions.lineseg import (column_strips_with_offsets,
+                                     line_strips_with_offsets)
 
     im = to_rgb(decode_png(png_bytes))
-    strips = column_strips(im) if vertical else line_strips(im)
-    lines = [_localize_strip(s, lang, vertical, conf_thres, iou_thres)
-             for s in strips]
+    pairs = (column_strips_with_offsets(im) if vertical
+             else line_strips_with_offsets(im))
+    lines = []
+    for s, off in pairs:
+        ln = _localize_strip(s, lang, vertical, conf_thres, iou_thres)
+        ln["offset"] = off  # strip → page coordinate translation (K2 sink)
+        lines.append(ln)
     crops: list = []
     for ln in lines:
         crops.extend(ln["crops"])
-    return {"lines": lines, "crops": crops, "n_chars": len(crops)}
+    return {"lines": lines, "crops": crops, "n_chars": len(crops),
+            "height": im.shape[0], "width": im.shape[1]}
 
 
 def _localize_strip(im: np.ndarray, lang: str, vertical: bool,
@@ -87,11 +99,16 @@ def _localize_strip(im: np.ndarray, lang: str, vertical: bool,
     # (infer_effocr_onnx_multi.py:320-322)
     heights = [float(b[3] - b[1]) for b in sorted_chars]
     bottoms = [float(b[3]) for b in sorted_chars]
+    # strip-local int crop windows, kept for the COCO span sink (K2);
+    # same scale-back the crops themselves came from
+    windows = crops_fn.scale_back_boxes(
+        sorted_chars, im.shape[0], im.shape[1], vertical=vertical)
     return {
         "crops": crops,
         "word_end_idx": word_end_idx,
         "heights": heights,
         "bottoms": bottoms,
+        "windows": windows,
         "n_chars": len(crops),
     }
 
@@ -126,10 +143,34 @@ def assemble_page(chars: list[str], page, lang: str,
     return "\n".join(texts) if texts else None
 
 
+def page_spans(page: dict, page_chars: list[str], vertical: bool):
+    """Per-page COCO spans: strip-local crop windows (int xyxy) shifted
+    by their strip's page offset → page-space [x, y, w, h] boxes,
+    parallel to the recognized chars (reading order — exactly the
+    reference's zip(nn_output, char_boxes) writer loop,
+    /root/reference/infer_effocr.py:560-563)."""
+    h_page, w_page = page["height"], page["width"]
+    boxes: list[list[int]] = []
+    for line in page["lines"]:
+        off = line["offset"]
+        for x0, y0, x1, y1 in line["windows"]:
+            if vertical:
+                x0, x1 = x0 + off, x1 + off
+            else:
+                y0, y1 = y0 + off, y1 + off
+            x0 = max(int(x0), 0)
+            y0 = max(int(y0), 0)
+            x1 = min(int(x1), w_page)
+            y1 = min(int(y1), h_page)
+            boxes.append([x0, y0, x1 - x0, y1 - y0])
+    return boxes, list(page_chars)
+
+
 def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     iou_thres: float = 0.01, anchor_margin=None,
                     spell_check: bool = False, recognizer: str = "knn",
-                    vertical_override: bool | None = None):
+                    vertical_override: bool | None = None,
+                    emit_boxes: bool = False):
     """Build the mapInPandas function for the fused OCR stage.
 
     protos_bc: Spark broadcast of {lang: (chars list, [K,D] float32)}.
@@ -150,6 +191,7 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                       create_common_abbrev()) if spell_check else None)
         for pdf in batches:
             urls, texts, ncs, oks, errs = [], [], [], [], []
+            widths, heights, all_boxes, all_chars = [], [], [], []
             pages, page_langs, flat_crops = [], [], []
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 vertical = (vertical_override if vertical_override is not None
@@ -159,9 +201,10 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                                          conf_thres, iou_thres)
                     err = None
                 except Exception as e:  # quarantine, never crash the job
-                    page = {"lines": [], "crops": [], "n_chars": 0}
+                    page = {"lines": [], "crops": [], "n_chars": 0,
+                            "height": 0, "width": 0}
                     err = f"localize: {e!r}"[:200]
-                pages.append((url, lang, page, err))
+                pages.append((url, lang, page, err, vertical))
                 page_langs.append(lang)
                 flat_crops.extend(page["crops"])
 
@@ -176,8 +219,8 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                    else np.zeros((0, synthmodel.EMBED_DIM), np.float32))
 
             # per-lang kNN over the flat crop axis, then positional regroup
-            flat_lang = np.repeat([l for _, l, p, _ in pages],
-                                  [p["n_chars"] for _, _, p, _ in pages])
+            flat_lang = np.repeat([l for _, l, p, _, _ in pages],
+                                  [p["n_chars"] for _, _, p, _, _ in pages])
             flat_chars: list[str] = [""] * emb.shape[0]
             for lang in set(page_langs):
                 sel = np.nonzero(flat_lang == lang)[0]
@@ -192,7 +235,7 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     flat_chars[pos] = chars_list[int(k)]
 
             cursor = 0
-            for url, lang, page, err in pages:
+            for url, lang, page, err, vertical in pages:
                 n = page["n_chars"]
                 page_chars = flat_chars[cursor: cursor + n]
                 cursor += n
@@ -209,10 +252,21 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                 ncs.append(n)
                 oks.append(err is None)
                 errs.append(err)
-            yield pd.DataFrame({
+                if emit_boxes:
+                    bxs, chs = (page_spans(page, page_chars, vertical)
+                                if err is None else ([], []))
+                    widths.append(page["width"])
+                    heights.append(page["height"])
+                    all_boxes.append(bxs)
+                    all_chars.append(chs)
+            out = {
                 "url": urls, "extracted_text": texts, "n_chars": ncs,
                 "ok": oks, "error": errs,
-            })
+            }
+            if emit_boxes:
+                out.update({"width": widths, "height": heights,
+                            "boxes": all_boxes, "chars": all_chars})
+            yield pd.DataFrame(out)
 
     return ocr_batches
 
@@ -226,6 +280,20 @@ def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                          anchor_margin, spell_check, recognizer,
                          vertical_override)
     return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
+
+
+def ocr_spans_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
+                     iou_thres: float = 0.01, anchor_margin=None,
+                     spell_check: bool = False, recognizer: str = "knn",
+                     vertical_override: bool | None = None) -> DataFrame:
+    """Span-emitting OCR: same fused stage as ocr_branch, plus page dims
+    and per-char page-space COCO boxes parallel to the recognized chars —
+    the feed for the K2 COCO sink (operators/coco_sink.py). Explode to
+    one row per box with posexplode(arrays_zip(boxes, chars))."""
+    fn = make_ocr_map_fn(protos_bc, conf_thres, iou_thres,
+                         anchor_margin, spell_check, recognizer,
+                         vertical_override, emit_boxes=True)
+    return df.select("url", "html", "lang").mapInPandas(fn, OCR_SPANS_SCHEMA)
 
 
 def _strip_html_series(html: pd.Series) -> pd.Series:

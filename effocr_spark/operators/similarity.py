@@ -14,7 +14,7 @@ bucket join instead of a cross join.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def _vec_lit(vec) -> F.Column:
@@ -68,7 +68,12 @@ def centroid_knn_join(df: DataFrame, vec_col: str, id_col: str,
 
     → (id, label, pred_label, score). Centroids computed by
     posexplode+groupBy (one shuffle over n_labels × dim rows), then
-    broadcast to a crossJoin + per-id argmax window.
+    broadcast to a crossJoin + per-id argmax.
+
+    The argmax is groupBy + max(struct(score, -pred_label, ...)) rather
+    than a row_number window: identical result (highest score, ties →
+    lowest pred_label) but it partial-aggregates MAP-SIDE — shuffle rows
+    = n_vectors, not n_vectors × n_labels, and no per-partition sort.
     """
     dims = df.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
@@ -84,24 +89,33 @@ def centroid_knn_join(df: DataFrame, vec_col: str, id_col: str,
         .crossJoin(F.broadcast(cent))
         .withColumn("score", cosine(F.col(vec_col), F.col("centroid")))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("pred_label"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, label_col, "pred_label", "score")
-    )
+    best = scored.groupBy(id_col, label_col).agg(
+        F.max(F.struct(
+            F.col("score").alias("s"),
+            (-F.col("pred_label")).alias("neg_pred"),
+            F.col("pred_label").alias("pred_label"),
+        )).alias("m"))
+    return best.select(id_col, label_col,
+                       F.col("m.pred_label").alias("pred_label"),
+                       F.col("m.s").alias("score"))
 
 
 def srp_buckets(df: DataFrame, vec_col: str, id_col: str,
-                n_planes: int = 8, seed: int = 7) -> DataFrame:
+                n_planes: int = 8, seed: int = 7,
+                dim: int | None = None) -> DataFrame:
     """Sign-random-projection LSH bucket per vector (the ANN scale path).
 
     The hyperplanes are a seeded driver-side constant folded into the
     plan (tiny literal matrix); bucket = bit-packed signs. Candidate
     pairs come from a groupBy/join on `bucket` — sub-quadratic.
+
+    Pass `dim` explicitly: the fallback probe is a hidden driver action
+    (an extra Spark job and a surprise in a lazy pipeline) kept only for
+    interactive use.
     """
     rng = np.random.RandomState(seed)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = rng.standard_normal((n_planes, dim))
     bucket = None
     for i in range(n_planes):
@@ -112,13 +126,28 @@ def srp_buckets(df: DataFrame, vec_col: str, id_col: str,
 
 def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
                       threshold: float = 0.95, n_planes: int = 8,
-                      seed: int = 7) -> DataFrame:
+                      seed: int = 7, dim: int | None = None,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """ANN near-dup pairs at scale: SRP-LSH bucket join for candidate
     generation (sub-quadratic — only same-bucket ids pair up), exact
     cosine verify on the candidates. Recall vs the brute-force baseline
     is measured in tests; more planes → fewer candidates/lower recall,
-    fewer → the reverse."""
-    buckets = srp_buckets(df, vec_col, id_col, n_planes=n_planes, seed=seed)
+    fewer → the reverse.
+
+    `max_bucket_size` quarantines degenerate hot buckets (near-zero /
+    boilerplate vectors all hash to the same signs — guaranteed at web
+    scale): a bucket of B members emits B² join rows on ONE shuffle key,
+    so buckets above the cap are dropped before the self-join. Count the
+    quarantined buckets with `oversize_buckets` and handle them by exact
+    fingerprint dedup instead."""
+    buckets = srp_buckets(df, vec_col, id_col, n_planes=n_planes,
+                          seed=seed, dim=dim)
+    if max_bucket_size is not None:
+        small = (buckets.groupBy("bucket")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket_size)
+                 .select("bucket"))
+        buckets = buckets.join(small, "bucket")
     tagged = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
     a = tagged.select(F.col("bucket"), F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"))
@@ -131,6 +160,16 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def oversize_buckets(buckets: DataFrame, bucket_col: str,
+                     max_bucket_size: int) -> DataFrame:
+    """→ (bucket, bucket_size) of quarantined hot buckets — the metrics
+    companion of the `max_bucket_size` cap (log the count, dedup those
+    members by exact fingerprint instead of pairwise similarity)."""
+    return (buckets.groupBy(bucket_col)
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size))
 
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,

@@ -62,12 +62,18 @@ def quality_score(text_col) -> Column:
     return (len_ok + wordlen_ok + stop_ok + punct_ok) / 4.0
 
 
+# Actual CJK codepoint ranges (Han + Hiragana + Katakana) — NOT "any
+# non-ASCII": accented Latin (é, ñ, ü) must stay with its stopword vote.
+# The DuckDB oracle mirrors the same ranges (RE2 \x{...} spelling).
+_CJK_CLASS = "[一-鿿぀-ヿ]"  # Han, Hiragana, Katakana
+
+
 def langid(text_col) -> Column:
     """Stopword-vote language-ID over the supported set; 'zh' if CJK
-    chars present; 'und' when nothing votes. Deterministic tie-break by
-    language-code order (greatest picks the later on equal scores, so we
-    compare sequentially)."""
-    cjk = F.length(F.regexp_replace(text_col, r"[\x00-\x7F]", "")) > 0
+    (Han/kana) chars present; 'und' when nothing votes. Deterministic
+    tie-break by language-code order (greatest picks the later on equal
+    scores, so we compare sequentially)."""
+    cjk = F.length(F.regexp_replace(text_col, _CJK_CLASS, "")) < F.length(text_col)
     scores = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
     best_lang = F.lit("und")
     best_score = F.lit(0)

@@ -32,6 +32,18 @@ def get_spark(app_name: str = "effocr_spark", cpus: int | None = None,
     # oversubscribe (SURVEY.md §4).
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # Make effocr_spark importable in executor Python workers regardless
+    # of the launch cwd: local-mode workers inherit this process env, so
+    # prepending the package root to PYTHONPATH is the local analog of
+    # `spark-submit --py-files effocr_spark.zip` (the documented cluster
+    # launch, scripts/run_extraction.py). Without it, running the CLI
+    # from outside the repo root dies with ModuleNotFoundError in the
+    # first UDF task.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else ""))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

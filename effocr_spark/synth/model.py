@@ -22,12 +22,16 @@ Everything is a pure function of its inputs + fixed seeds.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 DETECT_SIZE = 640          # letterbox target (localizer_engine.py:17 input_shape)
 WORD_GAP_THRESHOLD = 5.0   # original-pixel gap separating words (synth fixture geometry)
 INK_THRESHOLD = 128        # pixel < this counts as ink
-EMBED_DIM = 64
+# EFFOCR_EMBED_DIM=768 (with EFFOCR_CROP_SIZE=224) runs the pipeline at the
+# reference's timm-encoder tensor sizes; see functions/crops.py CROP_SIZE.
+EMBED_DIM = int(os.environ.get("EFFOCR_EMBED_DIM", "64"))
 _ENC_SEED = 20240817
 _POOL = 16                 # encoder pools the crop to a 16x16 grid before projection
 

@@ -100,3 +100,38 @@ def test_vectorized_nms_matches_oracle_on_random_heads():
         b = oracle_nms(pred, conf_thres=0.35, iou_thres=0.2)
         assert a.shape == b.shape, trial
         assert np.allclose(a, b, atol=1e-5), trial
+
+
+def test_knn_topk_matches_numpy_oracle():
+    """k>1 kNN kernel vs a plain argsort oracle, including tie handling
+    (stable → lowest index first, FAISS IndexFlatIP ordering)."""
+    import numpy as np
+    from effocr_spark.functions.recognize import knn_lookup, knn_topk
+
+    rng = np.random.RandomState(3)
+    q = rng.standard_normal((17, 8)).astype(np.float32)
+    p = rng.standard_normal((11, 8)).astype(np.float32)
+    idx, sc = knn_topk(q, p, k=5)
+    assert idx.shape == (17, 5) and sc.shape == (17, 5)
+    sims = q @ p.T
+    for i in range(17):
+        want = np.argsort(-sims[i], kind="stable")[:5]
+        assert list(idx[i]) == list(want)
+        assert np.allclose(sc[i], sims[i][want], atol=1e-5)
+    # k=1 column equals knn_lookup
+    assert list(idx[:, 0]) == list(knn_lookup(q, p))
+    # ties: identical prototypes → lowest index first (integer-valued
+    # floats so the matmul is exact and the tie is bitwise real)
+    q2 = rng.randint(-3, 4, (6, 8)).astype(np.float32)
+    p2 = np.tile(rng.randint(-3, 4, (1, 8)).astype(np.float32), (3, 1))
+    idx2, _ = knn_topk(q2, p2, k=3)
+    assert (idx2 == [0, 1, 2]).all()
+    # k larger than prototype count → clamped
+    idx3, sc3 = knn_topk(q, p, k=99)
+    assert idx3.shape == (17, 11)
+    # exclude_self masks the diagonal (hard-negative mining shape)
+    idx4, _ = knn_topk(p, p, k=3, exclude_self=True)
+    assert all(i not in idx4[i] for i in range(11))
+    # empty input
+    e_idx, e_sc = knn_topk(np.zeros((0, 8), np.float32), p, k=4)
+    assert e_idx.shape == (0, 4)

@@ -100,3 +100,44 @@ def test_ngram_jaccard_oracle(spark, docs_df):
             exp = inter / len(g[a] | g[b])
             assert abs(out[(a, b)] - exp) < 1e-9, (a, b)
     assert out[(0, 3)] == 1.0
+
+
+def test_lsh_candidate_pairs_hot_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) must be quarantined by
+    max_bucket_size: bounded pair output instead of B^2 blowup, and the
+    oversize-bucket metric reports it."""
+    from pyspark.sql import functions as F
+    from effocr_spark.operators.dedup import (
+        lsh_candidate_pairs, lsh_oversize_buckets, minhash_signatures)
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(30)]
+    uniq = [(100 + i, f"distinct document number {i} with words {i * 7} "
+             f"and {i * 13} padding tail") for i in range(4)]
+    df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text")
+
+    uncapped = lsh_candidate_pairs(sigs, "doc_id").collect()
+    assert len(uncapped) >= 30 * 29 // 2  # the blowup being defused
+
+    capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10)
+    rows = capped.collect()
+    boiler_ids = {i for i, _ in boiler}
+    assert not any(r["id_a"] in boiler_ids and r["id_b"] in boiler_ids
+                   for r in rows)
+
+    over = lsh_oversize_buckets(sigs, "doc_id", max_bucket_size=10).collect()
+    assert len(over) >= 1
+    assert all(r["bucket_size"] == 30 for r in over)
+
+
+def test_exact_dedup_rows_returns_survivors(spark):
+    from effocr_spark.operators.dedup import exact_dedup_rows
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "b", "w"),
+         (5, "c", "v")],
+        "id long, key string, payload string")
+    out = {(r["id"], r["key"], r["payload"])
+           for r in exact_dedup_rows(df, ["key"], "id").collect()}
+    assert out == {(1, "a", "x"), (3, "b", "z"), (5, "c", "v")}

@@ -65,3 +65,40 @@ def test_resume_is_noop_when_complete(spark, protos_bc, tmp_path):
     assert before == after
     # no duplicate chunks in metrics beyond the original two
     assert lineage.read_metrics(spark, out).count() == 2
+
+def test_resume_with_different_n_chunks_fails_fast(spark, protos_bc, tmp_path):
+    """Chunk membership is pmod(xxhash64(url), n_chunks): resuming with a
+    different n_chunks would silently never process some urls. The
+    manifest pins the value and resume must refuse the mismatch."""
+    pages, _ = pages_df(spark, 40, seed=7)
+    out = str(tmp_path / "mismatch")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        lineage.run_extraction(spark, pages, out, protos_bc,
+                               run_id="a", n_chunks=4, fail_after_chunk=0)
+    with pytest.raises(ValueError, match="n_chunks=4"):
+        lineage.run_extraction(spark, pages, out, protos_bc,
+                               run_id="b", n_chunks=8)
+    # same n_chunks resumes fine and completes
+    lineage.run_extraction(spark, pages, out, protos_bc,
+                           run_id="b", n_chunks=4)
+    assert len(_results_dict(spark, out)) == 40
+
+
+def test_same_run_id_resume_metrics_not_double_counted(spark, protos_bc,
+                                                       tmp_path):
+    """The documented resume flow is 're-run the SAME command' — same
+    run_id. Metrics must come from the chunk's in-flight DataFrame, not a
+    disk re-read that would also count the crashed attempt's partial rows
+    under the same (chunk_id, run_id)."""
+    pages, _ = pages_df(spark, 60, seed=11)
+    out = str(tmp_path / "samerun")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        lineage.run_extraction(spark, pages, out, protos_bc,
+                               run_id="r", n_chunks=3, fail_after_chunk=0)
+    # simulate "crashed between results and lineage writes" for chunk 1:
+    # chunk 0's results+lineage are committed; re-run same run_id
+    lineage.run_extraction(spark, pages, out, protos_bc,
+                           run_id="r", n_chunks=3)
+    metrics = lineage.read_metrics(spark, out).collect()
+    assert sum(r["n_rows"] for r in metrics) == 60
+    assert len(_results_dict(spark, out)) == 60

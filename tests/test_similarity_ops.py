@@ -95,3 +95,47 @@ def test_srp_buckets_deterministic_and_groups_dups(spark, emb_df):
          for r in sim.srp_buckets(emb_df, "embedding", "vec_id").collect()}
     assert a == b
     assert a[3] == a[7]  # near-identical vectors land in the same bucket
+
+
+def test_srp_buckets_explicit_dim_no_probe(spark):
+    """dim passed explicitly must give identical buckets to the probe
+    fallback (and avoids the hidden driver action)."""
+    from effocr_spark.operators.similarity import srp_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter("vec_id < 50")
+    probed = {r["vec_id"]: r["bucket"]
+              for r in srp_buckets(emb, "embedding", "vec_id").collect()}
+    explicit = {r["vec_id"]: r["bucket"]
+                for r in srp_buckets(emb, "embedding", "vec_id",
+                                     dim=64).collect()}
+    assert probed == explicit
+
+
+def test_srp_neardup_hot_bucket_cap(spark):
+    """Identical vectors all land in one SRP bucket; the cap quarantines
+    it (bounded output) while distinct-bucket pairs survive."""
+    import numpy as np
+    from effocr_spark.operators.similarity import (
+        oversize_buckets, srp_buckets, srp_neardup_pairs)
+
+    rng = np.random.RandomState(5)
+    base = [float(x) for x in rng.standard_normal(8)]
+    rows = [(i, base) for i in range(20)]
+    other = [float(x) for x in rng.standard_normal(8)]
+    rows += [(100, other), (101, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = srp_neardup_pairs(df, "embedding", "vec_id",
+                                 threshold=0.99, dim=8).collect()
+    assert len(uncapped) >= 20 * 19 // 2
+
+    capped = srp_neardup_pairs(df, "embedding", "vec_id", threshold=0.99,
+                               dim=8, max_bucket_size=5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert all(a >= 100 for a, _ in pairs)  # hot bucket gone
+    assert (100, 101) in pairs              # small bucket survives
+
+    b = srp_buckets(df, "embedding", "vec_id", dim=8)
+    over = oversize_buckets(b, "bucket", 5).collect()
+    assert len(over) == 1 and over[0]["bucket_size"] == 20

@@ -57,3 +57,24 @@ def test_depunctuate_and_predicates():
 def test_splitters_preserved():
     out = check('fhe/fhe "fhe"')
     assert out == 'the/the "the"'
+
+
+def test_frequency_dictionary_file_ingestion(spark, tmp_path):
+    """S5 ingestion path: symspellpy-format file → dict, via Spark read
+    and the plain-Python fallback; the committed data/ file reproduces
+    the embedded table exactly."""
+    from effocr_spark.functions.spellcheck import (
+        _EMBEDDED_FREQS, create_worddict, load_frequency_dictionary)
+
+    path = "/root/repo/data/frequency_dict_en.txt"
+    via_spark = load_frequency_dictionary(path, spark=spark)
+    via_python = load_frequency_dictionary(path)
+    assert via_spark == _EMBEDDED_FREQS
+    assert via_python == _EMBEDDED_FREQS
+    assert create_worddict(freq_path=path, spark=spark) == create_worddict()
+
+    # a bigger dictionary drops in: same interface, new words usable
+    big = tmp_path / "big_dict.txt"
+    big.write_text("hello 500\tignored\nworld 400\nbadline\n", encoding="utf-8")
+    d = load_frequency_dictionary(str(big))
+    assert d == {"hello": 500, "world": 400}
