@@ -626,6 +626,26 @@ def q_media_features(spark, sf_dir):
                       F.round("mean_luma", 2).alias("mean_luma"), "ok")
 
 
+def q_trocr_eval(spark, sf_dir):
+    """TrOCR seq2seq baseline (reference trocr/infer_trocr.py): beam
+    decode over synthetic line images + textline_evaluation(uncased),
+    under the reference's faithful decoding config (no_repeat_ngram=3 —
+    which genuinely mangles repeated trigrams, see operators/trocr.py)
+    AND the blocker-free upper bound. Deterministic; golden-pinned."""
+    from effocr_spark.operators.trocr import trocr_eval
+
+    faithful = trocr_eval(spark, _protos_bc(spark), n=24, seed=17) \
+        .select(F.lit("faithful_ngram3").alias("config"),
+                F.round("accuracy", 4).alias("accuracy"),
+                F.round("cer", 6).alias("cer"), "n")
+    unblocked = trocr_eval(spark, _protos_bc(spark), n=24, seed=17,
+                           no_repeat_ngram_size=0) \
+        .select(F.lit("no_ngram_block").alias("config"),
+                F.round("accuracy", 4).alias("accuracy"),
+                F.round("cer", 6).alias("cer"), "n")
+    return faithful.unionByName(unblocked)
+
+
 def q_spellcheck(spark, sf_dir):
     """Visual homoglyph spell check as a vectorized UDF (SURVEY §2.8 F10;
     opt-in branch). Pure-Python oracle in tests; rows-only here."""
@@ -692,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_match_rate": q_extract_match_rate,
         "media_features": q_media_features,
         "spellcheck": q_spellcheck,
+        "trocr_eval": q_trocr_eval,
     }
 
 
@@ -1111,4 +1132,5 @@ def oracle_sql() -> dict[str, str]:
         "extract_match_rate": _golden_sql("extract_match_rate"),
         "media_features": _golden_sql("media_features"),
         "spellcheck": _golden_sql("spellcheck"),
+        "trocr_eval": _golden_sql("trocr_eval"),
     }

