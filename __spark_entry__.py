@@ -3,10 +3,14 @@
 Each ``queries()`` entry exercises an operator family from SURVEY.md §2
 (or a training-data-pipeline extension) over the driver-provided tables;
 ``oracle_sql()`` gives the DuckDB-equivalent for the value-hash
-correctness gate. Extraction-pipeline queries that need the synthetic
-`pages` fixture (PNG line images) generate it deterministically in-flight
-and carry no SQL oracle (rows-only check) — their byte-exactness is
-covered by tests/ against the pinned plain-Python oracle.
+correctness gate. EVERY query has an exact oracle: SQL-expressible ones
+are re-derived in DuckDB SQL; Python-kernel ones (extraction pipeline,
+spell check, media decode, TrOCR decode, seeded-hyperplane LSH) run over
+fully deterministic fixtures and are pinned by committed golden parquet
+(goldens/, regenerated via tools/make_goldens.py) served to DuckDB with
+read_parquet — not circular, because the same outputs are independently
+asserted byte-identical to the pinned plain-Python reference oracle in
+tests/.
 
 Column names AND types are aligned on both sides (Spark ↔ DuckDB):
 counts → bigint, ratios → double rounded, ids → bigint.
@@ -626,6 +630,83 @@ def q_media_features(spark, sf_dir):
                       F.round("mean_luma", 2).alias("mean_luma"), "ok")
 
 
+def q_envelope_join(spark, sf_dir):
+    """J6 enveloping-object IoM join (format_effocr_recognizer_dataset.py
+    :84-103) as pure JVM arithmetic over deterministic char/word boxes
+    derived from lineitem; the oracle replicates the IoM math in SQL."""
+    from effocr_spark.operators.etl_coco import envelope_join
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    chars = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("id"),
+        F.pmod(F.col("l_orderkey"), F.lit(20)).cast("long").alias("image_id"),
+        F.array(F.pmod(F.col("l_partkey"), F.lit(80)).cast("int"),
+                F.pmod(F.col("l_suppkey"), F.lit(40)).cast("int"),
+                F.lit(6), F.lit(10)).alias("bbox"))
+    words = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber") + 100000)
+        .cast("long").alias("id"),
+        F.pmod(F.col("l_orderkey"), F.lit(20)).cast("long").alias("image_id"),
+        F.array((F.pmod(F.col("l_partkey"), F.lit(80)) - 2).cast("int"),
+                (F.pmod(F.col("l_suppkey"), F.lit(40)) - 2).cast("int"),
+                F.lit(30), F.lit(14)).alias("bbox"))
+    out = envelope_join(chars, words, iom_thresh=0.8)
+    return out.select("char_id", "word_id", "image_id",
+                      F.round("iom", 5).alias("iom"))
+
+
+def q_hard_negatives(spark, sf_dir):
+    """K4 hard-negative mining sink (train_effocr_recognizer.py:25-44):
+    k=8 nearest OTHER prototypes per char via the knn_topk kernel.
+    Deterministic (seeded prototype build); golden-pinned."""
+    from effocr_spark.operators.etl_recognizer import hard_negatives
+
+    chars, protos = _protos_bc(spark).value["en"]
+    out = hard_negatives(spark, chars, protos, k=8)
+    return out.select("char", F.concat_ws("", "negatives").alias("negs"))
+
+
+def q_srp_neardup(spark, sf_dir):
+    """SRP-LSH bucketed near-dup pairs WITH the hot-bucket cap (the ANN
+    scale path, sub-quadratic candidate generation). Seeded hyperplanes
+    aren't SQL-portable; golden-pinned."""
+    from effocr_spark.operators.similarity import srp_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = srp_neardup_pairs(emb, "embedding", "vec_id", threshold=0.3,
+                              n_planes=4, dim=64, max_bucket_size=200)
+    return pairs.select("id_a", "id_b", F.round("score", 4).alias("score"))
+
+
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio plumbing with a REAL WAV/PCM16 codec
+    (synth/wavcodec.py): duration / RMS / peak / windowed frame-RMS over
+    deterministic synthesized blobs, plus a quarantined non-audio row.
+    Golden-pinned (WAV parsing isn't SQL-expressible)."""
+    import numpy as np
+    from effocr_spark.operators.multimodal import audio_features
+    from effocr_spark.synth.wavcodec import encode_wav
+
+    rows = []
+    for i in range(8):
+        rng = np.random.RandomState(4242 + i)
+        n = 3200 + 800 * i
+        samples = (rng.standard_normal(n) * (400 * (i + 1))).astype(np.int16)
+        rows.append((i, bytearray(encode_wav(samples, rate=8000))))
+    rows.append((99, bytearray(b"definitely not a wav file")))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = audio_features(df)
+    return out.select(
+        "id", "media_type", "sample_rate", "n_channels",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"), "peak",
+        F.size("frame_rms").cast("long").alias("n_frames"),
+        F.round(F.coalesce(F.get(F.col("frame_rms"), 0), F.lit(0.0)), 4)
+        .alias("frame0_rms"),
+        "ok",
+    )
+
+
 def q_trocr_eval(spark, sf_dir):
     """TrOCR seq2seq baseline (reference trocr/infer_trocr.py): beam
     decode over synthetic line images + textline_evaluation(uncased),
@@ -713,6 +794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "spellcheck": q_spellcheck,
         "trocr_eval": q_trocr_eval,
+        "envelope_join": q_envelope_join,
+        "hard_negatives": q_hard_negatives,
+        "srp_neardup": q_srp_neardup,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1133,4 +1218,31 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _golden_sql("media_features"),
         "spellcheck": _golden_sql("spellcheck"),
         "trocr_eval": _golden_sql("trocr_eval"),
+        "hard_negatives": _golden_sql("hard_negatives"),
+        "srp_neardup": _golden_sql("srp_neardup"),
+        "audio_features": _golden_sql("audio_features"),
+        "envelope_join": """
+            WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
+            chars AS (
+              SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS id,
+                     (l_orderkey % 20)::BIGINT AS image_id,
+                     (l_partkey % 80)::DOUBLE AS x0, (l_suppkey % 40)::DOUBLE AS y0,
+                     (l_partkey % 80 + 6)::DOUBLE AS x1, (l_suppkey % 40 + 10)::DOUBLE AS y1
+              FROM li),
+            words AS (
+              SELECT (l_orderkey * 10 + l_linenumber + 100000)::BIGINT AS id,
+                     (l_orderkey % 20)::BIGINT AS image_id,
+                     (l_partkey % 80 - 2)::DOUBLE AS x0, (l_suppkey % 40 - 2)::DOUBLE AS y0,
+                     (l_partkey % 80 + 28)::DOUBLE AS x1, (l_suppkey % 40 + 12)::DOUBLE AS y1
+              FROM li),
+            joined AS (
+              SELECT c.id AS char_id, w.id AS word_id, c.image_id,
+                     greatest(least(c.x1, w.x1) - greatest(c.x0, w.x0), 0)
+                     * greatest(least(c.y1, w.y1) - greatest(c.y0, w.y0), 0)
+                     / (least((c.x1-c.x0)*(c.y1-c.y0), (w.x1-w.x0)*(w.y1-w.y0)) + 1e-7)
+                     AS iom
+              FROM chars c JOIN words w ON c.image_id = w.image_id)
+            SELECT char_id, word_id, image_id, round(iom, 5) AS iom
+            FROM joined WHERE iom >= 0.8
+        """,
     }

@@ -51,9 +51,18 @@ def _transform_batched(crops: list[np.ndarray | None]) -> np.ndarray:
             stack[j, :h, :w, :] = crops[i]
         ys = np.minimum((np.arange(size) * side) // size, side - 1)
         xs = ys  # square: identical index vector
-        rs = stack[:, ys[:, None], xs[None, :], :].astype(np.float32) / 255.0
-        rs = (rs - crops_fn.IMAGENET_MEAN) / crops_fn.IMAGENET_STD
-        out[idxs] = rs.transpose(0, 3, 1, 2)
+        # normalize the SMALL padded crop first, then nearest-neighbor
+        # gather once into the output slot: elementwise normalize commutes
+        # bitwise with a pure gather (f(x)[idx] == f(x[idx])), and this
+        # touches the big [n,3,S,S] tensor exactly once instead of ~6
+        # passes — at reference tensor size (S=224) the transform is
+        # memory-bandwidth-bound and this is the difference between
+        # scaling and thrashing (see BENCH/BASELINE.md real-tensor table)
+        small = stack.astype(np.float32) / 255.0
+        small -= crops_fn.IMAGENET_MEAN
+        small /= crops_fn.IMAGENET_STD
+        smallc = small.transpose(0, 3, 1, 2)  # view, no copy
+        out[idxs] = smallc[:, :, ys[:, None], xs[None, :]]
     return out
 
 

@@ -46,7 +46,15 @@ OCR_SPANS_SCHEMA = OCR_OUT_SCHEMA + (
     ", width int, height int, boxes array<array<int>>, chars array<string>"
 )
 
-ENCODE_SUB_BATCH = 1024  # crops per encoder call: bounds UDF peak memory
+# Crops per encoder call: bounds UDF peak memory BY BYTES, not rows —
+# a [n, 3, CROP_SIZE, CROP_SIZE] float32 sub-batch is capped at ~64MB so
+# peak stays ~2 copies × 64MB per worker at ANY crop size. At the 16x16
+# fixture size this resolves to the old 1024; at reference tensor size
+# (224x224, EFFOCR_CROP_SIZE) it drops to ~110 — without this, 32 workers
+# × ~1.3GB sub-batches saturate the memory bus and width-32 runs SLOWER
+# than width-8 (measured 17.6 → 7.6 docs/s regression, now fixed).
+ENCODE_SUB_BATCH = max(
+    32, min(1024, (64 << 20) // (3 * crops_fn.CROP_SIZE ** 2 * 4)))
 
 
 def localize_page(png_bytes: bytes, lang: str, vertical: bool,

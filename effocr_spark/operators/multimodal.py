@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Images/audio/video ride as `binary` columns with a sniffed `media_type`;
-decode / feature-extract / resize run as Arrow-batched mapInPandas
-stages. PNG decode is REAL (effocr_spark.synth.imgcodec); other codecs
-are clearly-marked deterministic stubs (the container has no image/audio
-libraries) — the Spark-side plumbing (schemas, batching, quarantine
-semantics, partitioning) is what this module pins down, and a real codec
-drops in behind `_decode_any`.
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+mapInPandas stages. PNG decode is REAL (effocr_spark.synth.imgcodec) and
+WAV/PCM16 decode is REAL (effocr_spark.synth.wavcodec); JPEG and
+compressed audio/video are clearly-marked stubs (the container has no
+media libraries) — the Spark-side plumbing (schemas, batching,
+quarantine semantics, partitioning) is what this module pins down, and a
+real codec drops in behind `_decode_any` / `decode_wav`.
 """
 
 from __future__ import annotations
@@ -19,10 +20,17 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.crops import resize_nn
 from ..synth.imgcodec import decode_png, is_png, to_rgb
+from ..synth.wavcodec import decode_wav, is_wav
 
 MEDIA_FEATURE_SCHEMA = (
     "id long, media_type string, width int, height int, "
     "mean_luma double, ok boolean, error string"
+)
+
+AUDIO_FEATURE_SCHEMA = (
+    "id long, media_type string, sample_rate int, n_channels int, "
+    "duration_s double, rms double, peak int, "
+    "frame_rms array<double>, ok boolean, error string"
 )
 
 
@@ -78,6 +86,55 @@ def media_features(df: DataFrame, id_col: str = "id",
 
     return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("media")) \
              .mapInPandas(fe, MEDIA_FEATURE_SCHEMA)
+
+
+def audio_features(df: DataFrame, id_col: str = "id",
+                   media_col: str = "media",
+                   frame_ms: int = 100) -> DataFrame:
+    """Decode + featurize WAV audio rows: duration / RMS / peak plus
+    per-frame RMS energies (the frame-sample plumbing — a windowed
+    feature sequence, exactly the shape a real feature extractor like a
+    mel filterbank emits). Compressed formats quarantine with the codec's
+    NotImplementedError; never crashes the job."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "media_type", "sample_rate",
+                                   "n_channels", "duration_s", "rms",
+                                   "peak", "frame_rms", "ok", "error")}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(b) if b is not None else b""
+                mt = "audio/wav" if is_wav(data) else "application/octet-stream"
+                try:
+                    samples, rate = decode_wav(data)
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    frame = max(int(rate * frame_ms / 1000), 1)
+                    n_frames = len(mono) // frame
+                    frames = mono[: n_frames * frame].reshape(n_frames, frame)
+                    out["sample_rate"].append(int(rate))
+                    out["n_channels"].append(int(samples.shape[1]))
+                    out["duration_s"].append(len(mono) / rate)
+                    out["rms"].append(float(np.sqrt((mono ** 2).mean()))
+                                      if len(mono) else 0.0)
+                    out["peak"].append(int(np.abs(samples).max())
+                                       if samples.size else 0)
+                    out["frame_rms"].append(
+                        np.sqrt((frames ** 2).mean(axis=1)).tolist())
+                    out["ok"].append(True)
+                    out["error"].append(None)
+                except Exception as e:
+                    for k, v in (("sample_rate", 0), ("n_channels", 0),
+                                 ("duration_s", 0.0), ("rms", 0.0),
+                                 ("peak", 0), ("frame_rms", [])):
+                        out[k].append(v)
+                    out["ok"].append(False)
+                    out["error"].append(repr(e)[:200])
+                out["id"].append(int(i))
+                out["media_type"].append(mt)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("media")) \
+             .mapInPandas(fe, AUDIO_FEATURE_SCHEMA)
 
 
 def media_resize(df: DataFrame, size: int, id_col: str = "id",

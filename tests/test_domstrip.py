@@ -86,3 +86,74 @@ def test_generated_pages_match_golden():
             assert strip_html(p["html"]) == p["true_text"], p["url"]
             checked += 1
     assert checked > 100
+
+
+# ---- web-corpus stress fixtures (ROADMAP item 4): each golden hand-
+# checked — layout tables, nested articles, link-heavy comment sections,
+# entity references, malformed nesting, comments/script content ----
+
+def test_table_as_layout_picks_article_cell():
+    html = (b"<html><body><table><tr>"
+            b"<td><a href='/'>nav one</a> <a href='/'>nav two</a></td>"
+            b"<td><p>The actual article body sits inside a layout table "
+            b"cell with plenty of text to win.</p>"
+            b"<p>Second paragraph of the piece continues here with more "
+            b"words.</p></td></tr></table></body></html>")
+    assert strip_html(html) == (
+        "The actual article body sits inside a layout table cell with "
+        "plenty of text to win.\n"
+        "Second paragraph of the piece continues here with more words.")
+
+
+def test_nested_articles_outer_wins_without_duplicating_inner():
+    html = (b"<html><body><article><h1>Outer story</h1>"
+            b"<p>Outer lead paragraph with enough text to matter.</p>"
+            b"<article><p>Inner quoted mini-article, short.</p></article>"
+            b"<p>Outer conclusion paragraph, also long enough to count.</p>"
+            b"</article></body></html>")
+    out = strip_html(html)
+    assert out == ("Outer story\n"
+                   "Outer lead paragraph with enough text to matter.\n"
+                   "Outer conclusion paragraph, also long enough to count.")
+    assert "Inner quoted" not in out  # inner paras belong to inner only
+
+
+def test_link_heavy_comment_section_loses_to_story():
+    html = (b"<html><body><div id='main'>"
+            b"<p>Story text one with a reasonable amount of words in it.</p>"
+            b"<p>Story text two, still the main content of this page.</p>"
+            b"</div><div class='comments'>"
+            b"<p><a href='/u/1'>user1</a> says: short hot take</p>"
+            b"<p><a href='/u/2'>user2</a> says: another take</p>"
+            b"</div></body></html>")
+    out = strip_html(html)
+    assert "Story text one" in out and "hot take" not in out
+
+
+def test_entity_references_decode():
+    html = (b"<html><body><div><p>Fish &amp; Chips cost &pound;5 "
+            b"&mdash; &quot;bargain&quot; &lt;really&gt;.</p></div>"
+            b"</body></html>")
+    assert strip_html(html) == 'Fish & Chips cost £5 — "bargain" <really>.'
+
+
+def test_malformed_nesting_tolerated():
+    html = (b"<html><body><div><p>Unclosed paragraph one"
+            b"<p>Second paragraph <b>bold never closed"
+            b"<div><p>Nested div paragraph with the most text of all of "
+            b"them here.</div></body>")
+    assert strip_html(html) == (
+        "Nested div paragraph with the most text of all of them here.")
+
+
+def test_html_comments_and_script_bodies_invisible():
+    html = (b"<html><body><!-- <p>commented out</p> --><div>"
+            b"<p>Visible text only.</p>"
+            b"<script>var x = \"<p>not text</p>\";</script></div>"
+            b"</body></html>")
+    assert strip_html(html) == "Visible text only."
+
+
+def test_all_links_page_yields_empty():
+    assert strip_html(b"<html><body><nav><a href='/'>only links</a>"
+                      b"</nav></body></html>") == ""

@@ -109,3 +109,68 @@ def test_media_resize_roundtrip(spark):
     assert out["ok"]
     back = decode_png(bytes(out["media"]))
     assert back.shape == (4, 4, 3)
+
+
+def test_wav_codec_round_trip():
+    import numpy as np
+    from effocr_spark.synth.wavcodec import decode_wav, encode_wav, is_wav
+
+    rng = np.random.RandomState(9)
+    mono = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    blob = encode_wav(mono, rate=16000)
+    assert is_wav(blob)
+    back, rate = decode_wav(blob)
+    assert rate == 16000 and back.shape == (16000, 1)
+    assert (back[:, 0] == mono).all()
+
+    stereo = (rng.standard_normal((800, 2)) * 1000).astype(np.int16)
+    back2, rate2 = decode_wav(encode_wav(stereo, rate=8000))
+    assert rate2 == 8000 and (back2 == stereo).all()
+
+
+def test_wav_codec_skips_extra_chunks_and_rejects_compressed():
+    import struct
+
+    import numpy as np
+    import pytest
+    from effocr_spark.synth.wavcodec import decode_wav, encode_wav
+
+    blob = encode_wav(np.ones(100, np.int16), rate=8000)
+    # splice a LIST chunk between WAVE and fmt (legal per spec)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = blob[:12] + extra + blob[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back, rate = decode_wav(spliced)
+    assert rate == 8000 and back.shape[0] == 100
+
+    # format tag 3 (IEEE float) must raise the library-seam error
+    mutated = bytearray(blob)
+    mutated[20] = 3
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mutated))
+
+
+def test_audio_features_spark(spark):
+    import numpy as np
+    from effocr_spark.operators.multimodal import audio_features
+    from effocr_spark.synth.wavcodec import encode_wav
+
+    rows = []
+    for i in range(6):
+        rng = np.random.RandomState(100 + i)
+        n = 4000 + 1000 * i
+        samples = (rng.standard_normal(n) * (500 * (i + 1))).astype(np.int16)
+        rows.append((i, bytearray(encode_wav(samples, rate=8000))))
+    rows.append((99, bytearray(b"not audio at all")))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = {r["id"]: r for r in audio_features(df).collect()}
+    assert len(out) == 7
+    bad = out[99]
+    assert not bad["ok"] and bad["media_type"] == "application/octet-stream"
+    for i in range(6):
+        r = out[i]
+        assert r["ok"] and r["media_type"] == "audio/wav"
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["duration_s"] == (4000 + 1000 * i) / 8000
+        assert len(r["frame_rms"]) == (4000 + 1000 * i) // 800
+        assert r["rms"] > 0 and r["peak"] > 0
