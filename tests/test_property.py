@@ -92,3 +92,42 @@ def test_en_postprocess_matches_oracle(line, we, margin, seed):
         assert got is None
         return
     assert got == exp
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+       st.sampled_from([8000, 16000, 44100]),
+       st.integers(1, 3))
+@settings(max_examples=40, deadline=None)
+def test_wav_round_trip_property(samples, rate, ch):
+    """encode→decode is the identity for any PCM16 payload/rate/channels."""
+    import numpy as np
+    from effocr_spark.synth.wavcodec import decode_wav, encode_wav
+
+    n = (len(samples) // ch) * ch
+    if n == 0:
+        return
+    arr = np.asarray(samples[:n], np.int16).reshape(-1, ch)
+    back, r = decode_wav(encode_wav(arr, rate))
+    assert r == rate and (back == arr).all()
+
+
+@given(st.integers(2, 30), st.integers(2, 12), st.integers(1, 6),
+       st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_knn_topk_property(nq, nprotos, k, seed):
+    """knn_topk rows are always sorted desc by score and agree with the
+    argsort oracle for any shapes/k (clamped when k > K)."""
+    import numpy as np
+    from effocr_spark.functions.recognize import knn_topk
+
+    rng = np.random.RandomState(seed)
+    q = rng.standard_normal((nq, 5)).astype(np.float64)
+    p = rng.standard_normal((nprotos, 5)).astype(np.float64)
+    idx, sc = knn_topk(q, p, k=k)
+    kk = min(k, nprotos)
+    assert idx.shape == (nq, kk)
+    sims = q @ p.T
+    for i in range(nq):
+        assert (np.diff(sc[i]) <= 1e-12).all()
+        want = np.argsort(-sims[i], kind="stable")[:kk]
+        assert (idx[i] == want).all()
