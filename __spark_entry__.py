@@ -707,6 +707,42 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_coco_sink_roundtrip(spark, sf_dir):
+    """K2 end-to-end through the REAL pipeline: extraction → span
+    emission (ocr_spans_branch) → COCO JSONL serialization
+    (coco_json_lines) → parse back → per-image invariants. Ids are
+    partitioning-dependent (monotonically_increasing_id) so the check
+    keys on content: per url, the annotation count, the char stream in
+    reading order, and that it equals the page text minus whitespace
+    (the reference's own writer-loop assert, infer_effocr.py:557).
+    Golden-pinned."""
+    from effocr_spark.operators.coco_sink import coco_json_lines, extraction_spans
+    from effocr_spark.operators.extract import is_image_page, ocr_spans_branch
+    from effocr_spark.synth.pages import pages_df
+
+    pages, _ = pages_df(spark, 60, seed=42)
+    res = ocr_spans_branch(pages.filter(is_image_page(F.col("html"))),
+                           _protos_bc(spark))
+    lines = coco_json_lines(extraction_spans(res))
+    schema = ("image struct<file_name:string, height:int, width:int, "
+              "id:long, text:string>, "
+              "annotations array<struct<segmentation:array<array<long>>, "
+              "area:long, iscrowd:int, image_id:long, bbox:array<long>, "
+              "category_id:int, id:long, score:double, text:string>>")
+    parsed = lines.select(F.from_json("value", schema).alias("d"))
+    return parsed.select(
+        F.col("d.image.file_name").alias("url"),
+        F.col("d.image.height").alias("height"),
+        F.col("d.image.width").alias("width"),
+        F.size("d.annotations").cast("long").alias("n_annos"),
+        F.concat_ws("", F.expr("transform(d.annotations, a -> a.text)"))
+        .alias("char_stream"),
+        (F.concat_ws("", F.expr("transform(d.annotations, a -> a.text)"))
+         == F.regexp_replace(F.col("d.image.text"), r"[ \n]", ""))
+        .alias("stream_matches_text"),
+    )
+
+
 def q_trocr_eval(spark, sf_dir):
     """TrOCR seq2seq baseline (reference trocr/infer_trocr.py): beam
     decode over synthetic line images + textline_evaluation(uncased),
@@ -798,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "srp_neardup": q_srp_neardup,
         "audio_features": q_audio_features,
+        "coco_sink_roundtrip": q_coco_sink_roundtrip,
     }
 
 
@@ -1221,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _golden_sql("hard_negatives"),
         "srp_neardup": _golden_sql("srp_neardup"),
         "audio_features": _golden_sql("audio_features"),
+        "coco_sink_roundtrip": _golden_sql("coco_sink_roundtrip"),
         "envelope_join": """
             WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
             chars AS (

@@ -26,6 +26,39 @@ from ..synth.imgcodec import decode_png, encode_png, to_rgb
 DATASET_SCHEMA = "codepoint int, source string, image binary"
 
 
+def load_charset(spark: SparkSession, paths: list[str] | str) -> list[str]:
+    """S5 charset source, the reference's tab-file reader as a Spark
+    ingestion (format_effocr_recognizer_dataset.py:125-128 load_chars +
+    :362-366 collection): each file is one entry per line, tab-separated
+    fields, the CHARACTER is the last field. Union over all files,
+    sorted(set(...)) — ready to broadcast. spark.read.text keeps the
+    path cluster-readable (HDFS/S3), unlike open()."""
+    if isinstance(paths, str):
+        paths = [paths]
+    rows = (
+        spark.read.text(paths)
+        .select(F.element_at(F.split("value", "\t"), -1).alias("c"))
+        .filter(F.length("c") > 0)
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def harmonize_charset(all_chars, extra=(), remove=()) -> list[str]:
+    """E1 union + except (:371-382): sorted(set(all + extra) - remove).
+    The jp path's digits/latin/extra_chars/chars_to_remove flow is this
+    exact shape."""
+    return sorted((set(all_chars) | set(extra)) - set(remove))
+
+
+def save_charset(chars: list[str], path: str) -> None:
+    """Reference output format (:376-381): one DECIMAL codepoint per
+    line."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(str(ord(c)) for c in chars))
+
+
 def paired_crops(images: DataFrame, annotations: DataFrame) -> DataFrame:
     """images(id, png, text) × annotations(image_id, category_id,
     bbox[x,y,w,h]) → (codepoint, 'paired', crop png).

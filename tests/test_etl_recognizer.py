@@ -81,3 +81,31 @@ def test_quarantined_page_excluded(spark, fixtures):
     # chars from image 99 ('abc' with 2 annos) must not appear as paired
     n_paired = ds.filter("source = 'paired'").count()
     assert n_paired == sum(len(t.replace(" ", "")) for t in texts)
+
+
+def test_charset_tab_file_source(spark, tmp_path):
+    """S5: the reference's tab-separated charset files read through
+    spark.read.text (load_chars parity: char = last tab field), plus the
+    union+except harmonization and decimal-codepoint save format."""
+    from effocr_spark.operators.etl_recognizer import (
+        harmonize_charset, load_charset, save_charset)
+    from effocr_spark.synth.font import EN_CHARSET
+
+    chars = load_charset(spark, "/root/repo/data/charset_en.txt")
+    assert chars == sorted(set(EN_CHARSET))
+
+    # multiple files union; multi-field lines keep the LAST field
+    f1 = tmp_path / "a.txt"
+    f1.write_text("0061\ta\n0062\tb\n", encoding="utf-8")
+    f2 = tmp_path / "b.txt"
+    f2.write_text("id\tname\tb\nid2\tname2\tc\n", encoding="utf-8")
+    got = load_charset(spark, [str(f1), str(f2)])
+    assert got == ["a", "b", "c"]
+
+    # jp-path harmonization shape (:371-382)
+    full = harmonize_charset(got, extra="09", remove="b")
+    assert full == ["0", "9", "a", "c"]
+
+    out = tmp_path / "full_charset.txt"
+    save_charset(full, str(out))
+    assert out.read_text() == "\n".join(str(ord(c)) for c in full)
