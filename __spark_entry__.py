@@ -707,6 +707,36 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_extract_pdf(spark, sf_dir):
+    """PDF layout-parse branch (north rule: 'HTML boilerplate strip,
+    PDF/layout parse, DOM heuristics'): three-way routed extraction over
+    a deterministic mixed fixture — FlateDecode + uncompressed text
+    PDFs, an unsupported-filter PDF (quarantined), and the usual
+    PNG/HTML pages. Golden-pinned."""
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.pages import pages_df
+    from effocr_spark.synth.pdfgen import make_pdf
+
+    pages, _ = pages_df(spark, 40, seed=42)
+    pdf_rows = []
+    for i in range(12):
+        lines = [f"Document {i} line {j} of synthetic text"
+                 for j in range(1 + i % 3)]
+        pdf_rows.append((f"pdf://doc/{i:03d}", None,
+                         bytearray(make_pdf([lines], compress=i % 2 == 0)),
+                         None, "en"))
+    pdf_rows.append(("pdf://bad/0", None,
+                     bytearray(b"%PDF-1.4\n<< /Filter /LZWDecode >>\n"
+                               b"stream\nxx\nendstream"), None, "en"))
+    extra = spark.createDataFrame(
+        pdf_rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    mixed = pages.select("url", "warc_ts", "html", "text", "lang") \
+        .unionByName(extra)
+    res = extract_pages(mixed, _protos_bc(spark), salt_partitions=8)
+    return res.select("url", "branch", "extracted_text", "ok")
+
+
 def q_coco_sink_roundtrip(spark, sf_dir):
     """K2 end-to-end through the REAL pipeline: extraction → span
     emission (ocr_spans_branch) → COCO JSONL serialization
@@ -835,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_neardup": q_srp_neardup,
         "audio_features": q_audio_features,
         "coco_sink_roundtrip": q_coco_sink_roundtrip,
+        "extract_pdf": q_extract_pdf,
     }
 
 
@@ -1259,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_neardup": _golden_sql("srp_neardup"),
         "audio_features": _golden_sql("audio_features"),
         "coco_sink_roundtrip": _golden_sql("coco_sink_roundtrip"),
+        "extract_pdf": _golden_sql("extract_pdf"),
         "envelope_join": """
             WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
             chars AS (

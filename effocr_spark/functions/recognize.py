@@ -47,8 +47,10 @@ def _transform_batched(crops: list[np.ndarray | None]) -> np.ndarray:
     for (h, w), idxs in groups.items():
         side = max(h, w)
         stack = np.full((len(idxs), side, side, 3), 255, dtype=np.uint8)
-        for j, i in enumerate(idxs):
-            stack[j, :h, :w, :] = crops[i]
+        # one C-level bulk copy per shape group instead of a Python
+        # assignment per crop (the fill loop was >half the per-page
+        # transform cost at fixture sizes)
+        stack[:, :h, :w, :] = np.asarray([crops[i] for i in idxs])
         ys = np.minimum((np.arange(size) * side) // size, side - 1)
         xs = ys  # square: identical index vector
         # normalize the SMALL padded crop first, then nearest-neighbor

@@ -326,3 +326,36 @@ def dom_branch(df: DataFrame) -> DataFrame:
 def is_image_page(html_col):
     """JVM-side content sniff: PNG magic bytes prefix (no Python UDF)."""
     return F.substring(html_col, 1, 8) == F.lit(PNG_MAGIC)
+
+
+def is_pdf_page(html_col):
+    """JVM-side content sniff: %PDF- header (no Python UDF)."""
+    return F.substring(html_col, 1, 5) == F.lit(b"%PDF-")
+
+
+def pdf_branch(df: DataFrame) -> DataFrame:
+    """(url, html=PDF bytes) pages → same output schema as the other
+    branches. The extractor (functions/pdftext.py) handles uncompressed
+    and FlateDecode content streams pure-stdlib; encrypted/exotic PDFs
+    quarantine into ok=False rows (never crash the job)."""
+    from ..functions.pdftext import extract_pdf_text
+
+    def pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts, oks, errs = [], [], [], []
+            for url, data in zip(pdf["url"], pdf["html"]):
+                try:
+                    texts.append(extract_pdf_text(bytes(data)))
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:
+                    texts.append(None)
+                    oks.append(False)
+                    errs.append(f"pdf: {e!r}"[:200])
+                urls.append(url)
+            yield pd.DataFrame({
+                "url": urls, "extracted_text": texts,
+                "n_chars": [0] * len(urls), "ok": oks, "error": errs,
+            })
+
+    return df.select("url", "html").mapInPandas(pdf_batches, OCR_OUT_SCHEMA)

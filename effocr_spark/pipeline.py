@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.recognize import build_prototypes
-from .operators.extract import dom_branch, is_image_page, ocr_branch
+from .operators.extract import (dom_branch, is_image_page, is_pdf_page,
+                                ocr_branch, pdf_branch)
 
 RESULT_SCHEMA_HINT = (
     "url string, extracted_text string, n_chars int, ok boolean, "
@@ -52,9 +53,16 @@ def extract_pages(
     recognizer: str = "knn",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
-    (url, extracted_text, n_chars, ok, error, branch)."""
+    (url, extracted_text, n_chars, ok, error, branch).
+
+    Three-way content routing by JVM-side magic-byte sniff (no Python in
+    the router): PNG → OCR, %PDF → PDF layout parse, else → DOM strip.
+    Branches are disjoint by construction, so fusion stays a
+    unionByName (zero shuffles outside the salted OCR repartition)."""
     image_rows = pages.filter(is_image_page(F.col("html")))
-    dom_rows = pages.filter(~is_image_page(F.col("html")))
+    pdf_rows = pages.filter(is_pdf_page(F.col("html")))
+    dom_rows = pages.filter(~is_image_page(F.col("html"))
+                            & ~is_pdf_page(F.col("html")))
 
     if salt_partitions:
         # defuse host skew: image-heavy hosts cluster in url space, and
@@ -66,9 +74,11 @@ def extract_pages(
     ocr = ocr_branch(image_rows, protos_bc, conf_thres, iou_thres,
                      anchor_margin, spell_check, recognizer)
     dom = dom_branch(dom_rows)
+    pdfs = pdf_branch(pdf_rows)
     return (
         ocr.withColumn("branch", F.lit("ocr"))
         .unionByName(dom.withColumn("branch", F.lit("dom")))
+        .unionByName(pdfs.withColumn("branch", F.lit("pdf")))
     )
 
 

@@ -1,0 +1,73 @@
+"""Deterministic minimal PDF writer for fixtures.
+
+Produces well-formed single- or multi-page text PDFs (catalog → pages →
+page → FlateDecode-or-raw content stream + Helvetica font), with a
+correct xref table so external readers accept them too. The content
+stream uses the operators the extractor parses: BT/ET, Tf, Td, TJ with
+kerning, Tj, T' — giving the fixture real layout structure, not just a
+blob of Tj calls.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _content_stream(lines: list[str]) -> bytes:
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        words = line.split(" ")
+        if len(words) > 1:
+            # TJ array with explicit inter-word kerning (< -180 reads
+            # back as a space)
+            parts = " -250 ".join(f"({_escape(w)})" for w in words)
+            ops.append(f"[{parts}] TJ")
+        else:
+            ops.append(f"({_escape(line)}) Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def make_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """pages = list of pages, each a list of text lines → PDF bytes."""
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 2 * n_pages
+    for i, lines in enumerate(pages):
+        content = _content_stream(lines)
+        if compress:
+            content = zlib.compress(content)
+            filt = " /Filter /FlateDecode"
+        else:
+            filt = ""
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
+            f"{font_num} 0 R >> >> >>".encode())
+        objs.append(f"<< /Length {len(content)}{filt} >>\nstream\n"
+                    .encode() + content + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

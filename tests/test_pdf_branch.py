@@ -1,0 +1,82 @@
+"""PDF layout-parse branch (north rule: "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics"): minimal real extractor over
+uncompressed + FlateDecode content streams, three-way pipeline routing,
+quarantine semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from effocr_spark.functions.pdftext import extract_pdf_text, is_pdf
+from effocr_spark.operators.extract import is_pdf_page, pdf_branch
+from effocr_spark.pipeline import extract_pages
+from effocr_spark.synth.pdfgen import make_pdf
+
+
+def test_pdf_round_trip_compressed_and_raw():
+    pages = [["Hello world from PDF", "Second line (with parens)"],
+             ["Page two text here"]]
+    want = ("Hello world from PDF\nSecond line (with parens)\n"
+            "Page two text here")
+    assert extract_pdf_text(make_pdf(pages, compress=True)) == want
+    assert extract_pdf_text(make_pdf(pages, compress=False)) == want
+
+
+def test_pdf_escapes_and_kerning_spaces():
+    # TJ kerning < -180 units reads back as a space; escaped parens and
+    # octal escapes decode
+    pdf = make_pdf([[r"a(b)c\d", "two words"]])
+    assert extract_pdf_text(pdf) == "a(b)c\\d\ntwo words"
+
+
+def test_pdf_quarantine_paths():
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"<html>not a pdf</html>")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(b"%PDF-1.4\n1 0 obj << /Encrypt 5 0 R >> endobj")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(b"%PDF-1.4\n<< /Filter /DCTDecode >>\nstream\n"
+                         b"\xff\xd8jpegdata\nendstream")
+    assert is_pdf(b"%PDF-1.7\n") and not is_pdf(b"PDF-")
+
+
+def test_pipeline_three_way_routing(spark, protos_bc):
+    """PNG → ocr, %PDF → pdf, else → dom; per-branch ok/error columns."""
+    from effocr_spark.synth.pages import pages_df
+
+    pages, _ = pages_df(spark, 30, seed=42)
+    pdf_rows = [
+        ("pdf://good/1", None, make_pdf([["Alpha beta gamma", "Delta"]]),
+         None, "en"),
+        ("pdf://good/2", None, make_pdf([["Uncompressed page"]],
+                                        compress=False), None, "en"),
+        ("pdf://bad/1", None, b"%PDF-1.4\n<< /Filter /LZWDecode >>\n"
+                              b"stream\nxx\nendstream", None, "en"),
+    ]
+    extra = spark.createDataFrame(
+        [(u, t, bytearray(h), x, l) for u, t, h, x, l in pdf_rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    all_pages = pages.select("url", "warc_ts", "html", "text", "lang") \
+        .unionByName(extra)
+    res = {r["url"]: r for r in
+           extract_pages(all_pages, protos_bc).collect()}
+    assert len(res) == 33
+    assert res["pdf://good/1"]["branch"] == "pdf"
+    assert res["pdf://good/1"]["ok"]
+    assert res["pdf://good/1"]["extracted_text"] == "Alpha beta gamma\nDelta"
+    assert res["pdf://good/2"]["extracted_text"] == "Uncompressed page"
+    bad = res["pdf://bad/1"]
+    assert bad["branch"] == "pdf" and not bad["ok"]
+    assert "unsupported stream filter" in bad["error"]
+    branches = {r["branch"] for u, r in res.items() if "pdf://" not in u}
+    assert branches == {"ocr", "dom"}  # original fixture rows unaffected
+
+
+def test_pdf_branch_is_jvm_routed(spark):
+    """The router predicate is a pure JVM expression (no Python UDF in
+    the sniff)."""
+    df = spark.createDataFrame(
+        [("a", bytearray(b"%PDF-1.4 x")), ("b", bytearray(b"<html>"))],
+        "url string, html binary")
+    plan = df.filter(is_pdf_page(F.col("html")))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
