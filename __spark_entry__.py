@@ -737,6 +737,42 @@ def q_extract_pdf(spark, sf_dir):
     return res.select("url", "branch", "extracted_text", "ok")
 
 
+def q_extract_embedded(spark, sf_dir):
+    """Embedded-image fusion (north star: detector over rendered page
+    regions AND embedded images): born-digital pages carrying data-URI
+    PNGs get their images OCR'd through the standard branch and fused
+    onto the DOM text per url, in image order. Deterministic fixture;
+    golden-pinned."""
+    import base64
+
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import encode_png
+    from effocr_spark.synth.pages import _en_ocr_line, _rng
+
+    rows = []
+    for i in range(16):
+        rng = _rng(123, i)
+        body = f"Body paragraph {i} of the born digital page"
+        imgs = ""
+        for j in range(i % 3):
+            line = _en_ocr_line(rng, 3)
+            uri = ("data:image/png;base64," + base64.b64encode(
+                encode_png(render_line(line)[0])).decode())
+            imgs += f'<img src="{uri}">'
+        html = (f"<html><body><div id='m'><p>{body}</p>{imgs}</div>"
+                f"</body></html>").encode()
+        rows.append((f"https://emb.example/{i:03d}", None,
+                     bytearray(html), None, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    res = extract_pages(pages, _protos_bc(spark), embedded_images=True,
+                        salt_partitions=4)
+    return res.select("url", "branch", "extracted_text",
+                      F.col("n_chars").cast("long").alias("n_chars"), "ok")
+
+
 def q_coco_sink_roundtrip(spark, sf_dir):
     """K2 end-to-end through the REAL pipeline: extraction → span
     emission (ocr_spans_branch) → COCO JSONL serialization
@@ -866,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "coco_sink_roundtrip": q_coco_sink_roundtrip,
         "extract_pdf": q_extract_pdf,
+        "extract_embedded": q_extract_embedded,
     }
 
 
@@ -1291,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _golden_sql("audio_features"),
         "coco_sink_roundtrip": _golden_sql("coco_sink_roundtrip"),
         "extract_pdf": _golden_sql("extract_pdf"),
+        "extract_embedded": _golden_sql("extract_embedded"),
         "envelope_join": """
             WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
             chars AS (

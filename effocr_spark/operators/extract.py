@@ -333,6 +333,58 @@ def is_pdf_page(html_col):
     return F.substring(html_col, 1, 5) == F.lit(b"%PDF-")
 
 
+_DATA_URI_MARK = "data:image/png;base64,"
+_DATA_URI_RE = None  # compiled lazily in the worker
+
+
+def has_embedded_png(html_col):
+    """JVM-side pre-filter for HTML pages carrying data-URI PNGs (the
+    north star's 'embedded images'): a cheap contains() so the embedded-
+    image explode UDF only ever sees candidate rows."""
+    return F.contains(html_col.cast("string"), F.lit(_DATA_URI_MARK))
+
+
+EMBEDDED_SCHEMA = "url string, img_idx int, html binary, lang string"
+
+
+def embedded_png_rows(df: DataFrame) -> DataFrame:
+    """HTML pages → one row per embedded data-URI PNG
+    (url, img_idx, png bytes, lang), ready for the standard OCR branch.
+    Undecodable base64 payloads are skipped (quarantine by omission —
+    the page's DOM text still flows through the DOM branch)."""
+    import base64
+    import re
+
+    def explode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        global _DATA_URI_RE
+        if _DATA_URI_RE is None:
+            _DATA_URI_RE = re.compile(
+                re.escape(_DATA_URI_MARK) + r"([A-Za-z0-9+/=]+)")
+        for pdf in batches:
+            urls, idxs, blobs, langs = [], [], [], []
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                try:
+                    text = bytes(html).decode("utf-8", errors="replace")
+                except Exception:
+                    continue
+                for i, m in enumerate(_DATA_URI_RE.finditer(text)):
+                    try:
+                        blob = base64.b64decode(m.group(1), validate=True)
+                    except Exception:
+                        continue
+                    if blob[:8] != PNG_MAGIC:
+                        continue
+                    urls.append(url)
+                    idxs.append(i)
+                    blobs.append(blob)
+                    langs.append(lang)
+            yield pd.DataFrame({"url": urls, "img_idx": idxs,
+                                "html": blobs, "lang": langs})
+
+    return df.select("url", "html", "lang").mapInPandas(
+        explode_batches, EMBEDDED_SCHEMA)
+
+
 def pdf_branch(df: DataFrame) -> DataFrame:
     """(url, html=PDF bytes) pages → same output schema as the other
     branches. The extractor (functions/pdftext.py) handles uncompressed

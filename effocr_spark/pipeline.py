@@ -51,6 +51,7 @@ def extract_pages(
     anchor_margin: float | None = None,
     spell_check: bool = False,
     recognizer: str = "knn",
+    embedded_images: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
     (url, extracted_text, n_chars, ok, error, branch).
@@ -75,6 +76,56 @@ def extract_pages(
                      anchor_margin, spell_check, recognizer)
     dom = dom_branch(dom_rows)
     pdfs = pdf_branch(pdf_rows)
+
+    if embedded_images:
+        # the north star's "embedded images": data-URI PNGs inside
+        # born-digital pages run through the SAME OCR branch (one derived
+        # row per image, url tagged with its index), then fuse back onto
+        # the page's DOM text. JVM contains() pre-filter keeps the
+        # explode UDF off pages without candidates; the groupBy+join
+        # touches only the embedded subset (tiny fraction at web scale).
+        from .operators.extract import embedded_png_rows, has_embedded_png
+
+        SEP = "emb"
+        cand = dom_rows.filter(has_embedded_png(F.col("html")))
+        emb = embedded_png_rows(cand)
+        if salt_partitions:
+            emb = emb.repartition(
+                salt_partitions, F.xxhash64(F.col("url"), F.lit(0x5A17)))
+        emb_in = emb.select(
+            F.concat_ws(SEP, F.col("url"),
+                        F.col("img_idx").cast("string")).alias("url"),
+            "html", "lang")
+        emb_ocr = ocr_branch(emb_in, protos_bc, conf_thres, iou_thres,
+                             anchor_margin, spell_check, recognizer)
+        emb_texts = (
+            emb_ocr
+            .select(
+                F.split_part(F.col("url"), F.lit(SEP), F.lit(1)).alias("url"),
+                F.split_part(F.col("url"), F.lit(SEP), F.lit(2))
+                .cast("int").alias("img_idx"),
+                "extracted_text", "n_chars")
+            .filter(F.col("extracted_text").isNotNull())
+            .groupBy("url")
+            .agg(
+                F.concat_ws("\n", F.expr(
+                    "transform(array_sort(collect_list(struct(img_idx, "
+                    "extracted_text))), x -> x.extracted_text)"))
+                .alias("_emb_text"),
+                F.sum("n_chars").cast("int").alias("_emb_chars"))
+        )
+        dom = (
+            dom.join(emb_texts, "url", "left")
+            .select(
+                "url",
+                F.when(F.col("_emb_text").isNotNull(),
+                       F.concat_ws("\n", "extracted_text", "_emb_text"))
+                .otherwise(F.col("extracted_text")).alias("extracted_text"),
+                F.coalesce(F.col("_emb_chars"), F.col("n_chars"))
+                .alias("n_chars"),
+                "ok", "error")
+        )
+
     return (
         ocr.withColumn("branch", F.lit("ocr"))
         .unionByName(dom.withColumn("branch", F.lit("dom")))

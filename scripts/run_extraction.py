@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--anchor-margin", type=float, default=None,
                     help="en casing-correction margin (reference --anchor_margin)")
     ap.add_argument("--spell-check", action="store_true", default=False)
+    ap.add_argument("--embedded-images", action="store_true", default=False,
+                    help="OCR data-URI PNGs inside HTML pages and fuse "
+                         "their text onto the DOM output per url")
     ap.add_argument("--conf-thres", type=float, default=0.35)
     ap.add_argument("--iou-thres", type=float, default=0.01)
     ap.add_argument("--cpus", type=int, default=None)
@@ -68,6 +71,7 @@ def main() -> None:
         salt_partitions=salt,
         conf_thres=args.conf_thres, iou_thres=args.iou_thres,
         anchor_margin=args.anchor_margin, spell_check=args.spell_check,
+        embedded_images=args.embedded_images,
     )
     res = lineage.read_results(spark, args.output)
     met = lineage.read_metrics(spark, args.output)
