@@ -42,9 +42,10 @@ PAGES_PATH = "/tmp/effocr_bench_pages"
 
 HEADLINE = [
     "pricing_summary", "top_customers", "gt_pred_eval", "asof_join",
-    "exact_dedup", "minhash_sigs", "lsh_buckets", "simhash",
-    "doc_stats", "langid_confusion", "cosine_topk", "centroid_knn",
-    "events_daily", "hourly_windows",
+    "exact_dedup", "minhash_sigs", "lsh_buckets", "lsh_candidates",
+    "simhash", "doc_stats", "langid_confusion", "cosine_topk",
+    "centroid_knn", "knn_topk", "srp_neardup", "envelope_join",
+    "coco_spans", "events_daily", "hourly_windows",
 ]
 
 
