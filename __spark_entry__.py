@@ -773,6 +773,30 @@ def q_extract_embedded(spark, sf_dir):
                       F.col("n_chars").cast("long").alias("n_chars"), "ok")
 
 
+def q_jpeg_features(spark, sf_dir):
+    """Multimodal image plumbing over REAL baseline JPEG decode
+    (synth/jpegcodec.py, incl. 4:2:0): dims + mean luma over
+    deterministic synthesized blobs, plus a quarantined truncated row.
+    Golden-pinned (DCT decode isn't SQL-expressible)."""
+    import numpy as np
+    from effocr_spark.operators.multimodal import media_features
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jpegcodec import encode_jpeg
+    from effocr_spark.synth.pages import _en_ocr_line, _rng
+
+    rows = []
+    for i in range(10):
+        rng = _rng(777, i)
+        img, _, _ = render_line(_en_ocr_line(rng, 2 + i % 3))
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        rows.append((i, bytearray(encode_jpeg(rgb, subsample=i % 2 == 0))))
+    rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
+    df = spark.createDataFrame(rows, "id long, media binary")
+    out = media_features(df)
+    return out.select("id", "media_type", "width", "height",
+                      F.round("mean_luma", 2).alias("mean_luma"), "ok")
+
+
 def q_coco_sink_roundtrip(spark, sf_dir):
     """K2 end-to-end through the REAL pipeline: extraction → span
     emission (ocr_spans_branch) → COCO JSONL serialization
@@ -903,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coco_sink_roundtrip": q_coco_sink_roundtrip,
         "extract_pdf": q_extract_pdf,
         "extract_embedded": q_extract_embedded,
+        "jpeg_features": q_jpeg_features,
     }
 
 
@@ -1329,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "coco_sink_roundtrip": _golden_sql("coco_sink_roundtrip"),
         "extract_pdf": _golden_sql("extract_pdf"),
         "extract_embedded": _golden_sql("extract_embedded"),
+        "jpeg_features": _golden_sql("jpeg_features"),
         "envelope_join": """
             WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
             chars AS (

@@ -2,12 +2,14 @@
 
 Images/audio/video ride as `binary` columns with a sniffed `media_type`;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-mapInPandas stages. PNG decode is REAL (effocr_spark.synth.imgcodec) and
-WAV/PCM16 decode is REAL (effocr_spark.synth.wavcodec); JPEG and
-compressed audio/video are clearly-marked stubs (the container has no
-media libraries) — the Spark-side plumbing (schemas, batching,
-quarantine semantics, partitioning) is what this module pins down, and a
-real codec drops in behind `_decode_any` / `decode_wav`.
+mapInPandas stages. All three fixture codecs are REAL and pure
+stdlib/NumPy: PNG (effocr_spark.synth.imgcodec), baseline JPEG incl.
+4:2:0 (effocr_spark.synth.jpegcodec), WAV/PCM16
+(effocr_spark.synth.wavcodec). Progressive JPEG, compressed audio, and
+video remain clearly-marked seams (`_decode_any` / `decode_wav` raise
+NotImplementedError) for real libraries to drop into — the Spark-side
+plumbing (schemas, batching, quarantine semantics, partitioning) is
+identical either way.
 """
 
 from __future__ import annotations
@@ -47,13 +49,16 @@ def sniff_media_type(col):
 
 
 def _decode_any(data: bytes) -> np.ndarray:
-    """Decode to an HxWx3 uint8 array. PNG is real; everything else is a
-    stub awaiting a real codec."""
+    """Decode to an HxWx3 uint8 array. PNG and baseline JPEG are REAL
+    (synth/imgcodec.py, synth/jpegcodec.py); anything else raises for a
+    real image library to drop in."""
     if is_png(data):
         return to_rgb(decode_png(data))
+    from ..synth.jpegcodec import decode_jpeg, is_jpeg
+    if is_jpeg(data):
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "non-PNG decode requires an image library not present in this "
-        "environment; plug a real decoder in here")
+        "unrecognized image container; plug a real decoder in here")
 
 
 def media_features(df: DataFrame, id_col: str = "id",
@@ -66,7 +71,12 @@ def media_features(df: DataFrame, id_col: str = "id",
                                    "mean_luma", "ok", "error")}
             for i, b in zip(pdf[id_col], pdf[media_col]):
                 data = bytes(b) if b is not None else b""
-                mt = "image/png" if is_png(data) else "application/octet-stream"
+                if is_png(data):
+                    mt = "image/png"
+                elif data[:3] == b"\xff\xd8\xff":
+                    mt = "image/jpeg"
+                else:
+                    mt = "application/octet-stream"
                 try:
                     img = _decode_any(data)
                     out["width"].append(img.shape[1])

@@ -1,0 +1,500 @@
+"""Minimal REAL baseline JPEG codec — pure NumPy + stdlib.
+
+Closes the last stubbed image codec in the multimodal plumbing
+(operators/multimodal.py): PNG (imgcodec.py) and WAV (wavcodec.py) were
+already real; this adds JFIF baseline sequential DCT, 8-bit.
+
+Encoder: 4:4:4 (or grayscale), fixed quantization tables, per-image
+canonical Huffman tables — all tables are EMBEDDED in the stream
+(DQT/DHT), so the decoder needs no spec constants beyond the marker
+layout and the zigzag order (computed programmatically below).
+
+Decoder: baseline sequential, 1- or 3-component, arbitrary sampling
+factors up to 2x2 (covers 4:4:4 / 4:2:2 / 4:2:0), restart markers,
+0xFF00 byte stuffing. Progressive / arithmetic / 12-bit streams raise
+NotImplementedError for a real library drop-in.
+
+JPEG is lossy: round-trip tests assert PSNR, not byte equality; decode
+itself is deterministic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- shared
+
+def _zigzag() -> np.ndarray:
+    """The JPEG zigzag scan order as flat indices into an 8x8 block:
+    anti-diagonal s=i+j, odd s traversed i-ascending, even s
+    i-descending."""
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        order.extend(sorted(ij, reverse=(s % 2 == 0)))
+    return np.array([i * 8 + j for i, j in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+_T = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _a = np.sqrt(0.5) if _u == 0 else 1.0
+        _T[_u, _x] = 0.5 * _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+DCT_M = _T  # orthonormal 2D DCT: F = M @ b @ M.T ; b = M.T @ F @ M
+
+# encoder quant tables: flat-ish quality (fixture use, PSNR-tested)
+Q_LUMA = np.clip(np.add.outer(np.arange(8), np.arange(8)) * 2 + 8, 8, 40) \
+    .astype(np.int64)
+Q_CHROMA = np.clip(np.add.outer(np.arange(8), np.arange(8)) * 3 + 12, 12, 60) \
+    .astype(np.int64)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:3] == b"\xff\xd8\xff"
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = [rgb[..., i].astype(np.float64) for i in range(3)]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255) \
+        .round().astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s per spec
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _canonical_table(symbols: list[int]):
+    """Fixed-length canonical Huffman over the USED symbol set: every
+    symbol gets length L = ceil(log2(n+1)) (the +1 keeps the all-ones
+    code unused, which some decoders treat as reserved). Valid prefix
+    code, embedded in DHT, decoded canonically — no Annex K needed."""
+    syms = sorted(set(symbols))
+    L = max(int(np.ceil(np.log2(len(syms) + 1))), 1)
+    bits = [0] * 17
+    bits[L] = len(syms)
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+def _encode_blocks(planes: list[np.ndarray], qtabs: list[np.ndarray]):
+    """per-component plane (H,W multiple of 8) → list of per-block
+    zigzagged quantized coefficient arrays + symbol streams."""
+    comp_blocks = []
+    for plane, q in zip(planes, qtabs):
+        h, w = plane.shape
+        blocks = []
+        shifted = plane.astype(np.float64) - 128.0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                f = DCT_M @ shifted[by:by + 8, bx:bx + 8] @ DCT_M.T
+                qf = np.round(f / q).astype(np.int64)
+                blocks.append(qf.flatten()[ZIGZAG])
+        comp_blocks.append(blocks)
+    return comp_blocks
+
+
+def _mcu_block_order(hf: int, vf: int,
+                     mcux: int, mcuy: int) -> list[tuple[int, int]]:
+    """Block (y,x) origins in MCU-interleaved order for a component with
+    sampling factors (hf, vf)."""
+    order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vf):
+                for bx in range(hf):
+                    order.append(((my * vf + by) * 8, (mx * hf + bx) * 8))
+    return order
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 → baseline JFIF bytes
+    (4:4:4, or 4:2:0 with subsample=True; fixed quant, per-image
+    canonical Huffman tables)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        subsample = False
+    hf, vf = (2, 2) if subsample else (1, 1)
+    align = 8 * max(hf, vf)
+    ph, pw = -(-h // align) * align, -(-w // align) * align
+
+    if gray:
+        planes = [np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")]
+        qtabs = [Q_LUMA]
+        qids = [0]
+        samp = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [np.pad(ycc[..., i], ((0, ph - h), (0, pw - w)),
+                         mode="edge") for i in range(3)]
+        if subsample:
+            # chroma = mean of each 2x2 (the standard 4:2:0 downsample)
+            for i in (1, 2):
+                p = planes[i]
+                planes[i] = p.reshape(p.shape[0] // 2, 2,
+                                      p.shape[1] // 2, 2).mean(axis=(1, 3))
+        qtabs = [Q_LUMA, Q_CHROMA, Q_CHROMA]
+        qids = [0, 1, 1]
+        samp = [(hf, vf), (1, 1), (1, 1)]
+
+    comp_blocks = _encode_blocks(planes, qtabs)
+    # reorder each component's raster blocks into MCU-interleaved order
+    mcux, mcuy = pw // align, ph // align
+    for ci, plane in enumerate(planes):
+        cf_h, cf_v = samp[ci]
+        n_cols = plane.shape[1] // 8
+        order = _mcu_block_order(cf_h, cf_v, mcux, mcuy)
+        raster = comp_blocks[ci]
+        comp_blocks[ci] = [raster[(y // 8) * n_cols + (x // 8)]
+                           for y, x in order]
+    n_mcus = mcux * mcuy
+
+    # gather symbols for the two table classes (luma = comp 0, chroma = rest)
+    def _symbols(comps):
+        dc_syms, ac_syms = [], []
+        for ci in comps:
+            prev = 0
+            for blk in comp_blocks[ci]:
+                dc_syms.append(_category(int(blk[0]) - prev))
+                prev = int(blk[0])
+                run = 0
+                for v in blk[1:]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms.append(0xF0)
+                        run -= 16
+                    ac_syms.append((run << 4) | _category(int(v)))
+                    run = 0
+                if run:
+                    ac_syms.append(0x00)
+        return dc_syms or [0], ac_syms or [0]
+
+    groups = [[0], list(range(1, len(planes)))] if not gray else [[0]]
+    tables = {}
+    for tid, comps in enumerate(groups):
+        dc_syms, ac_syms = _symbols(comps)
+        tables[(0, tid)] = _canonical_table(dc_syms)
+        tables[(1, tid)] = _canonical_table(ac_syms)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for qid, q in enumerate(qtabs[:2] if not gray else qtabs[:1]):
+        zz = q.flatten()[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([qid]) + zz
+    # SOF0
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    # DHT
+    for (cls, tid), (bits, syms, _) in sorted(tables.items()):
+        payload = bytes([(cls << 4) | tid]) + bytes(bits[1:17]) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    comp_tid = [0] + [min(1, len(groups) - 1)] * 2
+    for ci in range(ncomp):
+        tid = comp_tid[ci]
+        out += bytes([ci + 1, (tid << 4) | tid])
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    prevs = [0] * ncomp
+    bpm = [sh * sv for sh, sv in samp]  # blocks per MCU per component
+    for m in range(n_mcus):
+        for ci in range(ncomp):
+            tid = comp_tid[ci]
+            _, _, dc_codes = tables[(0, tid)]
+            _, _, ac_codes = tables[(1, tid)]
+            for k in range(bpm[ci]):
+                blk = comp_blocks[ci][m * bpm[ci] + k]
+                diff = int(blk[0]) - prevs[ci]
+                prevs[ci] = int(blk[0])
+                cat = _category(diff)
+                code, L = dc_codes[cat]
+                bw.write(code, L)
+                if cat:
+                    mag = diff if diff > 0 else diff + (1 << cat) - 1
+                    bw.write(mag, cat)
+                run = 0
+                for v in blk[1:]:
+                    v = int(v)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, L = ac_codes[0xF0]
+                        bw.write(code, L)
+                        run -= 16
+                    cat = _category(v)
+                    code, L = ac_codes[(run << 4) | cat]
+                    bw.write(code, L)
+                    mag = v if v > 0 else v + (1 << cat) - 1
+                    bw.write(mag, cat)
+                    run = 0
+                if run:
+                    code, L = ac_codes[0x00]
+                    bw.write(code, L)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return  # restart marker: caller handles
+                else:
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
+        return v
+
+    def align_restart(self):
+        """Skip to just past the next RSTn marker, dropping buffered bits."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], values: bytes):
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for L in range(1, 17):
+            if bits[L]:
+                self.valptr[L] = k
+                self.mincode[L] = code
+                code += bits[L]
+                k += bits[L]
+                self.maxcode[L] = code - 1
+            code <<= 1
+        self.values = values
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read(1)
+        for L in range(1, 17):
+            if self.maxcode[L] >= 0 and code <= self.maxcode[L]:
+                return self.values[self.valptr[L] + code - self.mincode[L]]
+            code = (code << 1) | br.read(1)
+        raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → HxWx3 uint8 RGB (grayscale replicated)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2: pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                flat = np.frombuffer(body[off + 1: off + 65], np.uint8) \
+                    .astype(np.int64)
+                q = np.zeros(64, np.int64)
+                q[ZIGZAG] = flat
+                qtabs[tq] = q.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = [0] + list(body[off + 1: off + 17])
+                n = sum(bits)
+                htabs[(cls, tid)] = _HuffTable(
+                    bits, body[off + 17: off + 17 + n])
+                off += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic); plug a real "
+                "image library in")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            return _decode_scan(data, pos + seglen, frame, scan, qtabs,
+                                htabs, restart_interval)
+        pos += seglen
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c, _, _ in scan:
+        planes.append(np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                               np.float64))
+    br = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_restart()
+                preds = [0] * len(scan)
+            mcu_count += 1
+            for ci, (c, td, ta) in enumerate(scan):
+                q = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.float64)
+                        cat = htabs[(0, td)].decode(br)
+                        diff = _extend(br.read(cat), cat) if cat else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = htabs[(1, ta)].decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            blk[k] = _extend(br.read(s), s)
+                            k += 1
+                        deq = np.zeros(64, np.float64)
+                        deq[ZIGZAG] = blk * q.flatten()[ZIGZAG]
+                        pix = DCT_M.T @ deq.reshape(8, 8) @ DCT_M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    # upsample to full grid and crop
+    full = []
+    for (c, _, _), plane in zip(scan, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).round().astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))

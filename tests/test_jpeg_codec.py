@@ -1,0 +1,93 @@
+"""Baseline JPEG codec: lossy round trips (PSNR-gated), 4:4:4 and 4:2:0
+sampling, grayscale, marker-level structure, quarantine seams, and the
+multimodal integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from effocr_spark.synth.font import render_line
+from effocr_spark.synth.jpegcodec import (
+    ZIGZAG, decode_jpeg, encode_jpeg, is_jpeg)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def test_zigzag_is_a_permutation_with_known_prefix():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec prefix: (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),(0,3),(1,2)
+    assert ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_round_trip_text_image(subsample):
+    img, _, _ = render_line("The quick brown fox 1885")
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    blob = encode_jpeg(rgb, subsample=subsample)
+    assert is_jpeg(blob) and blob.endswith(b"\xff\xd9")
+    back = decode_jpeg(blob)
+    assert back.shape == rgb.shape
+    assert _psnr(back, rgb) > 30.0
+
+
+def test_round_trip_color_and_gray():
+    rng = np.random.RandomState(4)
+    smooth = np.zeros((40, 56, 3), np.uint8)
+    smooth[..., 0] = np.linspace(10, 240, 56, dtype=np.uint8)[None, :]
+    smooth[..., 1] = np.linspace(240, 10, 40, dtype=np.uint8)[:, None]
+    smooth[..., 2] = 99
+    assert _psnr(decode_jpeg(encode_jpeg(smooth)), smooth) > 34.0
+    assert _psnr(decode_jpeg(encode_jpeg(smooth, subsample=True)),
+                 smooth) > 30.0
+
+    gray = (rng.standard_normal((24, 33)) * 20 + 128).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(gray))
+    assert back.shape == (24, 33, 3)
+    assert _psnr(back[..., 0], gray) > 28.0
+    # gray replicates across channels
+    assert (back[..., 0] == back[..., 1]).all()
+
+
+def test_decode_is_deterministic():
+    img, _, _ = render_line("Determinism check line")
+    blob = encode_jpeg(np.repeat(img[:, :, None], 3, axis=2))
+    assert decode_jpeg(blob).tobytes() == decode_jpeg(blob).tobytes()
+
+
+def test_non_multiple_of_block_sizes():
+    for shape in ((9, 13, 3), (8, 8, 3), (17, 31, 3)):
+        img = np.full(shape, 200, np.uint8)
+        img[2:5, 3:7] = 30
+        back = decode_jpeg(encode_jpeg(img, subsample=True))
+        assert back.shape == shape
+        assert _psnr(back, img) > 28.0
+
+
+def test_quarantine_seams():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # progressive SOF2 → explicit library seam
+    prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+            + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_media_features_decodes_jpeg(spark):
+    from effocr_spark.operators.multimodal import media_features
+
+    img, _, _ = render_line("Media feature jpeg line")
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    rows = [(1, bytearray(encode_jpeg(rgb))),
+            (2, bytearray(encode_jpeg(rgb, subsample=True)))]
+    out = {r["id"]: r for r in media_features(
+        spark.createDataFrame(rows, "id long, media binary")).collect()}
+    for i in (1, 2):
+        r = out[i]
+        assert r["ok"] and r["media_type"] == "image/jpeg"
+        assert (r["width"], r["height"]) == (rgb.shape[1], rgb.shape[0])
+        assert abs(r["mean_luma"] - float(rgb.mean())) < 8.0
