@@ -35,6 +35,18 @@ from ..synth import model as synthmodel
 from ..synth.imgcodec import decode_png, is_png, to_rgb
 
 PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def decode_image(data: bytes):
+    """PNG or baseline-JPEG bytes → HxWx3 uint8 (the reference globs
+    *.png AND *.jpg, infer_effocr_onnx_multi.py:466-468 — S1 parity)."""
+    if is_png(data):
+        return to_rgb(decode_png(data))
+    from ..synth.jpegcodec import decode_jpeg, is_jpeg
+    if is_jpeg(data):
+        return decode_jpeg(data)
+    raise ValueError("unsupported image container")
 
 OCR_OUT_SCHEMA = (
     "url string, extracted_text string, n_chars int, ok boolean, error string"
@@ -67,7 +79,7 @@ def localize_page(png_bytes: bytes, lang: str, vertical: bool,
     from ..functions.lineseg import (column_strips_with_offsets,
                                      line_strips_with_offsets)
 
-    im = to_rgb(decode_png(png_bytes))
+    im = decode_image(png_bytes)
     pairs = (column_strips_with_offsets(im) if vertical
              else line_strips_with_offsets(im))
     lines = []
@@ -324,8 +336,10 @@ def dom_branch(df: DataFrame) -> DataFrame:
 
 
 def is_image_page(html_col):
-    """JVM-side content sniff: PNG magic bytes prefix (no Python UDF)."""
-    return F.substring(html_col, 1, 8) == F.lit(PNG_MAGIC)
+    """JVM-side content sniff: PNG or JPEG magic prefix (no Python UDF;
+    the reference's *.png + *.jpg glob, S1)."""
+    return ((F.substring(html_col, 1, 8) == F.lit(PNG_MAGIC))
+            | (F.substring(html_col, 1, 3) == F.lit(JPEG_MAGIC)))
 
 
 def is_pdf_page(html_col):
@@ -333,12 +347,12 @@ def is_pdf_page(html_col):
     return F.substring(html_col, 1, 5) == F.lit(b"%PDF-")
 
 
-_DATA_URI_MARK = "data:image/png;base64,"
+_DATA_URI_MARK = "data:image/"  # png or jpeg; full match below
 _DATA_URI_RE = None  # compiled lazily in the worker
 
 
 def has_embedded_png(html_col):
-    """JVM-side pre-filter for HTML pages carrying data-URI PNGs (the
+    """JVM-side pre-filter for HTML pages carrying data-URI images (the
     north star's 'embedded images'): a cheap contains() so the embedded-
     image explode UDF only ever sees candidate rows."""
     return F.contains(html_col.cast("string"), F.lit(_DATA_URI_MARK))
@@ -359,7 +373,7 @@ def embedded_png_rows(df: DataFrame) -> DataFrame:
         global _DATA_URI_RE
         if _DATA_URI_RE is None:
             _DATA_URI_RE = re.compile(
-                re.escape(_DATA_URI_MARK) + r"([A-Za-z0-9+/=]+)")
+                r"data:image/(?:png|jpeg);base64,([A-Za-z0-9+/=]+)")
         for pdf in batches:
             urls, idxs, blobs, langs = [], [], [], []
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
@@ -372,7 +386,7 @@ def embedded_png_rows(df: DataFrame) -> DataFrame:
                         blob = base64.b64decode(m.group(1), validate=True)
                     except Exception:
                         continue
-                    if blob[:8] != PNG_MAGIC:
+                    if blob[:8] != PNG_MAGIC and blob[:3] != JPEG_MAGIC:
                         continue
                     urls.append(url)
                     idxs.append(i)

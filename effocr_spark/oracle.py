@@ -23,7 +23,8 @@ from .functions.spellcheck import (
     visual_spell_checker,
 )
 from .synth import model as synthmodel
-from .synth.imgcodec import decode_png, to_rgb
+from .operators.extract import decode_image  # png+jpeg dispatch (S1)
+from .synth.imgcodec import decode_png, to_rgb  # noqa: F401 (png-only callers)
 
 LARGE_NUMBER = 1_000_000_000
 
@@ -184,7 +185,7 @@ def run_reference_ocr(images, candidate_chars, prototypes, lang="en",
                       recognizer="knn"):
     """images: list[(url, png_bytes)] → {url: extracted_text_or_None}.
     The reference's native shape: one textline image per key."""
-    arrays = [(url, to_rgb(decode_png(png))) for url, png in images]
+    arrays = [(url, decode_image(bytes(png))) for url, png in images]
     return _run_reference_ocr_arrays(
         arrays, candidate_chars, prototypes, lang=lang, vertical=vertical,
         conf_thres=conf_thres, iou_thres=iou_thres,
@@ -206,7 +207,7 @@ def run_reference_extraction(images, candidate_chars, prototypes,
     strip_imgs = []
     page_lines: dict = {}
     for url, png in images:
-        im = to_rgb(decode_png(png))
+        im = decode_image(bytes(png))
         strips = column_strips(im) if vertical else line_strips(im)
         page_lines[url] = len(strips)
         for i, s in enumerate(strips):

@@ -91,3 +91,50 @@ def test_media_features_decodes_jpeg(spark):
         assert r["ok"] and r["media_type"] == "image/jpeg"
         assert (r["width"], r["height"]) == (rgb.shape[1], rgb.shape[0])
         assert abs(r["mean_luma"] - float(rgb.mean())) < 8.0
+
+
+def test_jpeg_page_through_extraction(spark, protos_bc):
+    """S1 parity: the reference globs *.png AND *.jpg — a JPEG page
+    routes to the OCR branch and decodes to the exact text (the
+    synthetic stack tolerates baseline-JPEG artifacts)."""
+    from effocr_spark.pipeline import extract_pages
+
+    texts = ["The quick brown fox jumps 1885", "County gazette report pays"]
+    rows = []
+    for i, t in enumerate(texts):
+        img, _, _ = render_line(t)
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        rows.append((f"jpg://{i}", None,
+                     bytearray(encode_jpeg(rgb, subsample=i % 2 == 0)),
+                     None, "en"))
+    rows.append(("html://0", None, bytearray(b"<html><body><div><p>Dom text"
+                                             b" here</p></div></body></html>"),
+                 None, "en"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    out = {r["url"]: r for r in extract_pages(df, protos_bc).collect()}
+    for i, t in enumerate(texts):
+        r = out[f"jpg://{i}"]
+        assert r["branch"] == "ocr" and r["ok"]
+        assert r["extracted_text"] == t
+    assert out["html://0"]["branch"] == "dom"
+
+
+def test_embedded_jpeg_data_uri(spark, protos_bc):
+    import base64
+
+    from effocr_spark.pipeline import extract_pages
+
+    img, _, _ = render_line("Jpeg inside html page")
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    uri = ("data:image/jpeg;base64,"
+           + base64.b64encode(encode_jpeg(rgb)).decode())
+    html = (f"<html><body><div id='m'><p>Dom body</p>"
+            f"<img src=\"{uri}\"></div></body></html>").encode()
+    df = spark.createDataFrame(
+        [("u", None, bytearray(html), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = extract_pages(df, protos_bc, embedded_images=True).collect()[0]
+    assert out["extracted_text"] == "Dom body\nJpeg inside html page"
