@@ -492,6 +492,25 @@ def q_lsh_candidates(spark, sf_dir):
                         F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs → duplicate components (iterative min-label
+    propagation with per-round lineage truncation — the pairs→groups
+    last step of a production dedup pipeline). The oracle recomputes the
+    components with a RECURSIVE CTE (transitive min over the symmetrized
+    edge list), so an ITERATIVE Spark algorithm gets an exact
+    cross-engine check."""
+    from effocr_spark.operators.dedup import (dedup_groups,
+                                              lsh_candidate_pairs,
+                                              minhash_signatures)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=20) \
+        .select("id_a", "id_b")
+    return dedup_groups(docs.select("doc_id"), pairs, id_col="doc_id") \
+        .select("doc_id", "group_id")
+
+
 def q_knn_topk(spark, sf_dir):
     """k>1 kNN lookup (SURVEY §2.3 J3 at k>1; the GPU path's k=10
     retrieval and the k=8 hard-negative mining shape): queries vec_id<10
@@ -913,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "srp_buckets": q_srp_buckets,
         "lsh_candidates": q_lsh_candidates,
+        "dedup_groups": q_dedup_groups,
         "knn_topk": q_knn_topk,
         "coco_spans": q_coco_spans,
         "extract_pages": q_extract_pages,
@@ -1304,6 +1324,38 @@ def oracle_sql() -> dict[str, str]:
                         ) / 8.0, 4) AS est_jaccard
             FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
                       JOIN sigs sb ON cand.id_b = sb.doc_id
+        """,
+        # recursive member requires WITH RECURSIVE heading the CTE list
+        "dedup_groups": minhash_cte.format(maxid=200).replace(
+            "WITH ", "WITH RECURSIVE ", 1) + """
+            , bands AS (
+              SELECT doc_id, md5(concat_ws('|', sig_0, sig_1)) AS band_val FROM sigs
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', sig_4, sig_5)) FROM sigs
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', sig_6, sig_7)) FROM sigs),
+            small AS (
+              SELECT band_val FROM (
+                SELECT band_val, count(*) AS n FROM bands GROUP BY 1)
+              WHERE n <= 20),
+            kept AS (SELECT bands.* FROM bands JOIN small USING (band_val)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band_val = b.band_val AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM cand
+              UNION
+              SELECT id_b, id_a FROM cand),
+            ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM ids
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+            SELECT id AS doc_id, min(lab) AS group_id
+            FROM reach GROUP BY id
         """,
         "knn_topk": """
             WITH q AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -161,6 +161,69 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def dedup_groups(ids: DataFrame, pairs: DataFrame, id_col: str = "id",
+                 max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS: connected components by
+    iterative min-label propagation, the missing last step of a
+    production dedup pipeline (pairs from lsh_candidate_pairs /
+    srp_neardup_pairs → one representative per component).
+
+    → (id, group_id) where group_id = min id reachable through the pair
+    graph. Converges in O(diameter) rounds ≤ O(log n) for typical dup
+    clusters (near-dup components are small and dense); each round is
+    one join + one aggregate, checkpoint-free because the label frame
+    stays tiny relative to the corpus (only ids that appear in pairs
+    can change — isolated ids keep their own label and are unioned back
+    untouched).
+
+    Scale notes: the edge list is symmetrized once; per round the plan
+    is edges ⋈ labels (shuffle on id) + groupBy(id).min — the same
+    hash-partitioning reused every round (AQE exchange reuse). Driver
+    checks convergence via a count per round (an action, O(rounds) jobs
+    — bounded by max_iter)."""
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct().persist())
+    # only ids touching an edge can ever change label
+    touched = (edges.select(F.col("src").alias(id_col)).distinct())
+    labels = touched.withColumn("group_id", F.col(id_col))         .localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels[id_col])
+            .groupBy("src").agg(F.min("group_id").alias("nmin"))
+            .select(F.col("src").alias(id_col), "nmin"))
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(F.col(id_col),
+                    F.least(F.col("group_id"),
+                            F.coalesce(F.col("nmin"), F.col("group_id")))
+                    .alias("group_id"))
+            .localCheckpoint(eager=True))  # truncate iterative lineage
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), id_col)
+                   .filter(F.col("n.group_id") != F.col("o.group_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    isolated = (ids.select(F.col(id_col))
+                .join(touched, id_col, "left_anti")
+                .withColumn("group_id", F.col(id_col)))
+    return labels.unionByName(isolated)
+
+
+def dedup_survivors(ids: DataFrame, pairs: DataFrame,
+                    id_col: str = "id") -> DataFrame:
+    """→ the ids that survive near-dedup: the min-id representative of
+    every duplicate component (plus all isolated ids)."""
+    groups = dedup_groups(ids, pairs, id_col=id_col)
+    return (groups.filter(F.col(id_col) == F.col("group_id"))
+            .select(id_col))
+
+
 def lsh_oversize_buckets(sigs: DataFrame, id_col: str,
                          max_bucket_size: int,
                          n_hashes: int = N_MINHASHES,

@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators.extract import dom_branch, is_image_page, ocr_branch
+from .operators.extract import (dom_branch, is_image_page,
+                                is_pdf_page, ocr_branch, pdf_branch)
 
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
              "text string, lang string")
@@ -31,9 +32,11 @@ def stream_extract(
     protos_bc,
     max_files_per_trigger: int | None = None,
 ):
-    """Incremental extraction: parquet file stream → two-branch extract →
-    parquet sink with checkpoint. Returns the started query (caller
-    awaits termination; AvailableNow stops when caught up)."""
+    """Incremental extraction: parquet file stream → three-way routed
+    extract (same branches as the batch pipeline: PNG/JPEG→ocr,
+    %PDF→pdf, else→dom) → parquet sink with checkpoint. Returns the
+    started query (caller awaits termination; AvailableNow stops when
+    caught up)."""
     reader = (
         spark.readStream.schema(PAGES_DDL).format("parquet")
     )
@@ -43,9 +46,12 @@ def stream_extract(
 
     ocr = ocr_branch(pages.filter(is_image_page(F.col("html"))), protos_bc) \
         .withColumn("branch", F.lit("ocr"))
-    dom = dom_branch(pages.filter(~is_image_page(F.col("html")))) \
+    dom = dom_branch(pages.filter(~is_image_page(F.col("html"))
+                                  & ~is_pdf_page(F.col("html")))) \
         .withColumn("branch", F.lit("dom"))
-    result = ocr.unionByName(dom)
+    pdfs = pdf_branch(pages.filter(is_pdf_page(F.col("html")))) \
+        .withColumn("branch", F.lit("pdf"))
+    result = ocr.unionByName(dom).unionByName(pdfs)
 
     return (
         result.writeStream.format("parquet")

@@ -141,3 +141,35 @@ def test_exact_dedup_rows_returns_survivors(spark):
     out = {(r["id"], r["key"], r["payload"])
            for r in exact_dedup_rows(df, ["key"], "id").collect()}
     assert out == {(1, "a", "x"), (3, "b", "z"), (5, "c", "v")}
+
+
+def test_dedup_groups_connected_components(spark):
+    """pairs → components by min-label propagation: a chain, a triangle,
+    isolated ids; survivors = min id per component + isolated."""
+    from effocr_spark.operators.dedup import dedup_groups, dedup_survivors
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # chain 0-1-2-3 (only consecutive pairs), triangle 5-6-7, isolated 4,8,9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (5, 7)],
+        "id_a long, id_b long")
+    groups = {r["id"]: r["group_id"]
+              for r in dedup_groups(ids, pairs).collect()}
+    assert groups == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4,
+                      5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+    surv = {r["id"] for r in dedup_survivors(ids, pairs).collect()}
+    assert surv == {0, 4, 5, 8, 9}
+
+
+def test_dedup_groups_long_chain_converges(spark):
+    """A 17-node chain: min-label propagation moves the min one hop per
+    round, so convergence takes diameter rounds — max_iter must cover
+    it, and lineage truncation keeps round cost constant."""
+    from effocr_spark.operators.dedup import dedup_groups
+
+    n = 17
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    groups = dedup_groups(ids, pairs, max_iter=n)
+    assert groups.filter("group_id != 0").count() == 0
