@@ -98,13 +98,38 @@ def synthetic_yolo_head(img: np.ndarray, vertical: bool = False) -> np.ndarray:
     runs = _ink_runs(profile)
 
     char_boxes = []  # (x0, y0, x1, y1) original pixels
-    for a, b in runs:
+    if runs:
+        # vectorized per-run ink extents (bitwise-identical to the
+        # per-run .any() scans, ~1 reduction instead of one per char):
+        # first/last ink row per column, then min/max across each run's
+        # columns via reduceat
         if not vertical:
-            rows = np.nonzero(ink[:, a:b].any(axis=1))[0]
-            char_boxes.append((a, rows[0], b, rows[-1] + 1))
+            has = ink.any(axis=0)
+            first = np.where(has, ink.argmax(axis=0), h)
+            last = np.where(has, h - 1 - ink[::-1, :].argmax(axis=0), -1)
+            starts = np.array([a for a, _ in runs], dtype=np.int64)
+            y0s = np.minimum.reduceat(first, starts)
+            y1s = np.maximum.reduceat(last, starts) + 1
+            # reduceat spans run-start..next-run-start; inter-run gap
+            # columns have first=h / last=-1 so they never win min/max,
+            # EXCEPT past the final run — slice exactly there:
+            la, lb = runs[-1]
+            y0s[-1] = first[la:lb].min()
+            y1s[-1] = last[la:lb].max() + 1
+            for (a, b), y0, y1 in zip(runs, y0s, y1s):
+                char_boxes.append((a, int(y0), b, int(y1)))
         else:
-            cols = np.nonzero(ink[a:b, :].any(axis=0))[0]
-            char_boxes.append((cols[0], a, cols[-1] + 1, b))
+            has = ink.any(axis=1)
+            first = np.where(has, ink.argmax(axis=1), w)
+            last = np.where(has, w - 1 - ink[:, ::-1].argmax(axis=1), -1)
+            starts = np.array([a for a, _ in runs], dtype=np.int64)
+            x0s = np.minimum.reduceat(first, starts)
+            x1s = np.maximum.reduceat(last, starts) + 1
+            la, lb = runs[-1]
+            x0s[-1] = first[la:lb].min()
+            x1s[-1] = last[la:lb].max() + 1
+            for (a, b), x0, x1 in zip(runs, x0s, x1s):
+                char_boxes.append((int(x0), a, int(x1), b))
 
     # group runs into words by gap size (original-pixel units)
     word_boxes = []
