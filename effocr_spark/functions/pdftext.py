@@ -58,9 +58,12 @@ def _unescape(raw: bytes) -> bytes:
                 out += _ESC[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \d{1,3}
+            if nxt in b"01234567":  # octal \ooo (1-3 octal digits only;
+                # \8 and \9 are NOT octal — they fall through to the
+                # drop-backslash branch per the PDF spec's "unrecognized
+                # escape keeps the character" rule)
                 j = i + 1
-                while j < min(i + 4, len(raw)) and raw[j:j + 1].isdigit():
+                while j < min(i + 4, len(raw)) and raw[j] in b"01234567":
                     j += 1
                 out.append(int(raw[i + 1: j], 8) & 0xFF)
                 i = j

@@ -162,7 +162,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
 
 
 def dedup_groups(ids: DataFrame, pairs: DataFrame, id_col: str = "id",
-                 max_iter: int = 20) -> DataFrame:
+                 max_iter: int = 20,
+                 reliable_checkpoint: bool = False) -> DataFrame:
     """Near-dup pairs → duplicate GROUPS: connected components by
     iterative min-label propagation, the missing last step of a
     production dedup pipeline (pairs from lsh_candidate_pairs /
@@ -171,43 +172,59 @@ def dedup_groups(ids: DataFrame, pairs: DataFrame, id_col: str = "id",
     → (id, group_id) where group_id = min id reachable through the pair
     graph. Converges in O(diameter) rounds ≤ O(log n) for typical dup
     clusters (near-dup components are small and dense); each round is
-    one join + one aggregate, checkpoint-free because the label frame
-    stays tiny relative to the corpus (only ids that appear in pairs
-    can change — isolated ids keep their own label and are unioned back
-    untouched).
+    one join + one aggregate. Raises RuntimeError if the graph has not
+    converged after max_iter rounds (a silently-partial labeling would
+    leave multiple representatives per component — the one failure mode
+    dedup_survivors cannot tolerate); raise max_iter for corpora with
+    long duplicate chains.
 
     Scale notes: the edge list is symmetrized once; per round the plan
     is edges ⋈ labels (shuffle on id) + groupBy(id).min — the same
-    hash-partitioning reused every round (AQE exchange reuse). Driver
-    checks convergence via a count per round (an action, O(rounds) jobs
-    — bounded by max_iter)."""
+    hash-partitioning reused every round (AQE exchange reuse).
+    Convergence is read from a `sum(changed-flag)` aggregate over the
+    SAME checkpointed frame that carries the new labels (one action per
+    round, no extra equality join). Lineage is truncated per round:
+    `reliable_checkpoint=True` uses `checkpoint()` to the cluster's
+    configured checkpoint dir (survives executor loss — a long CC job
+    on a real cluster should use this; requires
+    `sc.setCheckpointDir(...)`); the default `localCheckpoint()` stores
+    blocks on executors and is the right call for short/local jobs."""
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst")))
              .distinct().persist())
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if reliable_checkpoint
+                else df.localCheckpoint(eager=True))
+
     # only ids touching an edge can ever change label
     touched = (edges.select(F.col("src").alias(id_col)).distinct())
-    labels = touched.withColumn("group_id", F.col(id_col))         .localCheckpoint(eager=True)
+    labels = _ckpt(touched.withColumn("group_id", F.col(id_col)))
+    changed = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels[id_col])
             .groupBy("src").agg(F.min("group_id").alias("nmin"))
             .select(F.col("src").alias(id_col), "nmin"))
-        new_labels = (
+        nmin = F.coalesce(F.col("nmin"), F.col("group_id"))
+        step = _ckpt(  # truncate iterative lineage each round
             labels.join(neighbor_min, id_col, "left")
             .select(F.col(id_col),
-                    F.least(F.col("group_id"),
-                            F.coalesce(F.col("nmin"), F.col("group_id")))
-                    .alias("group_id"))
-            .localCheckpoint(eager=True))  # truncate iterative lineage
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), id_col)
-                   .filter(F.col("n.group_id") != F.col("o.group_id"))
-                   .count())
-        labels = new_labels
+                    F.least(F.col("group_id"), nmin).alias("group_id"),
+                    (F.col("nmin").isNotNull()
+                     & (F.col("nmin") < F.col("group_id")))
+                    .cast("long").alias("_chg")))
+        changed = step.agg(F.sum("_chg")).first()[0] or 0
+        labels = step.drop("_chg")
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"dedup_groups did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            f"exceeds max_iter; raise max_iter")
     edges.unpersist()
     isolated = (ids.select(F.col(id_col))
                 .join(touched, id_col, "left_anti")

@@ -319,6 +319,10 @@ class _BitReader:
         if length == 0:
             return 0
         self._fill()
+        if self.n < length:
+            # _fill returned early at a restart marker with too few bits
+            # buffered — a truncated/malformed entropy-coded segment.
+            raise ValueError("truncated entropy-coded segment")
         self.n -= length
         v = (self.acc >> self.n) & ((1 << length) - 1)
         return v
@@ -440,6 +444,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     h, w = frame["h"], frame["w"]
+    if len(scan) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the MCU
+        # is one data unit regardless of the component's declared
+        # sampling factors (a grayscale JPEG may legally declare 2x2).
+        c, td, ta = scan[0]
+        scan = [(dict(c, h=1, v=1), td, ta)]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = -(-w // (8 * hmax))

@@ -173,3 +173,38 @@ def test_dedup_groups_long_chain_converges(spark):
                                   "id_a long, id_b long")
     groups = dedup_groups(ids, pairs, max_iter=n)
     assert groups.filter("group_id != 0").count() == 0
+
+
+def test_dedup_groups_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must raise, not
+    return silently-partial labels (dedup_survivors would keep multiple
+    representatives of one cluster)."""
+    import pytest
+    from effocr_spark.operators.dedup import dedup_groups
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_groups(ids, pairs, max_iter=2).collect()
+
+
+def test_dedup_groups_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True truncates lineage via checkpoint() to the
+    configured dir — the durability mode for long CC jobs on a real
+    cluster (localCheckpoint blocks die with their executor)."""
+    from effocr_spark.operators.dedup import dedup_groups
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    ids = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "id_a long, id_b long")
+    groups = {r["id"]: r["group_id"]
+              for r in dedup_groups(ids, pairs,
+                                    reliable_checkpoint=True).collect()}
+    assert groups == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    # checkpoint files actually landed on disk
+    import os
+    hits = [f for _, _, fs in os.walk(tmp_path / "ckpt") for f in fs]
+    assert hits, "reliable checkpoint wrote nothing"

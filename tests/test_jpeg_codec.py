@@ -138,3 +138,26 @@ def test_embedded_jpeg_data_uri(spark, protos_bc):
         "lang string")
     out = extract_pages(df, protos_bc, embedded_images=True).collect()[0]
     assert out["extracted_text"] == "Dom body\nJpeg inside html page"
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved (MCU = one
+    data unit) even if the SOF declares 2x2 sampling factors — patch a
+    grayscale JPEG's SOF hv byte from 0x11 to 0x22 and the decode must
+    not change (was: garbled MCU grid)."""
+    rng = np.random.RandomState(7)
+    gray = (rng.standard_normal((24, 40)) * 25 + 128).astype(np.uint8)
+    blob = encode_jpeg(gray)
+    sof = blob.find(b"\xff\xc0")
+    assert sof >= 0 and blob[sof + 11] == 0x11  # nc=1 comp hv byte
+    patched = blob[:sof + 11] + b"\x22" + blob[sof + 12:]
+    assert decode_jpeg(patched).tobytes() == decode_jpeg(blob).tobytes()
+
+
+def test_bitreader_truncation_is_a_clean_parse_error():
+    """A restart marker hit with too few buffered bits raises an explicit
+    truncation error, not a confusing negative-shift ValueError."""
+    from effocr_spark.synth.jpegcodec import _BitReader
+    br = _BitReader(b"\xff\xd0\xff\xd9", 0)  # RST0 immediately
+    with pytest.raises(ValueError, match="truncated entropy-coded"):
+        br.read(4)

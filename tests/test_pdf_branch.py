@@ -80,3 +80,14 @@ def test_pdf_branch_is_jvm_routed(spark):
     plan = df.filter(is_pdf_page(F.col("html")))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+def test_unescape_octal_excludes_8_and_9():
+    """PDF string escapes: \\ooo is octal only (0-7). \\8 and \\9 are
+    unrecognized escapes — the spec says drop the backslash and keep the
+    character, not raise (was: int('8', 8) ValueError → false
+    quarantine)."""
+    from effocr_spark.functions.pdftext import _unescape
+    assert _unescape(rb"a\053b") == b"a+b"       # real octal
+    assert _unescape(rb"a\8b") == b"a8b"          # \8 keeps the 8
+    assert _unescape(rb"x\9") == b"x9"            # \9 at end too
+    assert _unescape(rb"\0778") == b"?8"          # 3-digit max then literal
