@@ -48,6 +48,12 @@ def decode_image(data: bytes):
         return decode_jpeg(data)
     raise ValueError("unsupported image container")
 
+# n_chars = number of OCR-RECOGNIZED characters (localizer detections that
+# survived NMS and got a kNN label), NOT len(extracted_text): it is 0 for
+# the dom/pdf branches and excludes the positional spaces/newlines the
+# assembler inserts. It is the reference's per-page detection-count metric
+# (infer_effocr_onnx_multi.py prints it at runtime), kept as a pipeline
+# health signal — text length is one F.length() away downstream.
 OCR_OUT_SCHEMA = (
     "url string, extracted_text string, n_chars int, ok boolean, error string"
 )

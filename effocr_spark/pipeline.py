@@ -121,6 +121,10 @@ def extract_pages(
                 F.when(F.col("_emb_text").isNotNull(),
                        F.concat_ws("\n", "extracted_text", "_emb_text"))
                 .otherwise(F.col("extracted_text")).alias("extracted_text"),
+                # n_chars is the OCR-char count (see OCR_OUT_SCHEMA note):
+                # a dom page is 0 until embedded-image OCR contributes, so
+                # the fusion OVERWRITES it with the embedded-OCR sum — the
+                # page's total recognized-char count, not its text length
                 F.coalesce(F.col("_emb_chars"), F.col("n_chars"))
                 .alias("n_chars"),
                 "ok", "error")

@@ -31,12 +31,23 @@ def stream_extract(
     checkpoint_dir: str,
     protos_bc,
     max_files_per_trigger: int | None = None,
+    salt_partitions: int | None = None,
 ):
     """Incremental extraction: parquet file stream → three-way routed
     extract (same branches as the batch pipeline: PNG/JPEG→ocr,
     %PDF→pdf, else→dom) → parquet sink with checkpoint. Returns the
     started query (caller awaits termination; AvailableNow stops when
-    caught up)."""
+    caught up).
+
+    Parity boundary vs the batch pipeline (extract_pages): the same
+    three-way routing and branch operators, plus the same optional
+    salted repartition before the OCR stage (a stateless repartition is
+    legal in streaming — it only reshuffles within the micro-batch;
+    host-skewed page files arriving in one trigger get spread the same
+    way the batch path spreads them). Embedded-image fusion is batch-
+    only: it re-groups by url, which in streaming would need its own
+    watermarked stateful aggregate for no reference-parity gain (the
+    reference is batch-only, SURVEY.md §2.9)."""
     reader = (
         spark.readStream.schema(PAGES_DDL).format("parquet")
     )
@@ -44,7 +55,11 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.load(pages_dir)
 
-    ocr = ocr_branch(pages.filter(is_image_page(F.col("html"))), protos_bc) \
+    image_rows = pages.filter(is_image_page(F.col("html")))
+    if salt_partitions:
+        image_rows = image_rows.repartition(
+            salt_partitions, F.xxhash64(F.col("url"), F.lit(0x5A17)))
+    ocr = ocr_branch(image_rows, protos_bc) \
         .withColumn("branch", F.lit("ocr"))
     dom = dom_branch(pages.filter(~is_image_page(F.col("html"))
                                   & ~is_pdf_page(F.col("html")))) \

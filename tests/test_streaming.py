@@ -64,3 +64,26 @@ def test_windowed_event_counts_batch_equivalence(spark):
     assert len(out) > 0
     total = sum(r["n"] for r in out)
     assert total == ev.count()
+
+
+def test_stream_extract_salted_matches_batch(spark, protos_bc, tmp_path):
+    """salt_partitions parity: the streaming skin accepts the same salted
+    repartition as the batch path (stateless within a micro-batch) and
+    results are unchanged."""
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages, _ = pages_df(spark, 60, seed=7)
+    pages.write.mode("overwrite").parquet(pages_dir)
+
+    q = streaming.stream_extract(spark, pages_dir, out_dir, ckpt, protos_bc,
+                                 salt_partitions=16)
+    q.awaitTermination(300)
+    got = _collect_results(spark, out_dir)
+
+    batch = pipeline.extract_pages(spark.read.parquet(pages_dir), protos_bc,
+                                   salt_partitions=16)
+    exp = {r["url"]: (r["extracted_text"], r["branch"])
+           for r in batch.collect()}
+    assert got == exp
