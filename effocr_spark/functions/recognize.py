@@ -63,9 +63,69 @@ def _transform_batched(crops: list[np.ndarray | None]) -> np.ndarray:
         small = stack.astype(np.float32) / 255.0
         small -= crops_fn.IMAGENET_MEAN
         small /= crops_fn.IMAGENET_STD
-        smallc = small.transpose(0, 3, 1, 2)  # view, no copy
-        out[idxs] = smallc[:, :, ys[:, None], xs[None, :]]
+        # CHW-contiguous copy of the small crop (one tiny pass) so the
+        # resize below streams from contiguous memory; the resize itself
+        # is pure data movement, so any faster spelling is bitwise-
+        # identical to the naive gather by construction
+        smallt = np.ascontiguousarray(small.transpose(0, 3, 1, 2))
+        if side < size:
+            # upsample: ys is monotonic, so arr[ys] == repeat(arr, counts)
+            # — np.repeat runs at memcpy speed where the fancy gather
+            # from a strided view ran element-wise (measured 7.5x: 0.5 →
+            # 3.8 GB/s at 18px→224px, tools/bench_roofline.py)
+            counts = np.bincount(ys, minlength=side)
+            out[idxs] = np.repeat(np.repeat(smallt, counts, axis=2),
+                                  counts, axis=3)
+        else:
+            # downsample: the gather touches only size² source pixels
+            out[idxs] = smallt[:, :, ys[:, None], xs[None, :]]
     return out
+
+
+def _features_batched(crops: list[np.ndarray | None]) -> np.ndarray:
+    """Fused transform+feature kernel: per shape group, normalize the
+    SMALL padded crop, channel-mean it there, THEN upsample, then pool —
+    bitwise-identical to `encode_features(_transform_batched(crops))`
+    because every reordered step is a per-pixel map or a pure selection
+    (channel-mean commutes with the nearest-neighbor repeat/gather, and
+    encode_features is row-independent so per-group evaluation
+    concatenates exactly). The [B, 3, S, S] tensor is never materialized:
+    at reference tensor size (S=224) that cuts per-crop memory traffic
+    ~6x (602KB x 4 passes → 200KB x 2), which is the difference between
+    scaling and bus-thrashing — see BENCH/BASELINE.md roofline table.
+    tests/test_batched_transform.py pins the equivalence at both crop
+    sizes."""
+    size = crops_fn.CROP_SIZE
+    pool = synthmodel._POOL
+    feats = np.empty((len(crops), pool * pool), dtype=np.float32)
+    groups: dict[tuple[int, int], list[int]] = {}
+    zero_rows = []
+    for i, c in enumerate(crops):
+        if c is None:
+            zero_rows.append(i)
+        else:
+            groups.setdefault(c.shape[:2], []).append(i)
+    if zero_rows:
+        feats[zero_rows] = synthmodel.encode_features(ZERO_CROP[None])[0]
+    for (h, w), idxs in groups.items():
+        side = max(h, w)
+        stack = np.full((len(idxs), side, side, 3), 255, dtype=np.uint8)
+        stack[:, :h, :w, :] = np.asarray([crops[i] for i in idxs])
+        small = stack.astype(np.float32) / 255.0
+        small -= crops_fn.IMAGENET_MEAN
+        small /= crops_fn.IMAGENET_STD
+        sm = small.mean(axis=3)  # channel-mean on the small crop
+        ys = np.minimum((np.arange(size) * side) // size, side - 1)
+        if side < size:
+            counts = np.bincount(ys, minlength=side)
+            big = np.repeat(np.repeat(sm, counts, axis=1), counts, axis=2)
+        else:
+            big = sm[:, ys[:, None], ys[None, :]]
+        b, k = len(idxs), size // pool
+        pooled = np.ascontiguousarray(big).reshape(
+            b, pool, k, pool, k).mean(axis=(2, 4))
+        feats[idxs] = pooled.reshape(b, pool * pool).astype(np.float32)
+    return feats
 
 
 def embed_crops(crops: list[np.ndarray | None],
@@ -74,11 +134,17 @@ def embed_crops(crops: list[np.ndarray | None],
     create_batches' zero-fill, infer_effocr_onnx_multi.py:150-152) →
     [B, D] embeddings. L2-normalized for the kNN recognizer
     (infer_effocr_onnx_multi.py:371); raw logits-path embeddings for the
-    FFNN classifier head (infer_effocr.py:325-333 skips normalization)."""
+    FFNN classifier head (infer_effocr.py:325-333 skips normalization).
+
+    Hot path: the fused feature kernel + ONE full-batch projection GEMM
+    (bitwise-equal to transform→encode, see _features_batched). A real
+    ONNX recognizer drops in by replacing this body with
+    `_transform_batched(crops)` → session.run — the standard-contract
+    transform is kept tested for exactly that."""
     if not crops:
         return np.zeros((0, synthmodel.EMBED_DIM), dtype=np.float32)
-    batch = _transform_batched(crops)
-    emb = synthmodel.encode_crops(batch)
+    feats = _features_batched(crops)
+    emb = synthmodel.project_features(feats)
     if not normalize:
         return emb.astype(np.float32)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)

@@ -190,6 +190,30 @@ def _projection_matrix() -> np.ndarray:
 _PROJ = _projection_matrix()
 
 
+def encode_features(batch: np.ndarray) -> np.ndarray:
+    """[B, 3, S, S] normalized crops → [B, 256] pooled pre-projection
+    features (channel-mean → mean-pool to the 16x16 grid). Every op is
+    row-independent, so computing this per shape group and concatenating
+    is bitwise-identical to one full-batch call — the property the fused
+    transform path (functions/recognize._features_batched) relies on."""
+    b = batch.shape[0]
+    if b == 0:
+        return np.zeros((0, _POOL * _POOL), dtype=np.float32)
+    x = batch.mean(axis=1)  # [B, S, S]
+    side = x.shape[1]
+    assert side % _POOL == 0, "encoder expects crop side divisible by 16"
+    k = side // _POOL
+    pooled = x.reshape(b, _POOL, k, _POOL, k).mean(axis=(2, 4))  # [B,16,16]
+    return pooled.reshape(b, _POOL * _POOL).astype(np.float32)
+
+
+def project_features(feats: np.ndarray) -> np.ndarray:
+    """[B, 256] pooled features → [B, EMBED_DIM] raw embeddings. Kept as
+    ONE full-batch GEMM regardless of how the features were produced, so
+    the result cannot depend on BLAS kernel selection by batch size."""
+    return feats @ _PROJ
+
+
 def encode_crops(batch: np.ndarray) -> np.ndarray:
     """[B, 3, 224, 224] normalized crops → [B, EMBED_DIM] raw embeddings.
 
@@ -198,13 +222,6 @@ def encode_crops(batch: np.ndarray) -> np.ndarray:
     the reference seam (infer_effocr_onnx_multi.py:371 normalizes the raw
     ONNX output).
     """
-    b = batch.shape[0]
-    if b == 0:
+    if batch.shape[0] == 0:
         return np.zeros((0, EMBED_DIM), dtype=np.float32)
-    x = batch.mean(axis=1)  # [B, S, S]
-    side = x.shape[1]
-    assert side % _POOL == 0, "encoder expects crop side divisible by 16"
-    k = side // _POOL
-    pooled = x.reshape(b, _POOL, k, _POOL, k).mean(axis=(2, 4))  # [B,16,16]
-    feats = pooled.reshape(b, _POOL * _POOL).astype(np.float32)
-    return feats @ _PROJ
+    return project_features(encode_features(batch))

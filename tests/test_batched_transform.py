@@ -39,3 +39,47 @@ def test_greedy_nms_paths_agree():
     finally:
         B._NMS_MATRIX_CAP = cap
     assert np.array_equal(fast, slow)
+
+
+def test_fused_features_equal_transform_then_encode_bitwise():
+    """The fused feature kernel (_features_batched: normalize+chanmean on
+    the small crop, THEN upsample, then pool) must be bitwise-identical
+    to encode_features(_transform_batched(crops)) — the reordering is
+    pure per-pixel maps + selections. Covers upsample (small crops),
+    downsample (crop side > CROP_SIZE), and None slots."""
+    from effocr_spark.functions.recognize import _features_batched
+    from effocr_spark.synth import model as synthmodel
+
+    rng = np.random.RandomState(11)
+    crops = []
+    for _ in range(30):
+        h = rng.randint(4, 28)
+        w = rng.randint(2, 34)
+        crops.append(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+    # downsample cases: sides larger than any CROP_SIZE config
+    crops.append(rng.randint(0, 256, size=(300, 41, 3), dtype=np.uint8))
+    crops.append(rng.randint(0, 256, size=(17, 260, 3), dtype=np.uint8))
+    crops.insert(3, None)
+    crops.append(None)
+
+    fused = _features_batched(crops)
+    ref = synthmodel.encode_features(_transform_batched(crops))
+    assert fused.dtype == ref.dtype and fused.shape == ref.shape
+    assert np.array_equal(fused, ref)
+
+
+def test_fused_embeddings_equal_standard_path_bitwise():
+    """embed_crops (fused) == L2norm(encode_crops(_transform_batched))."""
+    from effocr_spark.functions.recognize import embed_crops
+    from effocr_spark.synth import model as synthmodel
+
+    rng = np.random.RandomState(12)
+    crops = [rng.randint(0, 256, size=(rng.randint(5, 20),
+                                       rng.randint(3, 25), 3),
+                         dtype=np.uint8) for _ in range(25)]
+    crops.insert(5, None)
+    emb = embed_crops(crops)
+    ref = synthmodel.encode_crops(_transform_batched(crops))
+    norms = np.linalg.norm(ref, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    assert np.array_equal(emb, (ref / norms).astype(np.float32))
