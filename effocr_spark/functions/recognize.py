@@ -129,7 +129,8 @@ def _features_batched(crops: list[np.ndarray | None]) -> np.ndarray:
 
 
 def embed_crops(crops: list[np.ndarray | None],
-                normalize: bool = True) -> np.ndarray:
+                normalize: bool = True,
+                projection: np.ndarray | None = None) -> np.ndarray:
     """List of HxWx3 uint8 crops (None → zero tensor, mirroring
     create_batches' zero-fill, infer_effocr_onnx_multi.py:150-152) →
     [B, D] embeddings. L2-normalized for the kNN recognizer
@@ -140,11 +141,18 @@ def embed_crops(crops: list[np.ndarray | None],
     (bitwise-equal to transform→encode, see _features_batched). A real
     ONNX recognizer drops in by replacing this body with
     `_transform_batched(crops)` → session.run — the standard-contract
-    transform is kept tested for exactly that."""
+    transform is kept tested for exactly that.
+
+    projection: weights from a serialized model artifact
+    (synthmodel.load_projection — the per-executor-singleton npz path);
+    None uses the in-module seeded weights. Same GEMM either way."""
     if not crops:
-        return np.zeros((0, synthmodel.EMBED_DIM), dtype=np.float32)
+        dim = (projection.shape[1] if projection is not None
+               else synthmodel.EMBED_DIM)
+        return np.zeros((0, dim), dtype=np.float32)
     feats = _features_batched(crops)
-    emb = synthmodel.project_features(feats)
+    emb = (feats @ projection if projection is not None
+           else synthmodel.project_features(feats))
     if not normalize:
         return emb.astype(np.float32)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -221,10 +229,13 @@ def _prototype_crop(ch: str, vertical: bool) -> np.ndarray | None:
     return crop
 
 
-def build_prototypes(lang: str = "en"):
+def build_prototypes(lang: str = "en", encoder_artifact: str | None = None):
     """→ (chars list[str], [K, D] float32 L2-normalized prototype matrix).
 
     Driver-side, tiny (K ≤ ~70); broadcast to executors at run time.
+    encoder_artifact: serialized npz encoder path (queries and index must
+    share an embedding space, so the pipeline passes the same path here
+    and to the extraction stage).
     """
     charset = EN_CHARSET if lang == "en" else JP_CHARSET
     vertical = lang == "jp"
@@ -235,5 +246,7 @@ def build_prototypes(lang: str = "en"):
             continue
         chars.append(ch)
         crops.append(crop)
-    protos = embed_crops(crops)
+    proj = (synthmodel.load_projection(encoder_artifact)
+            if encoder_artifact else None)
+    protos = embed_crops(crops, projection=proj)
     return chars, protos

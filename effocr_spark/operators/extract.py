@@ -196,7 +196,8 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     iou_thres: float = 0.01, anchor_margin=None,
                     spell_check: bool = False, recognizer: str = "knn",
                     vertical_override: bool | None = None,
-                    emit_boxes: bool = False):
+                    emit_boxes: bool = False,
+                    encoder_artifact: str | None = None):
     """Build the mapInPandas function for the fused OCR stage.
 
     protos_bc: Spark broadcast of {lang: (chars list, [K,D] float32)}.
@@ -213,6 +214,11 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         protos = protos_bc.value
+        # serialized-model path: per-executor-process singleton load (the
+        # ort-session analog, localizer_engine.py:25-29) — the path string
+        # ships in the closure; the weights deserialize once per worker
+        proj = (synthmodel.load_projection(encoder_artifact)
+                if encoder_artifact else None)
         spell_ctx = ((create_worddict(), create_homoglyph_dict(),
                       create_common_abbrev()) if spell_check else None)
         for pdf in batches:
@@ -240,7 +246,8 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
             for s in range(0, len(flat_crops), ENCODE_SUB_BATCH):
                 embs.append(rec.embed_crops(
                     flat_crops[s: s + ENCODE_SUB_BATCH],
-                    normalize=(recognizer == "knn")))
+                    normalize=(recognizer == "knn"),
+                    projection=proj))
             emb = (np.concatenate(embs) if embs
                    else np.zeros((0, synthmodel.EMBED_DIM), np.float32))
 
@@ -300,11 +307,17 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
 def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                iou_thres: float = 0.01, anchor_margin=None,
                spell_check: bool = False, recognizer: str = "knn",
-               vertical_override: bool | None = None) -> DataFrame:
-    """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error)."""
+               vertical_override: bool | None = None,
+               encoder_artifact: str | None = None) -> DataFrame:
+    """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error).
+
+    encoder_artifact: path to a serialized npz encoder (visible on every
+    executor — cluster deploys ship it via spark-submit --files); loaded
+    once per executor process through the model-singleton seam."""
     fn = make_ocr_map_fn(protos_bc, conf_thres, iou_thres,
                          anchor_margin, spell_check, recognizer,
-                         vertical_override)
+                         vertical_override,
+                         encoder_artifact=encoder_artifact)
     return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
 
 

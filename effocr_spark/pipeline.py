@@ -35,10 +35,15 @@ RESULT_SCHEMA_HINT = (
 )
 
 
-def broadcast_prototypes(spark: SparkSession, langs=("en", "jp")):
+def broadcast_prototypes(spark: SparkSession, langs=("en", "jp"),
+                         encoder_artifact: str | None = None):
     """Build the glyph-prototype index driver-side and broadcast it —
-    the FAISS ref.index analog (infer_effocr_onnx_multi.py:496-505)."""
-    protos = {lang: build_prototypes(lang) for lang in langs}
+    the FAISS ref.index analog (infer_effocr_onnx_multi.py:496-505).
+    encoder_artifact: build the prototypes with the same serialized
+    encoder the extraction stage will use (queries and index must share
+    an embedding space)."""
+    protos = {lang: build_prototypes(lang, encoder_artifact=encoder_artifact)
+              for lang in langs}
     return spark.sparkContext.broadcast(protos)
 
 
@@ -52,6 +57,7 @@ def extract_pages(
     spell_check: bool = False,
     recognizer: str = "knn",
     embedded_images: bool = False,
+    encoder_artifact: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
     (url, extracted_text, n_chars, ok, error, branch).
@@ -73,7 +79,8 @@ def extract_pages(
             salt_partitions, F.xxhash64(F.col("url"), F.lit(0x5A17)))
 
     ocr = ocr_branch(image_rows, protos_bc, conf_thres, iou_thres,
-                     anchor_margin, spell_check, recognizer)
+                     anchor_margin, spell_check, recognizer,
+                     encoder_artifact=encoder_artifact)
     dom = dom_branch(dom_rows)
     pdfs = pdf_branch(pdf_rows)
 
