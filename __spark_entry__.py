@@ -889,6 +889,42 @@ def q_spellcheck(spark, sf_dir):
     return docs.select("doc_id", fix_udf(F.col("text")).alias("checked"))
 
 
+FREQ_DICT_FULL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "data", "frequency_dict_en_full.txt")
+
+
+def q_spellcheck_filedict(spark, sf_dir):
+    """F10 at realistic dictionary scale: the 10k+-entry symspell-format
+    frequency file loads through the S5 ingestion path
+    (load_frequency_dictionary → spark.read.text, the
+    frequency_dictionary_en_82_765.txt analog of
+    /root/reference/utils/spell_check_utils.py:14-23), is broadcast
+    driver-side (a few MB — a broadcast variable, never a join side),
+    and the homoglyph beam checker restores JVM-injected l→1 OCR
+    corruptions against it. Golden-pinned (Python kernel)."""
+    from effocr_spark.functions.spellcheck import (
+        create_common_abbrev, create_homoglyph_dict, create_worddict,
+        visual_spell_checker)
+
+    wd_bc = spark.sparkContext.broadcast(
+        create_worddict(freq_path=FREQ_DICT_FULL, spark=spark))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    # deterministic homoglyph corruption, JVM-side (l → 1, the classic
+    # OCR confusion; the checker's vsim map inverts 1 → l/i)
+    corrupted = docs.select(
+        "doc_id",
+        F.translate(F.substring("text", 1, 80), "l", "1").alias("noisy"))
+
+    def fix(texts: pd.Series) -> pd.Series:
+        sd, ab = create_homoglyph_dict(), create_common_abbrev()
+        wd = wd_bc.value
+        return texts.map(lambda t: visual_spell_checker(t, wd, sd, ab))
+
+    fix_udf = F.pandas_udf(fix, "string")
+    return corrupted.select(
+        "doc_id", "noisy", fix_udf(F.col("noisy")).alias("checked"))
+
+
 # ----------------------------------------------------------------------
 # contract
 # ----------------------------------------------------------------------
@@ -939,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_match_rate": q_extract_match_rate,
         "media_features": q_media_features,
         "spellcheck": q_spellcheck,
+        "spellcheck_filedict": q_spellcheck_filedict,
         "trocr_eval": q_trocr_eval,
         "envelope_join": q_envelope_join,
         "hard_negatives": q_hard_negatives,
@@ -1399,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_match_rate": _golden_sql("extract_match_rate"),
         "media_features": _golden_sql("media_features"),
         "spellcheck": _golden_sql("spellcheck"),
+        "spellcheck_filedict": _golden_sql("spellcheck_filedict"),
         "trocr_eval": _golden_sql("trocr_eval"),
         "hard_negatives": _golden_sql("hard_negatives"),
         "srp_neardup": _golden_sql("srp_neardup"),

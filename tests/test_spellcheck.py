@@ -78,3 +78,32 @@ def test_frequency_dictionary_file_ingestion(spark, tmp_path):
     big.write_text("hello 500\tignored\nworld 400\nbadline\n", encoding="utf-8")
     d = load_frequency_dictionary(str(big))
     assert d == {"hello": 500, "world": 400}
+
+
+def test_full_scale_frequency_dictionary(spark):
+    """The committed full-scale dictionary (tools/make_frequency_dict.py)
+    loads through the same S5 path at realistic symspell size (10k+
+    entries, Zipf-shaped counts) and the checker corrects words ONLY
+    that dictionary knows — proving the file, not the embedded table,
+    drives the beam."""
+    from effocr_spark.functions.spellcheck import (
+        create_common_abbrev, create_homoglyph_dict, create_worddict,
+        visual_spell_checker)
+
+    path = "/root/repo/data/frequency_dict_en_full.txt"
+    wd = create_worddict(freq_path=path, spark=spark)
+    assert len(wd) > 10_000
+    # Zipf shape: strictly non-increasing counts down the file
+    counts = list(wd.values())
+    assert counts[0] > 1_000_000 > counts[-1]
+
+    sd, ab = create_homoglyph_dict(), create_common_abbrev()
+    # "value"/"table" exist only in the full dictionary, not the
+    # embedded 238-word table → the small dict leaves "va1ue" broken
+    small = create_worddict()
+    assert "value" in wd and "value" not in small
+    assert visual_spell_checker("va1ue tab1e", wd, sd, ab) == "value table"
+    # letter-only corruption (i→l homoglyph) needs a dict hit to fix:
+    # the full dictionary restores it, the 238-word table cannot
+    assert visual_spell_checker("vaiue tabie", wd, sd, ab) == "value table"
+    assert visual_spell_checker("vaiue tabie", small, sd, ab) == "vaiue tabie"
