@@ -104,10 +104,19 @@ def paired_crops(images: DataFrame, annotations: DataFrame) -> DataFrame:
     return joined.mapInPandas(crop_batches, DATASET_SCHEMA)
 
 
-def rendered_glyphs(spark: SparkSession, charset: str) -> DataFrame:
+def rendered_glyphs(spark: SparkSession, charset: str,
+                    ttf_path: str | None = None) -> DataFrame:
     """Synthetic renders per charset char (:208-239), with the
     recurring-render-hash filter (:195-205): hashes seen more than twice
-    (blank/degenerate renders) are dropped."""
+    (blank/degenerate renders) are dropped.
+
+    ttf_path: restrict the charset to the font's actual cmap coverage
+    first (S6 source; get_unicode_coverage_from_ttf parity,
+    format_effocr_recognizer_dataset.py:188-192) — the reference never
+    renders a glyph the font cannot draw."""
+    if ttf_path is not None:
+        from ..functions.ttf import font_covered_charset
+        charset = font_covered_charset(list(charset), ttf_path)
     rows = []
     for ch in charset:
         img, _, _ = render_line(ch)
@@ -138,8 +147,9 @@ def hard_negatives(spark: SparkSession, chars: list[str],
 
 
 def build_recognizer_dataset(spark: SparkSession, images: DataFrame,
-                             annotations: DataFrame,
-                             charset: str) -> DataFrame:
-    """paired crops ∪ synthetic renders — the full training table."""
+                             annotations: DataFrame, charset: str,
+                             ttf_path: str | None = None) -> DataFrame:
+    """paired crops ∪ synthetic renders — the full training table.
+    ttf_path gates the render branch on real font coverage (S6)."""
     return paired_crops(images, annotations) \
-        .unionByName(rendered_glyphs(spark, charset))
+        .unionByName(rendered_glyphs(spark, charset, ttf_path=ttf_path))

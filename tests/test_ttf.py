@@ -1,0 +1,122 @@
+"""S6 font source: the stdlib TTF cmap reader
+(effocr_spark/functions/ttf.py) against the committed fixture font
+(data/tiny_font.ttf, written by tools/make_tiny_font.py) — coverage
+enumeration parity with the reference's fontTools flow
+(format_effocr_recognizer_dataset.py:188-192) plus structural
+validation and the ETL coverage gate."""
+
+import struct
+
+import pytest
+
+from effocr_spark.functions.ttf import (
+    font_covered_charset, get_unicode_coverage_from_ttf, parse_cmap,
+    read_table_directory)
+
+FONT = "/root/repo/data/tiny_font.ttf"
+
+
+def _font_bytes() -> bytes:
+    with open(FONT, "rb") as f:
+        return f.read()
+
+
+def test_coverage_matches_writer_contract():
+    """Every codepoint the writer mapped — and nothing else — comes
+    back, as (codepoints, chars) in the reference's return shape."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.make_tiny_font import CODEPOINTS
+
+    cps, chars = get_unicode_coverage_from_ttf(FONT)
+    assert cps == CODEPOINTS
+    assert chars == [chr(c) for c in CODEPOINTS]
+    # multiple segments: digits, upper, lower, accents, CJK all present
+    assert {ord("0"), ord("Z"), ord("z"), 0xE9, ord("日")} <= set(cps)
+    assert ord(" ") not in set(cps)  # gaps really are gaps
+
+
+def test_glyph_id_array_segment_decodes():
+    """The punctuation segment is stored via idRangeOffset/glyphIdArray
+    (non-contiguous gids); idDelta segments surround it. Both paths
+    must agree with the writer's assignment."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.make_tiny_font import CODEPOINTS, PUNCT, build_font
+
+    mapping = parse_cmap(build_font())
+    expect = {c: i + 1 for i, c in enumerate(CODEPOINTS)}
+    gids = [expect[c] for c in PUNCT]
+    for c, g in zip(PUNCT, gids[::-1]):
+        expect[c] = g
+    assert mapping == expect
+    # distinct gids, none zero
+    assert len(set(mapping.values())) == len(mapping)
+    assert 0 not in mapping.values()
+
+
+def test_sfnt_structure_and_checksums():
+    """The fixture is a structurally honest sfnt: required tables
+    present and the whole-file checksum honors head.checkSumAdjustment
+    (sum over the adjusted file == 0xB1B0AFBA)."""
+    data = _font_bytes()
+    tables = read_table_directory(data)
+    assert {b"cmap", b"head", b"maxp", b"glyf", b"loca", b"hmtx",
+            b"hhea"} <= set(tables)
+    padded = data + b"\x00" * (-len(data) % 4)
+    total = sum(struct.unpack(f">{len(padded) // 4}I", padded)) & 0xFFFFFFFF
+    assert total == 0xB1B0AFBA
+
+
+def test_shared_subtable_offsets_parsed_once():
+    """(0,3) and (3,1) records point at the SAME format-4 subtable —
+    the parser must handle offset sharing (real fonts do this) without
+    double-counting or crashing."""
+    data = _font_bytes()
+    off, _ = read_table_directory(data)[b"cmap"]
+    n_rec = struct.unpack_from(">H", data, off + 2)[0]
+    offs = [struct.unpack_from(">I", data, off + 4 + 8 * r + 4)[0]
+            for r in range(n_rec)]
+    assert len(offs) != len(set(offs))  # sharing actually present
+    assert parse_cmap(data)  # and it parses fine
+
+
+def test_malformed_fonts_raise_cleanly():
+    data = _font_bytes()
+    with pytest.raises(ValueError, match="sfnt"):
+        parse_cmap(b"NOPE" + data[4:])
+    with pytest.raises(ValueError):
+        parse_cmap(data[:40])  # truncated table directory
+    # a font with no cmap table
+    import sys
+    sys.path.insert(0, "/root/repo")
+    with pytest.raises(ValueError, match="cmap"):
+        parse_cmap(data.replace(b"cmap", b"cmxp", 1))
+
+
+def test_unsupported_subtable_format_skipped():
+    """A cmap whose only extra record is an unsupported format must
+    still yield the supported tables' union (ignoreDecompileErrors
+    parity)."""
+    data = bytearray(_font_bytes())
+    off, _ = read_table_directory(bytes(data))[b"cmap"]
+    # rewrite record 1 (the format-0 Mac table) to claim format 6
+    sub_off = struct.unpack_from(">I", data, off + 4 + 8 + 4)[0]
+    struct.pack_into(">H", data, off + sub_off, 6)
+    full = parse_cmap(_font_bytes())
+    skipped = parse_cmap(bytes(data))
+    assert skipped == full  # format-4 table already covered everything
+
+
+def test_etl_coverage_gate(spark):
+    """rendered_glyphs(ttf_path=...) renders only font-covered chars:
+    the space and the uncovered kanji drop out of the training table."""
+    from effocr_spark.operators.etl_recognizer import rendered_glyphs
+
+    charset = "AB 世?"  # space + 世 uncovered; A, B, ? covered
+    covered = font_covered_charset(list(charset), FONT)
+    assert covered == ["A", "B", "?"]
+    got = {r["codepoint"] for r in
+           rendered_glyphs(spark, charset, ttf_path=FONT).collect()}
+    assert got <= {ord(c) for c in covered}
+    assert ord("世") not in got and ord(" ") not in got
