@@ -793,14 +793,17 @@ def q_extract_embedded(spark, sf_dir):
 
 
 def q_jpeg_features(spark, sf_dir):
-    """Multimodal image plumbing over REAL baseline JPEG decode
-    (synth/jpegcodec.py, incl. 4:2:0): dims + mean luma over
-    deterministic synthesized blobs, plus a quarantined truncated row.
-    Golden-pinned (DCT decode isn't SQL-expressible)."""
+    """Multimodal image plumbing over REAL JPEG decode
+    (synth/jpegcodec.py): baseline 4:4:4 and 4:2:0 PLUS progressive
+    SOF2 (spectral selection + successive approximation — the encoding
+    most large web JPEGs use), dims + mean luma over deterministic
+    synthesized blobs, plus a quarantined truncated row. Golden-pinned
+    (DCT decode isn't SQL-expressible)."""
     import numpy as np
     from effocr_spark.operators.multimodal import media_features
     from effocr_spark.synth.font import render_line
-    from effocr_spark.synth.jpegcodec import encode_jpeg
+    from effocr_spark.synth.jpegcodec import (encode_jpeg,
+                                              encode_jpeg_progressive)
     from effocr_spark.synth.pages import _en_ocr_line, _rng
 
     rows = []
@@ -809,6 +812,12 @@ def q_jpeg_features(spark, sf_dir):
         img, _, _ = render_line(_en_ocr_line(rng, 2 + i % 3))
         rgb = np.repeat(img[:, :, None], 3, axis=2)
         rows.append((i, bytearray(encode_jpeg(rgb, subsample=i % 2 == 0))))
+    for i in range(10, 14):  # progressive rows: 4:4:4 / 4:2:0 / restarts
+        rng = _rng(777, i)
+        img, _, _ = render_line(_en_ocr_line(rng, 2 + i % 3))
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        rows.append((i, bytearray(encode_jpeg_progressive(
+            rgb, subsample=i % 2 == 0, restart_interval=(i % 3) * 4))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
     df = spark.createDataFrame(rows, "id long, media binary")
     out = media_features(df)

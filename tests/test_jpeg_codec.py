@@ -1,4 +1,4 @@
-"""Baseline JPEG codec: lossy round trips (PSNR-gated), 4:4:4 and 4:2:0
+"""Baseline + progressive JPEG codec: lossy round trips (PSNR-gated), 4:4:4 and 4:2:0
 sampling, grayscale, marker-level structure, quarantine seams, and the
 multimodal integration."""
 
@@ -9,7 +9,7 @@ import pytest
 
 from effocr_spark.synth.font import render_line
 from effocr_spark.synth.jpegcodec import (
-    ZIGZAG, decode_jpeg, encode_jpeg, is_jpeg)
+    ZIGZAG, decode_jpeg, encode_jpeg, encode_jpeg_progressive, is_jpeg)
 
 
 def _psnr(a, b):
@@ -70,11 +70,18 @@ def test_non_multiple_of_block_sizes():
 def test_quarantine_seams():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
-    # progressive SOF2 → explicit library seam
-    prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
-            + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+    # arithmetic-coded SOF9 → explicit library seam (progressive SOF2 is
+    # now a REAL decode path, tested below)
+    arith = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 11)
+             + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(arith)
+    # a progressive frame with no scans is structurally broken, not a seam
+    noscan = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+              + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+              + b"\xff\xd9")
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(noscan)
 
 
 def test_media_features_decodes_jpeg(spark):
@@ -161,3 +168,84 @@ def test_bitreader_truncation_is_a_clean_parse_error():
     br = _BitReader(b"\xff\xd0\xff\xd9", 0)  # RST0 immediately
     with pytest.raises(ValueError, match="truncated entropy-coded"):
         br.read(4)
+
+
+# ---------------------------------------------------------- progressive
+
+PROG_CONFIGS = [
+    # (h, w, gray, subsample, restart_interval)
+    (16, 16, False, False, 0),
+    (17, 23, False, False, 0),   # non-multiple-of-8 dims
+    (33, 47, False, True, 0),    # 4:2:0 with MCU padding + dummy blocks
+    (20, 20, True, False, 0),    # grayscale (single-component DC scan)
+    (40, 56, False, False, 4),   # restart markers in every scan
+    (48, 48, False, True, 3),    # 4:2:0 + restarts
+]
+
+
+@pytest.mark.parametrize("h,w,gray,sub,ri", PROG_CONFIGS)
+def test_progressive_decode_bitwise_equals_baseline(h, w, gray, sub, ri):
+    """A fully-refined progressive stream reconstructs the SAME quantized
+    coefficients as the baseline stream of the same image, so the decode
+    must be bitwise identical — DC successive approximation, AC spectral
+    selection, both refinement passes, EOB runs and restarts included."""
+    rng = np.random.RandomState(h * 100 + w)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.randint(0, 256, shape, np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample=sub))
+    blob = encode_jpeg_progressive(img, subsample=sub, restart_interval=ri)
+    assert blob[3] == 0xE0 and b"\xff\xc2" in blob  # really SOF2
+    assert np.array_equal(decode_jpeg(blob), base)
+
+
+def test_progressive_sparse_spectrum_zrl_and_eob_paths():
+    """A nearly-flat image with isolated detail produces long zero runs:
+    exercises ZRL (run>15) in first scans, EOB-run correction-bit
+    handling in refinement scans."""
+    img = np.full((32, 32, 3), 180, np.uint8)
+    img[5, 7] = (20, 240, 90)    # lone impulse → dense high-freq, sparse rest
+    img[20:22, :] = 60           # horizontal bar → sparse vertical freqs
+    base = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img)), base)
+
+
+def test_progressive_text_render_psnr():
+    """The realistic payload: a rendered OCR line through the progressive
+    path keeps the same PSNR as baseline (it is the same math)."""
+    img, _, _ = render_line("Progressive web JPEG 1885")
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    out = decode_jpeg(encode_jpeg_progressive(rgb))
+    assert out.shape == rgb.shape
+    assert _psnr(out, rgb) > 30.0
+
+
+def test_progressive_truncated_scan_raises():
+    """Cutting the stream mid-scan must raise (→ ok=False quarantine in
+    media_features), not return garbage silently."""
+    img = np.full((24, 24, 3), 128, np.uint8)
+    img[4:9, 3:14] = 20
+    blob = encode_jpeg_progressive(img)
+    sos_positions = [i for i in range(len(blob) - 1)
+                     if blob[i] == 0xFF and blob[i + 1] == 0xDA]
+    cut = blob[: sos_positions[2] + 8]  # inside the 3rd scan header
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        decode_jpeg(cut)
+
+
+def test_progressive_page_through_extraction(spark, protos_bc):
+    """A progressive-JPEG page routes through the OCR branch and decodes
+    to the exact text — the web's dominant large-JPEG encoding is a
+    first-class extraction input, not a quarantine row."""
+    from effocr_spark.pipeline import extract_pages
+
+    text = "Progressive newspaper scan 1885"
+    img, _, _ = render_line(text)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    df = spark.createDataFrame(
+        [("prog://0", None, bytearray(encode_jpeg_progressive(rgb)),
+          None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = extract_pages(df, protos_bc).collect()[0]
+    assert out["branch"] == "ocr" and out["ok"]
+    assert out["extracted_text"] == text
