@@ -902,6 +902,51 @@ FREQ_DICT_FULL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "data", "frequency_dict_en_full.txt")
 
 
+def q_word_silver(spark, sf_dir):
+    """Silver-correction merge of char and word streams (the north
+    star's two-stream design): pages rendered from a known vocabulary,
+    half with a deterministic ink-blot damaging one glyph — the char
+    stream misreads the damaged glyph, the word-level kNN over the
+    whole-word crop (broadcast prototype bank, same encoder) restores
+    it. Output: per page, both streams' texts + whether silver changed
+    anything. Golden-pinned (Python kernel)."""
+    import numpy as np
+    from effocr_spark.pipeline import broadcast_prototypes, extract_pages
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import encode_png
+    from effocr_spark.synth.pages import _rng
+
+    vocab = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+             "dog", "county", "gazette", "report", "spring", "market",
+             "price", "grain", "wheat"]
+    rows = []
+    for i in range(12):
+        rng = _rng(4242, i)
+        words = [vocab[int(rng.randint(len(vocab)))] for _ in range(4)]
+        text = " ".join(words)
+        img, _, word_boxes = render_line(text)
+        if i % 2 == 1 and len(word_boxes) > 1:  # blot word 1, glyph 2
+            x0 = int(word_boxes[1][0]) + 4
+            y0 = img.shape[0] // 3
+            img = img.copy()
+            img[y0:y0 + 3, x0:x0 + 4] = 0
+        rows.append((f"silver://{i}", None, bytearray(encode_png(img)),
+                     None, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    protos = broadcast_prototypes(spark, word_vocab=vocab)
+    chars_only = extract_pages(pages, protos) \
+        .select("url", F.col("extracted_text").alias("char_text"))
+    silver = extract_pages(pages, protos, word_silver=0.8) \
+        .select("url", F.col("extracted_text").alias("silver_text"))
+    return (chars_only.join(silver, "url")
+            .select("url", "char_text", "silver_text",
+                    (F.col("char_text") != F.col("silver_text"))
+                    .alias("corrected"))
+            .orderBy("url"))
+
+
 def q_spellcheck_filedict(spark, sf_dir):
     """F10 at realistic dictionary scale: the 10k+-entry symspell-format
     frequency file loads through the S5 ingestion path
@@ -985,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "spellcheck": q_spellcheck,
         "spellcheck_filedict": q_spellcheck_filedict,
+        "word_silver": q_word_silver,
         "trocr_eval": q_trocr_eval,
         "envelope_join": q_envelope_join,
         "hard_negatives": q_hard_negatives,
@@ -1446,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _golden_sql("media_features"),
         "spellcheck": _golden_sql("spellcheck"),
         "spellcheck_filedict": _golden_sql("spellcheck_filedict"),
+        "word_silver": _golden_sql("word_silver"),
         "trocr_eval": _golden_sql("trocr_eval"),
         "hard_negatives": _golden_sql("hard_negatives"),
         "srp_neardup": _golden_sql("srp_neardup"),

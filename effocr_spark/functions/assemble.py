@@ -110,3 +110,49 @@ def en_postprocess(line_output: str, word_end_idx: list[int],
         line = "".join(chars)
 
     return line
+
+
+def silver_correct(text: str | None, word_preds: list[str],
+                   word_sims: list[float], threshold: float,
+                   word_end_idx: list[int] | None = None
+                   ) -> tuple[str | None, int]:
+    """Silver-correction merge of the char and word streams (the
+    north-star's two-stream design; the paper's word-level EffOCR uses
+    word recognition where the word recognizer is confident, char
+    assembly elsewhere).
+
+    Alignment contract: en_postprocess inserts one space per distinct
+    word_end_idx, and word crops are embedded in the same left-sorted
+    order en_preprocess derived those indices from. If the first word
+    box starts the line (word_end_idx[0] == 0) the inserted leading
+    space is stripped and word k ↔ token k; otherwise a prefix token
+    precedes the first word box and word k ↔ token k+1. When the
+    correspondence is broken (duplicate/collapsed word starts, token
+    count drift through postprocess), the merge is SKIPPED for the line
+    rather than mis-aligned: char assembly is the fallback stream by
+    construction.
+
+    Replaces the aligned token with word_preds[k] when sim ≥ threshold
+    and the streams disagree (case-insensitively; the word bank is
+    lowercase, so a capitalized char token keeps its capitalization).
+    → (text, n_replaced)."""
+    if text is None or not word_preds:
+        return text, 0
+    if word_end_idx is not None:
+        we = list(word_end_idx)
+        if len(set(we)) != len(we):
+            return text, 0  # collapsed word starts: alignment lost
+        offset = 1 if (we and we[0] > 0) else 0
+    else:
+        offset = 1
+    tokens = text.split(" ")
+    if len(tokens) != len(word_preds) + offset:
+        return text, 0
+    n = 0
+    for k, (w, s) in enumerate(zip(word_preds, word_sims)):
+        tok = tokens[k + offset]
+        if not w or s < threshold or not tok or tok.lower() == w.lower():
+            continue
+        tokens[k + offset] = w.capitalize() if tok[:1].isupper() else w
+        n += 1
+    return " ".join(tokens), n

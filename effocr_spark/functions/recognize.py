@@ -250,3 +250,58 @@ def build_prototypes(lang: str = "en", encoder_artifact: str | None = None):
             if encoder_artifact else None)
     protos = embed_crops(crops, projection=proj)
     return chars, protos
+
+
+def build_word_prototypes(words: list[str],
+                          encoder_artifact: str | None = None):
+    """Word-level recognizer bank: → (words, [K, D] float32 L2-normalized
+    matrix of whole-word crop embeddings).
+
+    The north-star's word stream: EffOCR's word-level variant recognizes
+    whole word crops by kNN against a prototype index of rendered
+    vocabulary words, merged with the char stream by silver correction
+    (the reference repo's released CPU path keeps word boxes for spacing
+    only — infer_effocr_onnx_multi.py:70-90 — so this extends it to the
+    paper's two-stream design). Driver-side, broadcast alongside the
+    char prototypes; K = vocabulary size (hundreds-to-thousands of rows
+    × D floats — always a broadcast, never a join side)."""
+    kept, crops = [], []
+    for w in words:
+        crop = _word_prototype_crop(w)
+        if crop is None:
+            continue
+        kept.append(w)
+        crops.append(crop)
+    proj = (synthmodel.load_projection(encoder_artifact)
+            if encoder_artifact else None)
+    return kept, embed_crops(crops, projection=proj)
+
+
+def _word_prototype_crop(word: str) -> np.ndarray | None:
+    """Render the word and crop it through the SAME detector→crop path
+    the extraction stage uses (head → NMS → CLS_WORD box →
+    extract_crops), so prototype and query embeddings share crop
+    geometry exactly — the word analog of _prototype_crop."""
+    img, _, _ = render_line(word)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    det = boxes_fn.non_max_suppression(
+        synthmodel.synthetic_yolo_head(rgb, vertical=False),
+        conf_thres=0.35, iou_thres=0.01, max_det=1000)
+    det = det[det[:, 5] == synthmodel.CLS_WORD]
+    if det.shape[0] == 0:
+        return None
+    det = det[np.argsort(det[:, 0], kind="stable")]
+    return crops_fn.extract_crops(rgb, det[:1, :4], vertical=False)[0]
+
+
+def knn_lookup_sim(embeddings: np.ndarray, prototypes: np.ndarray):
+    """knn_lookup + the winning cosine similarity (both sides
+    L2-normalized, so the inner product IS the cosine): → (idx [B],
+    sim [B] float32). The word stream needs the score to gate silver
+    correction; the char stream's k=1 path stays score-free like the
+    reference."""
+    if embeddings.shape[0] == 0:
+        return np.zeros((0,), np.int64), np.zeros((0,), np.float32)
+    scores = embeddings @ prototypes.T
+    idx = np.argmax(scores, axis=1)
+    return idx, scores[np.arange(scores.shape[0]), idx].astype(np.float32)

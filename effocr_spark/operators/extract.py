@@ -76,12 +76,15 @@ ENCODE_SUB_BATCH = max(
 
 
 def localize_page(png_bytes: bytes, lang: str, vertical: bool,
-                  conf_thres: float, iou_thres: float):
+                  conf_thres: float, iou_thres: float,
+                  word_crops: bool = False):
     """Per-page localizer: decode → line segmentation (multi-line pages
     cut into strips, functions/lineseg.py) → per strip: head → NMS →
     class split → reading order + word-end as-of → crop windows.
     Returns {'lines': [per-line dicts], 'crops': flat crop list,
-    'n_chars': total} — crops stay uint8 until the batched transform."""
+    'n_chars': total} — crops stay uint8 until the batched transform.
+    word_crops: also crop the class=word detections (left-sorted, the
+    en_preprocess order) for the word-level recognizer stream."""
     from ..functions.lineseg import (column_strips_with_offsets,
                                      line_strips_with_offsets)
 
@@ -90,24 +93,35 @@ def localize_page(png_bytes: bytes, lang: str, vertical: bool,
              else line_strips_with_offsets(im))
     lines = []
     for s, off in pairs:
-        ln = _localize_strip(s, lang, vertical, conf_thres, iou_thres)
+        ln = _localize_strip(s, lang, vertical, conf_thres, iou_thres,
+                             word_crops=word_crops)
         ln["offset"] = off  # strip → page coordinate translation (K2 sink)
         lines.append(ln)
     crops: list = []
+    wcrops: list = []
     for ln in lines:
         crops.extend(ln["crops"])
+        wcrops.extend(ln.get("word_crops", ()))
     return {"lines": lines, "crops": crops, "n_chars": len(crops),
+            "word_crops": wcrops, "n_words": len(wcrops),
             "height": im.shape[0], "width": im.shape[1]}
 
 
 def _localize_strip(im: np.ndarray, lang: str, vertical: bool,
-                    conf_thres: float, iou_thres: float):
+                    conf_thres: float, iou_thres: float,
+                    word_crops: bool = False):
     """The reference per-line dataflow over one strip image."""
     head = synthmodel.synthetic_yolo_head(im, vertical=vertical)
     det = boxes_fn.non_max_suppression(head, conf_thres=conf_thres,
                                        iou_thres=iou_thres, max_det=1000)
     char_det = det[det[:, 5] == synthmodel.CLS_CHAR]
     word_det = det[det[:, 5] == synthmodel.CLS_WORD]
+    wcrops: list = []
+    if word_crops and not vertical and word_det.shape[0]:
+        # left-sorted = the exact order en_preprocess derives
+        # word_end_idx in, so word stream k ↔ token k+1 (silver_correct)
+        sw = word_det[np.argsort(word_det[:, 0], kind="stable")]
+        wcrops = crops_fn.extract_crops(im, sw[:, :4], vertical=False)
 
     if lang == "en":
         if char_det.shape[0] != 0:
@@ -131,6 +145,8 @@ def _localize_strip(im: np.ndarray, lang: str, vertical: bool,
         sorted_chars, im.shape[0], im.shape[1], vertical=vertical)
     return {
         "crops": crops,
+        "word_crops": wcrops,
+        "n_words": len(wcrops),
         "word_end_idx": word_end_idx,
         "heights": heights,
         "bottoms": bottoms,
@@ -140,9 +156,13 @@ def _localize_strip(im: np.ndarray, lang: str, vertical: bool,
 
 
 def assemble_line(chars: list[str], line, lang: str,
-                  anchor_margin, spell_ctx) -> str | None:
+                  anchor_margin, spell_ctx,
+                  word_stream=None) -> str | None:
     """Join recognized chars → postprocessed line text
-    (infer_effocr_onnx_multi.py:385-393)."""
+    (infer_effocr_onnx_multi.py:385-393). word_stream: optional
+    (preds, sims, threshold) from the word-level recognizer — silver
+    correction merges it in AFTER postprocess/spellcheck (the word
+    stream wins where confident; char assembly is the fallback)."""
     joined = "".join(c[0] for c in chars).strip()
     if lang == "en":
         out = asm.en_postprocess(joined, line["word_end_idx"],
@@ -150,19 +170,34 @@ def assemble_line(chars: list[str], line, lang: str,
                                  anchor_margin=anchor_margin)
         if spell_ctx is not None and out is not None:
             out = visual_spell_checker(out, *spell_ctx)
+        if word_stream is not None and out is not None:
+            preds, sims, thr = word_stream
+            out, _ = asm.silver_correct(out, preds, sims, thr,
+                                        word_end_idx=line["word_end_idx"])
         return out
     return joined
 
 
 def assemble_page(chars: list[str], page, lang: str,
-                  anchor_margin, spell_ctx) -> str | None:
-    """Per-line assembly + '\\n' join; all-None / zero-line pages → None."""
+                  anchor_margin, spell_ctx,
+                  word_preds=None, word_sims=None,
+                  word_threshold: float = 0.9) -> str | None:
+    """Per-line assembly + '\\n' join; all-None / zero-line pages → None.
+    word_preds/word_sims: page-flat word-stream results, sliced per line
+    by n_words (same regroup-by-count contract as the char stream)."""
     texts = []
     cursor = 0
+    wcursor = 0
     for line in page["lines"]:
         n = line["n_chars"]
+        nw = line.get("n_words", 0)
+        ws = None
+        if word_preds is not None and lang == "en":
+            ws = (word_preds[wcursor: wcursor + nw],
+                  word_sims[wcursor: wcursor + nw], word_threshold)
+        wcursor += nw
         t = assemble_line(chars[cursor: cursor + n], line, lang,
-                          anchor_margin, spell_ctx)
+                          anchor_margin, spell_ctx, word_stream=ws)
         cursor += n
         if t is not None:
             texts.append(t)
@@ -197,8 +232,15 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     spell_check: bool = False, recognizer: str = "knn",
                     vertical_override: bool | None = None,
                     emit_boxes: bool = False,
-                    encoder_artifact: str | None = None):
+                    encoder_artifact: str | None = None,
+                    word_silver: float | None = None):
     """Build the mapInPandas function for the fused OCR stage.
+
+    word_silver: cosine threshold enabling the word-level recognizer
+    stream + silver-correction merge (north star's two-stream design;
+    requires broadcast_prototypes(word_vocab=...) so protos carry an
+    'en_words' bank). None (default) = char stream only, the released
+    reference behavior.
 
     protos_bc: Spark broadcast of {lang: (chars list, [K,D] float32)}.
     Input rows: (url, html, lang); output: OCR_OUT_SCHEMA.
@@ -214,6 +256,10 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         protos = protos_bc.value
+        if word_silver is not None and "en_words" not in protos:
+            raise ValueError("word_silver set but the broadcast has no "
+                             "'en_words' bank — build the prototypes "
+                             "with broadcast_prototypes(word_vocab=...)")
         # serialized-model path: per-executor-process singleton load (the
         # ort-session analog, localizer_engine.py:25-29) — the path string
         # ships in the closure; the weights deserialize once per worker
@@ -225,20 +271,25 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
             urls, texts, ncs, oks, errs = [], [], [], [], []
             widths, heights, all_boxes, all_chars = [], [], [], []
             pages, page_langs, flat_crops = [], [], []
+            flat_word_crops: list = []
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 vertical = (vertical_override if vertical_override is not None
                             else lang == "jp")
                 try:
                     page = localize_page(bytes(html), lang, vertical,
-                                         conf_thres, iou_thres)
+                                         conf_thres, iou_thres,
+                                         word_crops=word_silver is not None)
                     err = None
                 except Exception as e:  # quarantine, never crash the job
                     page = {"lines": [], "crops": [], "n_chars": 0,
+                            "word_crops": [], "n_words": 0,
                             "height": 0, "width": 0}
                     err = f"localize: {e!r}"[:200]
                 pages.append((url, lang, page, err, vertical))
                 page_langs.append(lang)
                 flat_crops.extend(page["crops"])
+                if word_silver is not None:
+                    flat_word_crops.extend(page["word_crops"])
 
             # batched transform+encode over ALL crops in the Arrow batch,
             # in bounded sub-batches
@@ -267,15 +318,42 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                 for pos, k in zip(sel, idxs):
                     flat_chars[pos] = chars_list[int(k)]
 
+            # word stream: whole-word crops through the SAME encoder,
+            # kNN (with cosine) vs the broadcast word bank
+            flat_wpreds: list[str] = []
+            flat_wsims: list[float] = []
+            if word_silver is not None and flat_word_crops:
+                words_list, word_mat = protos["en_words"]
+                wembs = []
+                for s in range(0, len(flat_word_crops), ENCODE_SUB_BATCH):
+                    wembs.append(rec.embed_crops(
+                        flat_word_crops[s: s + ENCODE_SUB_BATCH],
+                        normalize=True, projection=proj))
+                wemb = np.concatenate(wembs)
+                widx, wsim = rec.knn_lookup_sim(wemb, word_mat)
+                flat_wpreds = [words_list[int(i)] for i in widx]
+                flat_wsims = [float(x) for x in wsim]
+
             cursor = 0
+            wcursor = 0
             for url, lang, page, err, vertical in pages:
                 n = page["n_chars"]
                 page_chars = flat_chars[cursor: cursor + n]
                 cursor += n
+                nw = page.get("n_words", 0)
+                wp = ws = None
+                if word_silver is not None:
+                    wp = flat_wpreds[wcursor: wcursor + nw]
+                    ws = flat_wsims[wcursor: wcursor + nw]
+                    wcursor += nw
                 if err is None:
                     try:
-                        text = assemble_page(page_chars, page, lang,
-                                             anchor_margin, spell_ctx)
+                        text = assemble_page(
+                            page_chars, page, lang, anchor_margin,
+                            spell_ctx, word_preds=wp, word_sims=ws,
+                            word_threshold=(word_silver
+                                            if word_silver is not None
+                                            else 0.9))
                     except Exception as e:
                         text, err = None, f"assemble: {e!r}"[:200]
                 else:
@@ -308,16 +386,20 @@ def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                iou_thres: float = 0.01, anchor_margin=None,
                spell_check: bool = False, recognizer: str = "knn",
                vertical_override: bool | None = None,
-               encoder_artifact: str | None = None) -> DataFrame:
+               encoder_artifact: str | None = None,
+               word_silver: float | None = None) -> DataFrame:
     """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error).
 
     encoder_artifact: path to a serialized npz encoder (visible on every
     executor — cluster deploys ship it via spark-submit --files); loaded
-    once per executor process through the model-singleton seam."""
+    once per executor process through the model-singleton seam.
+    word_silver: cosine threshold enabling the word-level recognizer
+    stream + silver-correction merge (see make_ocr_map_fn)."""
     fn = make_ocr_map_fn(protos_bc, conf_thres, iou_thres,
                          anchor_margin, spell_check, recognizer,
                          vertical_override,
-                         encoder_artifact=encoder_artifact)
+                         encoder_artifact=encoder_artifact,
+                         word_silver=word_silver)
     return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
 
 

@@ -36,14 +36,22 @@ RESULT_SCHEMA_HINT = (
 
 
 def broadcast_prototypes(spark: SparkSession, langs=("en", "jp"),
-                         encoder_artifact: str | None = None):
+                         encoder_artifact: str | None = None,
+                         word_vocab: list[str] | None = None):
     """Build the glyph-prototype index driver-side and broadcast it —
     the FAISS ref.index analog (infer_effocr_onnx_multi.py:496-505).
     encoder_artifact: build the prototypes with the same serialized
     encoder the extraction stage will use (queries and index must share
-    an embedding space)."""
+    an embedding space).
+    word_vocab: also build the word-level recognizer bank (rendered
+    whole-word prototype embeddings under key 'en_words') for the
+    silver-correction merge — the north star's word stream."""
     protos = {lang: build_prototypes(lang, encoder_artifact=encoder_artifact)
               for lang in langs}
+    if word_vocab is not None:
+        from .functions.recognize import build_word_prototypes
+        protos["en_words"] = build_word_prototypes(
+            word_vocab, encoder_artifact=encoder_artifact)
     return spark.sparkContext.broadcast(protos)
 
 
@@ -58,6 +66,7 @@ def extract_pages(
     recognizer: str = "knn",
     embedded_images: bool = False,
     encoder_artifact: str | None = None,
+    word_silver: float | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
     (url, extracted_text, n_chars, ok, error, branch).
@@ -80,7 +89,8 @@ def extract_pages(
 
     ocr = ocr_branch(image_rows, protos_bc, conf_thres, iou_thres,
                      anchor_margin, spell_check, recognizer,
-                     encoder_artifact=encoder_artifact)
+                     encoder_artifact=encoder_artifact,
+                     word_silver=word_silver)
     dom = dom_branch(dom_rows)
     pdfs = pdf_branch(pdf_rows)
 
