@@ -902,6 +902,30 @@ FREQ_DICT_FULL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "data", "frequency_dict_en_full.txt")
 
 
+def q_video_metadata(spark, sf_dir):
+    """Multimodal video column: MP4/ISO-BMFF box-walk metadata
+    extraction (synth/mp4box.py — no codec, the curation-pipeline
+    fields) over deterministic fixture blobs incl. a corrupt and a
+    truncated row. EXACT SQL oracle: the expected values are
+    analytically known from the ISO 14496-12 layout the writer emits,
+    so the oracle is an independent VALUES table, not a golden."""
+    from effocr_spark.operators.multimodal import video_metadata
+    from effocr_spark.synth.mp4box import make_mp4
+
+    rows = [
+        (0, bytearray(make_mp4(640, 360, 2.0))),
+        (1, bytearray(make_mp4(1280, 720, 5.5, with_audio=True))),
+        (2, bytearray(make_mp4(1920, 1080, 3.25, timescale=90000,
+                               brand=b"mp42"))),
+        (3, bytearray(b"not a video at all")),
+        (4, bytearray(make_mp4(320, 240, 1.0)[:40])),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    return video_metadata(df).select(
+        "id", "media_type", "brand", "width", "height", "duration_s",
+        "n_tracks", F.array_join("handlers", ",").alias("handlers"), "ok")
+
+
 def q_word_silver(spark, sf_dir):
     """Silver-correction merge of char and word streams (the north
     star's two-stream design): pages rendered from a known vocabulary,
@@ -1031,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck": q_spellcheck,
         "spellcheck_filedict": q_spellcheck_filedict,
         "word_silver": q_word_silver,
+        "video_metadata": q_video_metadata,
         "trocr_eval": q_trocr_eval,
         "envelope_join": q_envelope_join,
         "hard_negatives": q_hard_negatives,
@@ -1492,6 +1517,16 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _golden_sql("media_features"),
         "spellcheck": _golden_sql("spellcheck"),
         "spellcheck_filedict": _golden_sql("spellcheck_filedict"),
+        "video_metadata": """
+            SELECT * FROM (VALUES
+              (0::BIGINT, 'video/mp4', 'isom', 640, 360, 2.0::DOUBLE, 1, 'vide', TRUE),
+              (1::BIGINT, 'video/mp4', 'isom', 1280, 720, 5.5::DOUBLE, 2, 'vide,soun', TRUE),
+              (2::BIGINT, 'video/mp4', 'mp42', 1920, 1080, 3.25::DOUBLE, 1, 'vide', TRUE),
+              (3::BIGINT, 'application/octet-stream', NULL, 0, 0, 0.0::DOUBLE, 0, '', FALSE),
+              (4::BIGINT, 'video/mp4', NULL, 0, 0, 0.0::DOUBLE, 0, '', FALSE)
+            ) AS t(id, media_type, brand, width, height, duration_s,
+                   n_tracks, handlers, ok)
+        """,
         "word_silver": _golden_sql("word_silver"),
         "trocr_eval": _golden_sql("trocr_eval"),
         "hard_negatives": _golden_sql("hard_negatives"),

@@ -4,12 +4,14 @@ Images/audio/video ride as `binary` columns with a sniffed `media_type`;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages. All three fixture codecs are REAL and pure
 stdlib/NumPy: PNG (effocr_spark.synth.imgcodec), baseline JPEG incl.
-4:2:0 (effocr_spark.synth.jpegcodec), WAV/PCM16
-(effocr_spark.synth.wavcodec). Progressive JPEG, compressed audio, and
-video remain clearly-marked seams (`_decode_any` / `decode_wav` raise
-NotImplementedError) for real libraries to drop into — the Spark-side
-plumbing (schemas, batching, quarantine semantics, partitioning) is
-identical either way.
+4:2:0 AND progressive SOF2 (effocr_spark.synth.jpegcodec), WAV/PCM16
+(effocr_spark.synth.wavcodec), MP4/ISO-BMFF box metadata
+(effocr_spark.synth.mp4box — dimensions/duration/tracks without any
+codec, the fields a curation pipeline filters on). Compressed audio and
+video FRAME decode remain clearly-marked seams (`_decode_any` /
+`decode_wav` raise NotImplementedError) for real libraries to drop
+into — the Spark-side plumbing (schemas, batching, quarantine
+semantics, partitioning) is identical either way.
 """
 
 from __future__ import annotations
@@ -44,6 +46,7 @@ def sniff_media_type(col):
                "image/png")
         .when(F.substring(col, 1, 3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
         .when(F.substring(col, 1, 4) == F.lit(b"RIFF"), "audio/wav")
+        .when(F.substring(col, 5, 4) == F.lit(b"ftyp"), "video/mp4")
         .otherwise("application/octet-stream")
     )
 
@@ -168,3 +171,52 @@ def media_resize(df: DataFrame, size: int, id_col: str = "id",
 
     return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("media")) \
              .mapInPandas(rz, "id long, media binary, ok boolean")
+
+
+VIDEO_META_SCHEMA = (
+    "id long, media_type string, brand string, width int, height int, "
+    "duration_s double, n_tracks int, handlers array<string>, "
+    "ok boolean, error string"
+)
+
+
+def video_metadata(df: DataFrame, id_col: str = "id",
+                   media_col: str = "media") -> DataFrame:
+    """MP4/ISO-BMFF metadata extraction WITHOUT decoding any sample
+    data (synth/mp4box.py box walker): dimensions, duration, track
+    count, handler types, brand — the fields a 100 TB curation pipeline
+    filters and buckets videos on before any expensive frame decode.
+    Non-MP4 / corrupt rows quarantine as ok=False."""
+    from ..synth.mp4box import is_mp4, parse_mp4_meta
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "media_type", "brand", "width",
+                                   "height", "duration_s", "n_tracks",
+                                   "handlers", "ok", "error")}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(b) if b is not None else b""
+                mt = "video/mp4" if is_mp4(data) else "application/octet-stream"
+                try:
+                    m = parse_mp4_meta(data)
+                    out["brand"].append(m["brand"])
+                    out["width"].append(m["width"])
+                    out["height"].append(m["height"])
+                    out["duration_s"].append(m["duration_s"])
+                    out["n_tracks"].append(m["n_tracks"])
+                    out["handlers"].append(m["handlers"])
+                    out["ok"].append(True)
+                    out["error"].append(None)
+                except Exception as e:
+                    for k, v in (("brand", None), ("width", 0),
+                                 ("height", 0), ("duration_s", 0.0),
+                                 ("n_tracks", 0), ("handlers", [])):
+                        out[k].append(v)
+                    out["ok"].append(False)
+                    out["error"].append(repr(e)[:200])
+                out["id"].append(int(i))
+                out["media_type"].append(mt)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("media")) \
+             .mapInPandas(fe, VIDEO_META_SCHEMA)
