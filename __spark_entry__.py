@@ -698,13 +698,17 @@ def q_srp_neardup(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal audio plumbing with a REAL WAV/PCM16 codec
-    (synth/wavcodec.py): duration / RMS / peak / windowed frame-RMS over
-    deterministic synthesized blobs, plus a quarantined non-audio row.
-    Golden-pinned (WAV parsing isn't SQL-expressible)."""
+    """Multimodal audio plumbing with REAL WAV codecs
+    (synth/wavcodec.py): PCM16 plus the compressed formats a web corpus
+    actually contains — G.711 μ-law/A-law and IMA ADPCM — duration /
+    RMS / peak / windowed frame-RMS over deterministic synthesized
+    blobs, plus a quarantined non-audio row. Golden-pinned (WAV parsing
+    isn't SQL-expressible)."""
     import numpy as np
     from effocr_spark.operators.multimodal import audio_features
-    from effocr_spark.synth.wavcodec import encode_wav
+    from effocr_spark.synth.wavcodec import (encode_wav, encode_wav_adpcm,
+                                             encode_wav_alaw,
+                                             encode_wav_ulaw)
 
     rows = []
     for i in range(8):
@@ -712,6 +716,12 @@ def q_audio_features(spark, sf_dir):
         n = 3200 + 800 * i
         samples = (rng.standard_normal(n) * (400 * (i + 1))).astype(np.int16)
         rows.append((i, bytearray(encode_wav(samples, rate=8000))))
+    rng = np.random.RandomState(4242)
+    tone = (np.sin(np.linspace(0, 60, 4800)) * 9000
+            + rng.standard_normal(4800) * 250).astype(np.int16)
+    rows.append((10, bytearray(encode_wav_ulaw(tone, rate=8000))))
+    rows.append((11, bytearray(encode_wav_alaw(tone, rate=8000))))
+    rows.append((12, bytearray(encode_wav_adpcm(tone, rate=16000))))
     rows.append((99, bytearray(b"definitely not a wav file")))
     df = spark.createDataFrame(rows, "id long, media binary")
     out = audio_features(df)
