@@ -739,23 +739,31 @@ def q_audio_features(spark, sf_dir):
 def q_extract_pdf(spark, sf_dir):
     """PDF layout-parse branch (north rule: 'HTML boilerplate strip,
     PDF/layout parse, DOM heuristics'): three-way routed extraction over
-    a deterministic mixed fixture — FlateDecode + uncompressed text
-    PDFs, an unsupported-filter PDF (quarantined), and the usual
-    PNG/HTML pages. Golden-pinned."""
+    a deterministic mixed fixture — the FULL standard filter set
+    (Flate, LZW, ASCIIHex, ASCII85, RunLength, chains) plus
+    uncompressed text PDFs, an image-filter PDF (quarantined — JBIG2
+    stays a library seam), and the usual PNG/HTML pages.
+    Golden-pinned."""
     from effocr_spark.pipeline import extract_pages
     from effocr_spark.synth.pages import pages_df
     from effocr_spark.synth.pdfgen import make_pdf
 
     pages, _ = pages_df(spark, 40, seed=42)
+    chains = [None, (), ("LZWDecode",), ("ASCIIHexDecode",),
+              ("ASCII85Decode",), ("RunLengthDecode",),
+              ("ASCII85Decode", "FlateDecode"),
+              ("ASCIIHexDecode", "LZWDecode")]
     pdf_rows = []
     for i in range(12):
         lines = [f"Document {i} line {j} of synthetic text"
                  for j in range(1 + i % 3)]
-        pdf_rows.append((f"pdf://doc/{i:03d}", None,
-                         bytearray(make_pdf([lines], compress=i % 2 == 0)),
+        chain = chains[i % len(chains)]
+        blob = (make_pdf([lines], compress=False) if chain == ()
+                else make_pdf([lines], filters=chain))
+        pdf_rows.append((f"pdf://doc/{i:03d}", None, bytearray(blob),
                          None, "en"))
     pdf_rows.append(("pdf://bad/0", None,
-                     bytearray(b"%PDF-1.4\n<< /Filter /LZWDecode >>\n"
+                     bytearray(b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
                                b"stream\nxx\nendstream"), None, "en"))
     extra = spark.createDataFrame(
         pdf_rows,

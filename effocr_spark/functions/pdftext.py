@@ -1,10 +1,14 @@
 """Minimal REAL PDF text extraction (the north rule's "PDF/layout
 parse" branch).
 
-Scope: text-bearing PDFs with uncompressed or FlateDecode content
-streams — the common born-digital case. Pure stdlib (zlib + re), no
-external PDF library; encrypted / exotic-filter / scanned-image PDFs
-quarantine cleanly (the OCR branch is the right path for scans anyway).
+Scope: text-bearing PDFs with uncompressed or filtered content
+streams — the full standard filter set a text PDF uses: FlateDecode,
+LZWDecode (PDF's 9-12-bit early-change variant), ASCIIHexDecode,
+ASCII85Decode, RunLengthDecode, and chains of them (/Filter arrays,
+applied in decode order per the spec). Pure stdlib (zlib + base64 +
+re), no external PDF library; encrypted PDFs, Flate/LZW predictors,
+and image filters (DCT/JBIG2/JPX/CCITT) quarantine cleanly (the OCR
+branch is the right path for scans anyway).
 
 Layout model (the "parse" part): text is grouped into BT..ET blocks;
 show operators (Tj, ', ", TJ) append to the current line; the line
@@ -21,10 +25,14 @@ as functions/domstrip.py.
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
 # one text-showing or line-advancing operator at a time, in order
 _OP_RE = re.compile(
@@ -109,17 +117,179 @@ def extract_pdf_text(data: bytes) -> str:
         raise NotImplementedError("encrypted PDF; plug a real PDF library in")
     lines: list[bytes] = []
     for dict_part, body in _STREAM_RE.findall(data):
-        if b"/Filter" in dict_part:
-            if b"/FlateDecode" not in dict_part:
-                raise NotImplementedError(
-                    "unsupported stream filter; plug a real PDF library in")
-            try:
-                body = zlib.decompress(body.strip(b"\r\n"))
-            except zlib.error:
-                # some writers keep trailing EOL bytes in /Length; retry raw
-                body = zlib.decompress(body)
+        body = _apply_filters(dict_part, body)
         for block in _BT_RE.findall(body):
             lines.extend(_block_text(block))
     text = "\n".join(
         ln.decode("latin-1") for ln in lines if ln.strip())
     return text
+
+
+# ------------------------------------------------------ stream filters
+
+def _apply_filters(dict_part: bytes, body: bytes) -> bytes:
+    """Apply the stream's /Filter chain in decode order (the /Filter
+    array lists filters in the order they shall be applied — PDF spec
+    7.4). Predictors (PNG/TIFF row filters on Flate/LZW output) are a
+    declared seam: text content streams don't use them, xref/image
+    streams do."""
+    m = _FILTER_RE.search(dict_part)
+    if not m:
+        return body
+    pm = _PREDICTOR_RE.search(dict_part)
+    if pm and int(pm.group(1)) > 1:
+        raise NotImplementedError(
+            "stream predictor; plug a real PDF library in")
+    for name in _NAME_RE.findall(m.group(1)):
+        if name == b"FlateDecode":
+            try:
+                body = zlib.decompress(body.strip(b"\r\n"))
+            except zlib.error:
+                # some writers keep trailing EOL bytes in /Length
+                body = zlib.decompress(body)
+        elif name == b"LZWDecode":
+            body = lzw_decode(body.strip(b"\r\n"))
+        elif name == b"ASCIIHexDecode":
+            body = ascii_hex_decode(body)
+        elif name == b"ASCII85Decode":
+            body = ascii85_decode(body)
+        elif name == b"RunLengthDecode":
+            body = run_length_decode(body)
+        else:
+            raise NotImplementedError(
+                f"unsupported stream filter /{name.decode('latin-1')}; "
+                f"plug a real PDF library in")
+    return body
+
+
+def ascii_hex_decode(body: bytes) -> bytes:
+    """ASCIIHexDecode (spec 7.4.2): whitespace ignored, '>' is EOD, an
+    odd final digit is padded with 0."""
+    end = body.find(b">")
+    hx = re.sub(rb"\s+", b"", body[:end if end >= 0 else len(body)])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise ValueError(f"bad ASCIIHex stream: {e}") from None
+
+
+def ascii85_decode(body: bytes) -> bytes:
+    """ASCII85Decode (spec 7.4.3): '~>' EOD, whitespace ignored, 'z'
+    group shorthand — stdlib a85decode implements exactly this."""
+    body = re.sub(rb"\s+", b"", body)
+    end = body.find(b"~>")
+    if end >= 0:
+        body = body[:end]
+    if body.startswith(b"<~"):  # some writers emit the Adobe frame
+        body = body[2:]
+    try:
+        return base64.a85decode(body)
+    except ValueError as e:
+        raise ValueError(f"bad ASCII85 stream: {e}") from None
+
+
+def run_length_decode(body: bytes) -> bytes:
+    """RunLengthDecode (spec 7.4.5): length byte L: 0-127 → copy L+1
+    literal bytes; 129-255 → repeat next byte 257-L times; 128 EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        L = body[i]
+        if L == 128:
+            break
+        if L < 128:
+            chunk = body[i + 1: i + 2 + L]
+            if len(chunk) != L + 1:
+                raise ValueError("truncated RunLength literal")
+            out += chunk
+            i += 2 + L
+        else:
+            if i + 1 >= len(body):
+                raise ValueError("truncated RunLength run")
+            out += bytes([body[i + 1]]) * (257 - L)
+            i += 2
+    return bytes(out)
+
+
+def lzw_decode(body: bytes) -> bytes:
+    """LZWDecode (spec 7.4.4): MSB-first variable-width codes 9→12
+    bits, clear=256, EOD=257, early code-width change (the PDF
+    default EarlyChange=1)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in body:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            # early change: grow width one code EARLY (PDF default)
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """LZW encoder matching lzw_decode (fixture generation; same
+    early-change variant). Emits clear, codes, EOD."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder grows its read width when ITS table (one entry
+        # behind ours) reaches 2^width - 1 → grow when next_code passes
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+    put(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)

@@ -34,8 +34,37 @@ def _content_stream(lines: list[str]) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
-def make_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
-    """pages = list of pages, each a list of text lines → PDF bytes."""
+def _encode_filters(content: bytes, chain: tuple[str, ...]) -> bytes:
+    """Apply an ENCODE chain (reverse of the /Filter decode order)."""
+    import base64
+
+    from ..functions.pdftext import lzw_encode
+
+    for name in reversed(chain):
+        if name == "FlateDecode":
+            content = zlib.compress(content)
+        elif name == "LZWDecode":
+            content = lzw_encode(content)
+        elif name == "ASCIIHexDecode":
+            content = content.hex().encode("ascii") + b">"
+        elif name == "ASCII85Decode":
+            content = base64.a85encode(content) + b"~>"
+        elif name == "RunLengthDecode":
+            out = bytearray()
+            for s in range(0, len(content), 128):
+                chunk = content[s:s + 128]
+                out += bytes([len(chunk) - 1]) + chunk
+            content = bytes(out) + bytes([128])
+        else:
+            raise ValueError(f"unknown fixture filter {name}")
+    return content
+
+
+def make_pdf(pages: list[list[str]], compress: bool = True,
+             filters: tuple[str, ...] | None = None) -> bytes:
+    """pages = list of pages, each a list of text lines → PDF bytes.
+    filters: explicit /Filter decode chain (e.g. ("ASCII85Decode",
+    "FlateDecode")); default keeps the compress flag's behavior."""
     objs: list[bytes] = []
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -43,11 +72,15 @@ def make_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                 .encode())
     font_num = 3 + 2 * n_pages
+    if filters is None:
+        filters = ("FlateDecode",) if compress else ()
     for i, lines in enumerate(pages):
         content = _content_stream(lines)
-        if compress:
-            content = zlib.compress(content)
-            filt = " /Filter /FlateDecode"
+        if filters:
+            content = _encode_filters(content, filters)
+            names = "".join(f" /{n}" for n in filters)
+            filt = (f" /Filter [{names} ]" if len(filters) > 1
+                    else f" /Filter{names}")
         else:
             filt = ""
         objs.append(

@@ -49,7 +49,9 @@ def test_pipeline_three_way_routing(spark, protos_bc):
          None, "en"),
         ("pdf://good/2", None, make_pdf([["Uncompressed page"]],
                                         compress=False), None, "en"),
-        ("pdf://bad/1", None, b"%PDF-1.4\n<< /Filter /LZWDecode >>\n"
+        # JBIG2 (an image filter) stays a library seam now that LZW and
+        # the other standard text-stream filters decode for real
+        ("pdf://bad/1", None, b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
                               b"stream\nxx\nendstream", None, "en"),
     ]
     extra = spark.createDataFrame(
@@ -91,3 +93,53 @@ def test_unescape_octal_excludes_8_and_9():
     assert _unescape(rb"a\8b") == b"a8b"          # \8 keeps the 8
     assert _unescape(rb"x\9") == b"x9"            # \9 at end too
     assert _unescape(rb"\0778") == b"?8"          # 3-digit max then literal
+
+
+# ------------------------------------------------- standard filter set
+
+import base64 as _b64
+import zlib as _zlib
+
+import pytest as _pytest
+
+from effocr_spark.functions.pdftext import (ascii85_decode,
+                                            ascii_hex_decode, lzw_decode,
+                                            lzw_encode, run_length_decode)
+
+
+def test_filter_kernels_roundtrip():
+    data = b"The quick brown fox jumps over 1885 lazy dogs! " * 20
+    assert lzw_decode(lzw_encode(data)) == data
+    assert lzw_decode(lzw_encode(b"a" * 5000)) == b"a" * 5000  # KwKwK runs
+    wide = bytes(range(256)) * 40  # forces 10/11/12-bit code widths
+    assert lzw_decode(lzw_encode(wide)) == wide
+    assert ascii_hex_decode(b"48 65 6C6C 6F>") == b"Hello"
+    assert ascii_hex_decode(b"48656C6C6F2") == b"Hello "  # odd → pad 0
+    assert ascii85_decode(_b64.a85encode(data) + b"~>junk") == data
+    rl = bytes([2]) + b"abc" + bytes([254]) + b"x" + bytes([128])
+    assert run_length_decode(rl) == b"abcxxx"
+
+
+@pytest.mark.parametrize("chain", [
+    ("LZWDecode",), ("ASCIIHexDecode",), ("ASCII85Decode",),
+    ("RunLengthDecode",), ("ASCII85Decode", "FlateDecode"),
+    ("ASCIIHexDecode", "LZWDecode")])
+def test_filtered_pdfs_extract(chain):
+    from effocr_spark.synth.pdfgen import make_pdf
+
+    blob = make_pdf([["hello filtered world", "second line"]],
+                    filters=chain)
+    assert extract_pdf_text(blob) == "hello filtered world\nsecond line"
+
+
+def test_image_filters_and_predictors_stay_seams():
+    from effocr_spark.functions.pdftext import extract_pdf_text as x
+
+    jbig = (b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\nstream\nxx\nendstream")
+    with _pytest.raises(NotImplementedError, match="JBIG2"):
+        x(jbig)
+    pred = (b"%PDF-1.4\n<< /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 12 /Columns 4 >> >>\nstream\n"
+            + _zlib.compress(b"BT (x) Tj ET") + b"\nendstream")
+    with _pytest.raises(NotImplementedError, match="predictor"):
+        x(pred)
