@@ -762,6 +762,12 @@ def q_extract_pdf(spark, sf_dir):
                 else make_pdf([lines], filters=chain))
         pdf_rows.append((f"pdf://doc/{i:03d}", None, bytearray(blob),
                          None, "en"))
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf
+    for r in (2, 3):  # RC4 permissions-only encryption decrypts for real
+        pdf_rows.append((f"pdf://enc/r{r}", None,
+                         bytearray(make_encrypted_pdf(
+                             [[f"Encrypted rev {r} document text"]], r=r)),
+                         None, "en"))
     pdf_rows.append(("pdf://bad/0", None,
                      bytearray(b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
                                b"stream\nxx\nendstream"), None, "en"))

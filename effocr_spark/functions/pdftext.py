@@ -6,9 +6,12 @@ streams — the full standard filter set a text PDF uses: FlateDecode,
 LZWDecode (PDF's 9-12-bit early-change variant), ASCIIHexDecode,
 ASCII85Decode, RunLengthDecode, and chains of them (/Filter arrays,
 applied in decode order per the spec). Pure stdlib (zlib + base64 +
-re), no external PDF library; encrypted PDFs, Flate/LZW predictors,
-and image filters (DCT/JBIG2/JPX/CCITT) quarantine cleanly (the OCR
-branch is the right path for scans anyway).
+re + hashlib), no external PDF library. Standard-security-handler RC4
+encryption (R2/R3) with an empty user password — the web's common
+permissions-only locking — decrypts for real; true password-protected
+documents, AES (V≥4), Flate/LZW predictors, and image filters
+(DCT/JBIG2/JPX/CCITT) quarantine cleanly (the OCR branch is the right
+path for scans anyway).
 
 Layout model (the "parse" part): text is grouped into BT..ET blocks;
 show operators (Tj, ', ", TJ) append to the current line; the line
@@ -109,14 +112,20 @@ def extract_pdf_text(data: bytes) -> str:
     """PDF bytes → extracted text ('' when no text content found).
 
     Raises on undecodable containers (caller quarantines): not-a-PDF,
-    encrypted documents, streams with filters other than FlateDecode.
+    password-protected or AES-encrypted documents, image-filter or
+    predictor streams. Standard-handler RC4 encryption with an empty
+    user password (permissions-only locking) decrypts for real.
     """
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     if b"/Encrypt" in data:
-        raise NotImplementedError("encrypted PDF; plug a real PDF library in")
+        # standard-handler RC4 with the empty user password (the common
+        # permissions-only case); raises for true-password/AES documents
+        streams = _decrypt_streams(data)
+    else:
+        streams = _STREAM_RE.findall(data)
     lines: list[bytes] = []
-    for dict_part, body in _STREAM_RE.findall(data):
+    for dict_part, body in streams:
         body = _apply_filters(dict_part, body)
         for block in _BT_RE.findall(body):
             lines.extend(_block_text(block))
@@ -293,3 +302,135 @@ def lzw_encode(data: bytes) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+# ----------------------------------------------- standard encryption
+# PDF 1.4-1.7 standard security handler (spec §7.6.3 / PDF1.4 §3.5),
+# revisions 2 (40-bit) and 3 (128-bit), RC4. Most "encrypted" web PDFs
+# are permissions-only: empty USER password, everything decryptable —
+# this makes those extractable. True password-protected documents (U
+# check fails) and V≥4 crypt filters (AES) stay a declared seam.
+
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STR_RE_TPL = rb"%s\s*(?:\((?P<lit>(?:\\.|[^\\()])*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>)"
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pdf_string(dict_part: bytes, key: bytes) -> bytes | None:
+    m = re.search(_STR_RE_TPL % key, dict_part, re.S)
+    if not m:
+        return None
+    if m.group("lit") is not None:
+        return _unescape(m.group("lit"))
+    return bytes.fromhex(re.sub(rb"\s+", b"", m.group("hex")).decode())
+
+
+def _std_key(user_pw: bytes, o: bytes, p: int, id0: bytes,
+             r: int, key_len: int) -> bytes:
+    """Algorithm 3.2: file encryption key from the (padded) user
+    password."""
+    import hashlib
+    import struct as _struct
+
+    padded = (user_pw + _PDF_PAD)[:32]
+    digest = hashlib.md5(padded + o[:32]
+                         + _struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:key_len]).digest()
+    return digest[:key_len]
+
+
+def _check_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """Algorithms 3.4/3.5: recompute U and compare."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PDF_PAD) == u[:32]
+    x = hashlib.md5(_PDF_PAD + id0).digest()
+    t = _rc4(key, x)
+    for i in range(1, 20):
+        t = _rc4(bytes(b ^ i for b in key), t)
+    return t == u[:16]
+
+
+def _object_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 3.1: per-object RC4 key."""
+    import hashlib
+    import struct as _struct
+
+    ext = key + _struct.pack("<I", num)[:3] + _struct.pack("<I", gen)[:2]
+    return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
+
+
+def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes]]:
+    """Standard-handler decryption with the EMPTY user password:
+    → [(stream dict, decrypted body)] for every stream, or raises
+    NotImplementedError for truly password-protected / V≥4 documents."""
+    em = _ENCRYPT_REF_RE.search(data)
+    if em is None:
+        raise ValueError("no /Encrypt reference")
+    enc_num = int(em.group(1))
+    enc_dict = None
+    objs: list[tuple[int, int, bytes]] = []
+    for om in _OBJ_RE.finditer(data):
+        num, gen, body = int(om.group(1)), int(om.group(2)), om.group(3)
+        objs.append((num, gen, body))
+        if num == enc_num:
+            enc_dict = body
+    if enc_dict is None:
+        raise ValueError("missing encryption dictionary object")
+    vm = re.search(rb"/V\s+(\d+)", enc_dict)
+    rm = re.search(rb"/R\s+(\d+)", enc_dict)
+    pm = re.search(rb"/P\s+(-?\d+)", enc_dict)
+    lm = re.search(rb"/Length\s+(\d+)", enc_dict)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"encryption V={v} R={r} (AES/crypt filters); plug a real "
+            f"PDF library in")
+    o = _pdf_string(enc_dict, rb"/O")
+    u = _pdf_string(enc_dict, rb"/U")
+    if o is None or u is None or pm is None:
+        raise ValueError("malformed encryption dictionary")
+    p = int(pm.group(1))
+    key_len = (int(lm.group(1)) // 8) if lm else 5
+    idm = _ID_RE.search(data)
+    id0 = (bytes.fromhex(re.sub(rb"\s+", b"", idm.group(1)).decode())
+           if idm else b"")
+    key = _std_key(b"", o, p, id0, r, key_len)
+    if not _check_user_password(key, u, id0, r):
+        raise NotImplementedError(
+            "password-protected PDF (non-empty user password); plug a "
+            "real PDF library in")
+    out = []
+    for num, gen, body in objs:
+        sm = _STREAM_RE.search(body)
+        if sm is None or num == enc_num:
+            continue
+        out.append((sm.group(1), _rc4(_object_key(key, num, gen),
+                                      sm.group(2))))
+    return out

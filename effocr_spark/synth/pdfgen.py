@@ -104,3 +104,82 @@ def make_pdf(pages: list[list[str]], compress: bool = True,
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
+                       owner_pw: bytes = b"owner-secret",
+                       permissions: int = -44) -> bytes:
+    """Standard-security-handler encrypted PDF (RC4, revision 2 or 3)
+    with an EMPTY user password — the permissions-only locking most
+    "encrypted" web PDFs use. Streams are Flate-encoded then RC4'd with
+    the per-object key, exactly the layering the spec prescribes."""
+    import hashlib
+
+    from ..functions.pdftext import (_PDF_PAD, _object_key, _rc4,
+                                     _std_key)
+
+    key_len = 5 if r == 2 else 16
+    id0 = hashlib.md5(repr(pages).encode()).digest()
+
+    padded_owner = (owner_pw + _PDF_PAD)[:32]
+    padded_user = _PDF_PAD  # empty user password
+    if r == 2:
+        o_key = hashlib.md5(padded_owner).digest()[:5]
+        o_val = _rc4(o_key, padded_user)
+    else:
+        d = hashlib.md5(padded_owner).digest()
+        for _ in range(50):
+            d = hashlib.md5(d).digest()
+        o_key = d[:key_len]
+        t = _rc4(o_key, padded_user)
+        for i in range(1, 20):
+            t = _rc4(bytes(b ^ i for b in o_key), t)
+        o_val = t
+
+    key = _std_key(b"", o_val, permissions, id0, r, key_len)
+    if r == 2:
+        u_val = _rc4(key, _PDF_PAD)
+    else:
+        x = hashlib.md5(_PDF_PAD + id0).digest()
+        t = _rc4(key, x)
+        for i in range(1, 20):
+            t = _rc4(bytes(b ^ i for b in key), t)
+        u_val = t + b"\x00" * 16  # 32-byte entry; first 16 significant
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 2 * n_pages
+    enc_num = font_num + 1
+    for i, lines in enumerate(pages):
+        content = zlib.compress(_content_stream(lines))
+        content = _rc4(_object_key(key, 4 + 2 * i, 0), content)
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
+            f"{font_num} 0 R >> >> >>".encode())
+        objs.append(f"<< /Length {len(content)} /Filter /FlateDecode >>"
+                    f"\nstream\n".encode() + content + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.append(
+        f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+        f"/Length {key_len * 8} /P {permissions} "
+        f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+            f"/Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

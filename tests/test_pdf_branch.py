@@ -31,7 +31,9 @@ def test_pdf_escapes_and_kerning_spaces():
 def test_pdf_quarantine_paths():
     with pytest.raises(ValueError):
         extract_pdf_text(b"<html>not a pdf</html>")
-    with pytest.raises(NotImplementedError):
+    # a dangling /Encrypt ref (no encryption dict) is structural
+    # corruption now that empty-user-password RC4 decrypts for real
+    with pytest.raises(ValueError, match="encryption dictionary"):
         extract_pdf_text(b"%PDF-1.4\n1 0 obj << /Encrypt 5 0 R >> endobj")
     with pytest.raises(NotImplementedError):
         extract_pdf_text(b"%PDF-1.4\n<< /Filter /DCTDecode >>\nstream\n"
@@ -143,3 +145,47 @@ def test_image_filters_and_predictors_stay_seams():
             + _zlib.compress(b"BT (x) Tj ET") + b"\nendstream")
     with _pytest.raises(NotImplementedError, match="predictor"):
         x(pred)
+
+
+# --------------------------------------------- standard encryption
+
+def test_encrypted_pdf_empty_user_password_decrypts():
+    """Permissions-only encryption (empty user password) — RC4 R2 and
+    R3 — extracts for real; this is most of the web's 'encrypted'
+    PDFs."""
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf
+
+    for r in (2, 3):
+        blob = make_encrypted_pdf(
+            [["Locked but readable", "second line"]], r=r)
+        assert b"/Encrypt" in blob
+        assert extract_pdf_text(blob) == "Locked but readable\nsecond line"
+        # the raw stream bytes must NOT contain the plaintext
+        assert b"Locked" not in blob
+
+
+def test_password_protected_pdf_stays_a_seam():
+    """A non-empty USER password makes the U check fail → quarantine,
+    not garbage output."""
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf
+
+    blob = bytearray(make_encrypted_pdf([["hidden"]], r=3))
+    i = blob.find(b"/U <") + 4
+    blob[i:i + 4] = b"0000"  # corrupt U → empty-user-password check fails
+    with _pytest.raises(NotImplementedError, match="password-protected"):
+        extract_pdf_text(bytes(blob))
+
+
+def test_encrypted_pdf_through_pipeline(spark, protos_bc):
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf
+
+    df = spark.createDataFrame(
+        [("pdf://enc/0", None,
+          bytearray(make_encrypted_pdf([["Encrypted page text"]])),
+          None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = extract_pages(df, protos_bc).collect()[0]
+    assert out["branch"] == "pdf" and out["ok"]
+    assert out["extracted_text"] == "Encrypted page text"
