@@ -780,6 +780,52 @@ def q_extract_pdf(spark, sf_dir):
     return res.select("url", "branch", "extracted_text", "ok")
 
 
+def q_extract_pdf_scanned(spark, sf_dir):
+    """Scanned-PDF OCR fusion (north star: 'embedded images/PDF
+    layouts'): PDFs whose pages are DCT (JPEG) image XObjects — no text
+    layer, the structure scanners emit — extract through the standard
+    OCR branch and fuse per url; mixed text+scan documents get layer
+    then scan. Incl. a transport-filtered XObject and an RC4-encrypted
+    scan. Golden-pinned."""
+    import numpy as np
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jpegcodec import encode_jpeg
+    from effocr_spark.synth.pages import _en_ocr_line, _rng
+    from effocr_spark.synth.pdfgen import make_pdf, make_scanned_pdf
+
+    def scan(texts, **kw):
+        jpegs = []
+        for t in texts:
+            img, _, _ = render_line(t)
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            jpegs.append((encode_jpeg(rgb), rgb.shape[1], rgb.shape[0]))
+        return make_scanned_pdf(jpegs, **kw)
+
+    rows = []
+    for i in range(8):
+        rng = _rng(777000, i)
+        texts = [_en_ocr_line(rng, 3 + i % 3)
+                 for _ in range(1 + i % 2)]
+        if i % 4 == 3:  # mixed: text layer + scan
+            blob = scan(texts, text_lines=[["Layer line %d" % i]]
+                        + [[]] * (len(texts) - 1))
+        elif i % 4 == 2:  # transport-filtered XObject
+            blob = scan(texts, image_filters=("ASCII85Decode",))
+        else:
+            blob = scan(texts)
+        rows.append((f"pdf://scan/{i:02d}", None, bytearray(blob),
+                     None, "en"))
+    rows.append(("pdf://text/0", None,
+                 bytearray(make_pdf([["Plain text page"]])), None, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    res = extract_pages(pages, _protos_bc(spark), salt_partitions=8,
+                        embedded_images=True)
+    return res.select("url", "branch", "extracted_text", "n_chars", "ok")
+
+
 def q_extract_embedded(spark, sf_dir):
     """Embedded-image fusion (north star: detector over rendered page
     regions AND embedded images): born-digital pages carrying data-URI
@@ -1087,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "coco_sink_roundtrip": q_coco_sink_roundtrip,
         "extract_pdf": q_extract_pdf,
+        "extract_pdf_scanned": q_extract_pdf_scanned,
         "extract_embedded": q_extract_embedded,
         "jpeg_features": q_jpeg_features,
     }
@@ -1558,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _golden_sql("audio_features"),
         "coco_sink_roundtrip": _golden_sql("coco_sink_roundtrip"),
         "extract_pdf": _golden_sql("extract_pdf"),
+        "extract_pdf_scanned": _golden_sql("extract_pdf_scanned"),
         "extract_embedded": _golden_sql("extract_embedded"),
         "jpeg_features": _golden_sql("jpeg_features"),
         "envelope_join": """

@@ -126,6 +126,8 @@ def extract_pdf_text(data: bytes) -> str:
         streams = _STREAM_RE.findall(data)
     lines: list[bytes] = []
     for dict_part, body in streams:
+        if b"/Subtype" in dict_part and b"/Image" in dict_part:
+            continue  # image XObject: no text; see extract_pdf_images
         body = _apply_filters(dict_part, body)
         for block in _BT_RE.findall(body):
             lines.extend(_block_text(block))
@@ -150,25 +152,60 @@ def _apply_filters(dict_part: bytes, body: bytes) -> bytes:
         raise NotImplementedError(
             "stream predictor; plug a real PDF library in")
     for name in _NAME_RE.findall(m.group(1)):
-        if name == b"FlateDecode":
-            try:
-                body = zlib.decompress(body.strip(b"\r\n"))
-            except zlib.error:
-                # some writers keep trailing EOL bytes in /Length
-                body = zlib.decompress(body)
-        elif name == b"LZWDecode":
-            body = lzw_decode(body.strip(b"\r\n"))
-        elif name == b"ASCIIHexDecode":
-            body = ascii_hex_decode(body)
-        elif name == b"ASCII85Decode":
-            body = ascii85_decode(body)
-        elif name == b"RunLengthDecode":
-            body = run_length_decode(body)
-        else:
-            raise NotImplementedError(
-                f"unsupported stream filter /{name.decode('latin-1')}; "
-                f"plug a real PDF library in")
+        body = _apply_one(name, body)
     return body
+
+
+def _apply_one(name: bytes, body: bytes) -> bytes:
+    if name == b"FlateDecode":
+        try:
+            return zlib.decompress(body.strip(b"\r\n"))
+        except zlib.error:
+            # some writers keep trailing EOL bytes in /Length
+            return zlib.decompress(body)
+    if name == b"LZWDecode":
+        return lzw_decode(body.strip(b"\r\n"))
+    if name == b"ASCIIHexDecode":
+        return ascii_hex_decode(body)
+    if name == b"ASCII85Decode":
+        return ascii85_decode(body)
+    if name == b"RunLengthDecode":
+        return run_length_decode(body)
+    raise NotImplementedError(
+        f"unsupported stream filter /{name.decode('latin-1')}; "
+        f"plug a real PDF library in")
+
+
+def extract_pdf_images(data: bytes) -> list[bytes]:
+    """Image XObjects whose FINAL filter is /DCTDecode → list of the
+    embedded JPEG byte strings (outer transport filters like ASCII85 or
+    Flate applied first; standard-handler decryption applied when the
+    document is encrypted). This feeds the scanned-PDF OCR fusion — a
+    scanned newspaper PDF is a stack of DCT XObjects with no text
+    layer, exactly the north star's 'embedded images/PDF layouts'
+    input. Non-DCT images (raw samplers, CCITT, JBIG2) are skipped:
+    quarantine-by-omission, the text layer still extracts."""
+    if not is_pdf(data):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    streams = (_decrypt_streams(data) if b"/Encrypt" in data
+               else _STREAM_RE.findall(data))
+    out: list[bytes] = []
+    for dict_part, body in streams:
+        if b"/Subtype" not in dict_part or b"/Image" not in dict_part:
+            continue
+        m = _FILTER_RE.search(dict_part)
+        if m is None:
+            continue
+        names = _NAME_RE.findall(m.group(1))
+        if not names or names[-1] != b"DCTDecode":
+            continue
+        try:
+            for name in names[:-1]:
+                body = _apply_one(name, body)
+        except (ValueError, NotImplementedError):
+            continue
+        out.append(body)
+    return out
 
 
 def ascii_hex_decode(body: bytes) -> bytes:

@@ -500,6 +500,41 @@ def embedded_png_rows(df: DataFrame) -> DataFrame:
         explode_batches, EMBEDDED_SCHEMA)
 
 
+def has_pdf_images(html_col):
+    """JVM-side pre-filter for PDFs carrying DCT (JPEG) image XObjects —
+    scanned documents. Cheap contains() so the image-explode UDF only
+    sees candidates."""
+    return F.contains(html_col.cast("string"), F.lit("/DCTDecode"))
+
+
+def pdf_image_rows(df: DataFrame) -> DataFrame:
+    """PDF pages → one row per embedded DCT image
+    (url, img_idx, jpeg bytes, lang), ready for the standard OCR branch
+    — the scanned-newspaper path (north star: 'embedded images/PDF
+    layouts'). Unextractable documents are skipped (quarantine by
+    omission — the text layer still flows through the PDF branch)."""
+    from ..functions.pdftext import extract_pdf_images
+
+    def explode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, blobs, langs = [], [], [], []
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                try:
+                    imgs = extract_pdf_images(bytes(html))
+                except Exception:
+                    continue
+                for i, blob in enumerate(imgs):
+                    urls.append(url)
+                    idxs.append(i)
+                    blobs.append(blob)
+                    langs.append(lang)
+            yield pd.DataFrame({"url": urls, "img_idx": idxs,
+                                "html": blobs, "lang": langs})
+
+    return df.select("url", "html", "lang").mapInPandas(
+        explode_batches, EMBEDDED_SCHEMA)
+
+
 def pdf_branch(df: DataFrame) -> DataFrame:
     """(url, html=PDF bytes) pages → same output schema as the other
     branches. The extractor (functions/pdftext.py) handles uncompressed

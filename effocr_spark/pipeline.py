@@ -95,17 +95,22 @@ def extract_pages(
     pdfs = pdf_branch(pdf_rows)
 
     if embedded_images:
-        # the north star's "embedded images": data-URI PNGs inside
-        # born-digital pages run through the SAME OCR branch (one derived
-        # row per image, url tagged with its index), then fuse back onto
-        # the page's DOM text. JVM contains() pre-filter keeps the
-        # explode UDF off pages without candidates; the groupBy+join
-        # touches only the embedded subset (tiny fraction at web scale).
-        from .operators.extract import embedded_png_rows, has_embedded_png
+        # the north star's "embedded images/PDF layouts": data-URI
+        # images inside born-digital pages AND DCT (JPEG) image XObjects
+        # inside PDFs (scanned documents) run through the SAME OCR
+        # branch (one derived row per image, url tagged with its index),
+        # then fuse back onto the page's text-layer output. JVM
+        # contains() pre-filters keep the explode UDFs off pages without
+        # candidates; the groupBy+join touches only the embedded subset
+        # (tiny fraction at web scale).
+        from .operators.extract import (embedded_png_rows,
+                                        has_embedded_png, has_pdf_images,
+                                        pdf_image_rows)
 
-        SEP = "emb"
+        SEP = "emb"  # control-char guards: no url collision
         cand = dom_rows.filter(has_embedded_png(F.col("html")))
-        emb = embedded_png_rows(cand)
+        emb = embedded_png_rows(cand).unionByName(
+            pdf_image_rows(pdf_rows.filter(has_pdf_images(F.col("html")))))
         if salt_partitions:
             emb = emb.repartition(
                 salt_partitions, F.xxhash64(F.col("url"), F.lit(0x5A17)))
@@ -131,21 +136,34 @@ def extract_pages(
                 .alias("_emb_text"),
                 F.sum("n_chars").cast("int").alias("_emb_chars"))
         )
-        dom = (
-            dom.join(emb_texts, "url", "left")
-            .select(
-                "url",
-                F.when(F.col("_emb_text").isNotNull(),
-                       F.concat_ws("\n", "extracted_text", "_emb_text"))
-                .otherwise(F.col("extracted_text")).alias("extracted_text"),
-                # n_chars is the OCR-char count (see OCR_OUT_SCHEMA note):
-                # a dom page is 0 until embedded-image OCR contributes, so
-                # the fusion OVERWRITES it with the embedded-OCR sum — the
-                # page's total recognized-char count, not its text length
-                F.coalesce(F.col("_emb_chars"), F.col("n_chars"))
-                .alias("n_chars"),
-                "ok", "error")
-        )
+        def _fuse(branch_df):
+            # text layer first, then embedded-image OCR in image order;
+            # a pure image scan (empty text layer) yields OCR text alone
+            return (
+                branch_df.join(emb_texts, "url", "left")
+                .select(
+                    "url",
+                    F.when(
+                        F.col("_emb_text").isNotNull(),
+                        F.when(F.length(F.coalesce("extracted_text",
+                                                   F.lit(""))) > 0,
+                               F.concat_ws("\n", "extracted_text",
+                                           "_emb_text"))
+                        .otherwise(F.col("_emb_text")))
+                    .otherwise(F.col("extracted_text"))
+                    .alias("extracted_text"),
+                    # n_chars is the OCR-char count (OCR_OUT_SCHEMA
+                    # note): a dom/pdf page is 0 until embedded-image OCR
+                    # contributes, so the fusion OVERWRITES it with the
+                    # embedded-OCR sum (the page's total recognized-char
+                    # count, not its text length)
+                    F.coalesce(F.col("_emb_chars"), F.col("n_chars"))
+                    .alias("n_chars"),
+                    "ok", "error")
+            )
+
+        dom = _fuse(dom)
+        pdfs = _fuse(pdfs)
 
     return (
         ocr.withColumn("branch", F.lit("ocr"))

@@ -183,3 +183,60 @@ def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
             f"/Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_scanned_pdf(jpegs: list[tuple[bytes, int, int]],
+                     text_lines: list[list[str]] | None = None,
+                     image_filters: tuple[str, ...] = ()) -> bytes:
+    """Scanned-document PDF: one DCT (JPEG) image XObject per page,
+    drawn full-page — the structure scanners and newspaper archives
+    emit. jpegs = [(jpeg_bytes, width, height)]. text_lines: optional
+    per-page text layer (a mixed scan+text document). image_filters:
+    extra transport filters wrapped AROUND the JPEG bytes (e.g.
+    ("ASCII85Decode",) → /Filter [/ASCII85Decode /DCTDecode])."""
+    n_pages = len(jpegs)
+    if text_lines is None:
+        text_lines = [[] for _ in range(n_pages)]
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 3 * n_pages
+    for i, ((jpeg, w, h), lines) in enumerate(zip(jpegs, text_lines)):
+        content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
+        if lines:
+            content += _content_stream(lines)
+        body = jpeg
+        names = list(image_filters) + ["DCTDecode"]
+        if image_filters:
+            body = _encode_filters(body, tuple(image_filters))
+        filt = ("/Filter [" + "".join(f" /{n}" for n in names) + " ]"
+                if len(names) > 1 else "/Filter /DCTDecode")
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Contents {4 + 3 * i} 0 R /Resources << /XObject "
+            f"<< /Im0 {5 + 3 * i} 0 R >> /Font << /F1 {font_num} 0 R >> "
+            f">> >>".encode())
+        objs.append(f"<< /Length {len(content)} >>\nstream\n".encode()
+                    + content + b"\nendstream")
+        objs.append(
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 {filt} "
+            f"/Length {len(body)} >>\nstream\n".encode()
+            + body + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

@@ -189,3 +189,73 @@ def test_encrypted_pdf_through_pipeline(spark, protos_bc):
     out = extract_pages(df, protos_bc).collect()[0]
     assert out["branch"] == "pdf" and out["ok"]
     assert out["extracted_text"] == "Encrypted page text"
+
+
+# --------------------------------------------- scanned-PDF OCR fusion
+
+def _scan_pdf(texts, image_filters=(), text_lines=None, encrypt=False):
+    import numpy as np
+
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jpegcodec import encode_jpeg
+    from effocr_spark.synth.pdfgen import make_scanned_pdf
+
+    jpegs = []
+    for t in texts:
+        img, _, _ = render_line(t)
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        jpegs.append((encode_jpeg(rgb), rgb.shape[1], rgb.shape[0]))
+    return make_scanned_pdf(jpegs, text_lines=text_lines,
+                            image_filters=image_filters)
+
+
+def test_extract_pdf_images_roundtrip():
+    import numpy as np
+
+    from effocr_spark.functions.pdftext import extract_pdf_images
+    from effocr_spark.synth.jpegcodec import decode_jpeg
+
+    blob = _scan_pdf(["Scan page one", "Scan page two"])
+    imgs = extract_pdf_images(blob)
+    assert len(imgs) == 2
+    for b in imgs:
+        assert b[:3] == b"\xff\xd8\xff"
+        assert decode_jpeg(b).ndim == 3
+    # transport-filtered XObject ([/ASCII85Decode /DCTDecode])
+    b85 = extract_pdf_images(_scan_pdf(["only page"],
+                                       image_filters=("ASCII85Decode",)))
+    assert len(b85) == 1
+    assert np.array_equal(decode_jpeg(b85[0]),
+                          decode_jpeg(extract_pdf_images(
+                              _scan_pdf(["only page"]))[0]))
+
+
+def test_scanned_pdf_ocr_through_pipeline(spark, protos_bc):
+    """A text-free scanned PDF (DCT XObjects only) extracts its text
+    through the OCR branch; a mixed text+scan PDF fuses layer then
+    scan; a plain text PDF is untouched by the flag."""
+    texts = ["Scanned newspaper line 1885", "County fair results today"]
+    rows = [
+        ("pdf://scan/0", None, bytearray(_scan_pdf(texts)), None, "en"),
+        ("pdf://mixed/0", None,
+         bytearray(_scan_pdf(["Image caption words"],
+                             text_lines=[["Text layer line"]])),
+         None, "en"),
+        ("pdf://plain/0", None, bytearray(make_pdf([["Plain text page"]])),
+         None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    out = {r["url"]: r for r in
+           extract_pages(df, protos_bc, embedded_images=True).collect()}
+    scan = out["pdf://scan/0"]
+    assert scan["branch"] == "pdf" and scan["ok"]
+    assert scan["extracted_text"] == "\n".join(texts)
+    assert scan["n_chars"] > 0  # OCR chars counted through the fusion
+    mixed = out["pdf://mixed/0"]
+    assert mixed["extracted_text"] == "Text layer line\nImage caption words"
+    assert out["pdf://plain/0"]["extracted_text"] == "Plain text page"
+    # and WITHOUT the flag the scan yields its (empty) text layer only
+    base = {r["url"]: r for r in extract_pages(df, protos_bc).collect()}
+    assert base["pdf://scan/0"]["extracted_text"] == ""
