@@ -9,9 +9,11 @@ applied in decode order per the spec). Pure stdlib (zlib + base64 +
 re + hashlib), no external PDF library. Standard-security-handler RC4
 encryption (R2/R3) with an empty user password — the web's common
 permissions-only locking — decrypts for real; true password-protected
-documents, AES (V≥4), Flate/LZW predictors, and image filters
-(DCT/JBIG2/JPX/CCITT) quarantine cleanly (the OCR branch is the right
-path for scans anyway).
+documents, AES (V≥4), and image filters (DCT/JBIG2/JPX/CCITT)
+quarantine cleanly (the OCR branch is the right path for scans
+anyway). Flate/LZW /DecodeParms predictors (TIFF differencing + the
+PNG row filters) un-apply for real via the PNG codec's unfilter
+kernel.
 
 Layout model (the "parse" part): text is grouped into BT..ET blocks;
 show operators (Tj, ', ", TJ) append to the current line; the line
@@ -31,6 +33,8 @@ from __future__ import annotations
 import base64
 import re
 import zlib
+
+import numpy as np
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
@@ -112,9 +116,10 @@ def extract_pdf_text(data: bytes) -> str:
     """PDF bytes → extracted text ('' when no text content found).
 
     Raises on undecodable containers (caller quarantines): not-a-PDF,
-    password-protected or AES-encrypted documents, image-filter or
-    predictor streams. Standard-handler RC4 encryption with an empty
-    user password (permissions-only locking) decrypts for real.
+    password-protected or AES-encrypted documents, image-filter
+    streams. Standard-handler RC4 encryption with an empty user
+    password (permissions-only locking) and Flate/LZW predictors
+    decode for real.
     """
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
@@ -141,19 +146,58 @@ def extract_pdf_text(data: bytes) -> str:
 def _apply_filters(dict_part: bytes, body: bytes) -> bytes:
     """Apply the stream's /Filter chain in decode order (the /Filter
     array lists filters in the order they shall be applied — PDF spec
-    7.4). Predictors (PNG/TIFF row filters on Flate/LZW output) are a
-    declared seam: text content streams don't use them, xref/image
-    streams do."""
+    7.4), un-applying any /DecodeParms predictor after its Flate/LZW
+    stage."""
     m = _FILTER_RE.search(dict_part)
     if not m:
         return body
-    pm = _PREDICTOR_RE.search(dict_part)
-    if pm and int(pm.group(1)) > 1:
-        raise NotImplementedError(
-            "stream predictor; plug a real PDF library in")
     for name in _NAME_RE.findall(m.group(1)):
         body = _apply_one(name, body)
+        if name in (b"FlateDecode", b"LZWDecode"):
+            body = _unpredict(dict_part, body)
     return body
+
+
+def _unpredict(dict_part: bytes, body: bytes) -> bytes:
+    """Undo the /DecodeParms predictor on Flate/LZW output: 2 = TIFF
+    horizontal differencing, ≥10 = PNG row filters (per-row filter
+    byte, exactly PNG's — reuses the PNG codec's unfilter kernel).
+    Single /DecodeParms per stream (the real-world object/xref-stream
+    shape); 8-bit components only, like the PNG codec."""
+    pm = _PREDICTOR_RE.search(dict_part)
+    if not pm or int(pm.group(1)) <= 1:
+        return body
+    pred = int(pm.group(1))
+
+    def _param(name: bytes, default: int) -> int:
+        mm = re.search(rb"/" + name + rb"\s+(\d+)", dict_part)
+        return int(mm.group(1)) if mm else default
+
+    columns = _param(b"Columns", 1)
+    colors = _param(b"Colors", 1)
+    bpc = _param(b"BitsPerComponent", 8)
+    if bpc != 8:
+        raise NotImplementedError(
+            "predictor with BitsPerComponent != 8; plug a real PDF "
+            "library in")
+    stride = columns * colors
+    bpp = colors
+    if pred == 2:  # TIFF horizontal differencing
+        if len(body) % stride:
+            raise ValueError("TIFF-predictor data not row-aligned")
+        rows = np.frombuffer(body, np.uint8).reshape(-1, stride).copy()
+        for x in range(bpp, stride):
+            rows[:, x] = (rows[:, x] + rows[:, x - bpp]) & 0xFF
+        return rows.tobytes()
+    if pred >= 10:  # PNG row filters
+        if len(body) % (stride + 1):
+            raise ValueError("PNG-predictor data not row-aligned")
+        h = len(body) // (stride + 1)
+        from ..synth.imgcodec import _unfilter
+
+        return _unfilter(np.frombuffer(body, np.uint8), h, stride,
+                         bpp).tobytes()
+    raise NotImplementedError(f"predictor {pred}")
 
 
 def _apply_one(name: bytes, body: bytes) -> bytes:

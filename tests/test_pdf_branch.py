@@ -134,17 +134,39 @@ def test_filtered_pdfs_extract(chain):
     assert extract_pdf_text(blob) == "hello filtered world\nsecond line"
 
 
-def test_image_filters_and_predictors_stay_seams():
+def test_image_filters_stay_seams_predictors_decode():
+    import numpy as np
+
     from effocr_spark.functions.pdftext import extract_pdf_text as x
 
     jbig = (b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\nstream\nxx\nendstream")
     with _pytest.raises(NotImplementedError, match="JBIG2"):
         x(jbig)
-    pred = (b"%PDF-1.4\n<< /Filter /FlateDecode /DecodeParms "
-            b"<< /Predictor 12 /Columns 4 >> >>\nstream\n"
-            + _zlib.compress(b"BT (x) Tj ET") + b"\nendstream")
-    with _pytest.raises(NotImplementedError, match="predictor"):
-        x(pred)
+
+    # PNG predictor (Up filter rows) un-applies for real
+    content = b"BT (Predicted text here) Tj ET pad!!"
+    cols = 9
+    data = content + b" " * ((-len(content)) % cols)
+    rows = np.frombuffer(data, np.uint8).reshape(-1, cols)
+    enc = bytearray()
+    prev = np.zeros(cols, np.int32)
+    for r in rows:
+        enc.append(2)  # Up
+        enc += ((r.astype(np.int32) - prev) & 0xFF).astype(np.uint8).tobytes()
+        prev = r.astype(np.int32)
+    blob = _zlib.compress(bytes(enc))
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(blob)).encode()
+           + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+           + b"/Columns " + str(cols).encode() + b" >> >>\nstream\n"
+           + blob + b"\nendstream\nendobj\n%%EOF")
+    assert x(pdf) == "Predicted text here"
+
+    # sub-byte components stay a seam
+    bad = (b"%PDF-1.4\n<< /Filter /FlateDecode /DecodeParms "
+           b"<< /Predictor 12 /Columns 4 /BitsPerComponent 4 >> >>\n"
+           b"stream\n" + _zlib.compress(b"xxxx") + b"\nendstream")
+    with _pytest.raises(NotImplementedError, match="BitsPerComponent"):
+        x(bad)
 
 
 # --------------------------------------------- standard encryption
