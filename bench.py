@@ -50,6 +50,9 @@ HEADLINE = [
     "simhash", "doc_stats", "langid_confusion", "cosine_topk",
     "centroid_knn", "knn_topk", "srp_neardup", "envelope_join",
     "coco_spans", "events_daily", "hourly_windows",
+    # round 3: new operator families
+    "spellcheck_filedict", "word_silver", "video_metadata",
+    "extract_pdf_scanned",
 ]
 
 

@@ -12,9 +12,10 @@ subtable formats that carry unicode mappings in practice:
   TrueType font ships (both idDelta and glyphIdArray/idRangeOffset
   segment encodings);
 - format 12 (segmented coverage) — supplementary-plane fonts;
+- format 6 (trimmed table) — small legacy fonts;
 - format 0 (byte encoding) — legacy Macintosh tables.
 
-Unsupported formats (2, 6, 8, 10, 13, 14) are SKIPPED like fontTools'
+Unsupported formats (2, 8, 10, 13, 14) are SKIPPED like fontTools'
 ignoreDecompileErrors skips broken tables — coverage is the union of
 the subtables we can read. Structural corruption (bad magic, truncated
 tables, offsets out of bounds) raises ValueError for the caller to
@@ -135,7 +136,22 @@ def _parse_format12(sub: bytes) -> dict[int, int]:
     return out
 
 
-_PARSERS = {0: _parse_format0, 4: _parse_format4, 12: _parse_format12}
+def _parse_format6(sub: bytes) -> dict[int, int]:
+    if len(sub) < 10:
+        raise ValueError("truncated cmap format 6 header")
+    first, count = _u16(sub, 6), _u16(sub, 8)
+    if 10 + 2 * count > len(sub):
+        raise ValueError("truncated cmap format 6 glyph array")
+    out = {}
+    for i in range(count):
+        gid = _u16(sub, 10 + 2 * i)
+        if gid:
+            out[first + i] = gid
+    return out
+
+
+_PARSERS = {0: _parse_format0, 4: _parse_format4, 6: _parse_format6,
+            12: _parse_format12}
 
 
 def parse_cmap(data: bytes) -> dict[int, int]:

@@ -100,9 +100,10 @@ def test_unsupported_subtable_format_skipped():
     parity)."""
     data = bytearray(_font_bytes())
     off, _ = read_table_directory(bytes(data))[b"cmap"]
-    # rewrite record 1 (the format-0 Mac table) to claim format 6
+    # rewrite record 1 (the format-0 Mac table) to claim format 8
+    # (mixed 16/32-bit — genuinely unsupported)
     sub_off = struct.unpack_from(">I", data, off + 4 + 8 + 4)[0]
-    struct.pack_into(">H", data, off + sub_off, 6)
+    struct.pack_into(">H", data, off + sub_off, 8)
     full = parse_cmap(_font_bytes())
     skipped = parse_cmap(bytes(data))
     assert skipped == full  # format-4 table already covered everything
@@ -120,3 +121,18 @@ def test_etl_coverage_gate(spark):
            rendered_glyphs(spark, charset, ttf_path=FONT).collect()}
     assert got <= {ord(c) for c in covered}
     assert ord("世") not in got and ord(" ") not in got
+
+
+def test_format6_trimmed_table():
+    """cmap format 6 (trimmed table mapping) parses: firstCode + dense
+    glyph array, zero gids unmapped."""
+    import struct
+
+    from effocr_spark.functions.ttf import _parse_format6
+
+    gids = [5, 0, 7, 9]  # codepoints 0x41..0x44; 0x42 unmapped
+    sub = struct.pack(">HHHHH", 6, 10 + 2 * len(gids), 0, 0x41, len(gids))
+    sub += struct.pack(f">{len(gids)}H", *gids)
+    assert _parse_format6(sub) == {0x41: 5, 0x43: 7, 0x44: 9}
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_format6(sub[:12])
