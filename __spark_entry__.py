@@ -421,6 +421,22 @@ def _dot_double(a, b):
                F.transform(b, lambda x: x.cast("double")))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (SURVEY brief: 'an IVF or LSH-bucketed variant as the
+    scale path' — this is the IVF one; SRP-LSH is the other): seed-
+    vector coarse quantizer, map-side argmax assignment, top-nprobe
+    probe, exact cosine within probed cells. Exclude-the-query like
+    cosine_topk. EXACT SQL oracle (same DuckDB list math)."""
+    from effocr_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    out = ivf_topk(emb.filter(F.col("vec_id") != 3), "embedding",
+                   "vec_id", qvec, k=5, nprobe=2, n_cells=8)
+    return out.select("vec_id", "cell",
+                      F.round("score", 4).alias("score"))
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1112,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "langid_confusion": q_langid_confusion,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "centroid_knn": q_centroid_knn,
         "embedding_neardup": q_embedding_neardup,
         "srp_buckets": q_srp_buckets,
@@ -1420,6 +1437,42 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": langid_cte + """
             SELECT lang, lang_pred, count(*) AS n FROM folded
             GROUP BY lang, lang_pred
+        """,
+        "ivf_topk": """
+            WITH vecs AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            q AS (SELECT v AS qv FROM vecs WHERE vec_id = 3),
+            pool AS (SELECT * FROM vecs WHERE vec_id != 3),
+            cents AS (
+              SELECT vec_id AS cell, v AS centroid FROM pool
+              WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT p.vec_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY p.vec_id
+                         ORDER BY list_inner_product(p.v, c.centroid)
+                           / (sqrt(list_inner_product(p.v, p.v))
+                              * sqrt(list_inner_product(c.centroid, c.centroid)))
+                           DESC, c.cell) AS rn
+                FROM pool p, cents c) WHERE rn = 1),
+            probe AS (
+              SELECT cell FROM cents, q
+              ORDER BY list_inner_product(centroid, qv)
+                / (sqrt(list_inner_product(centroid, centroid))
+                   * sqrt(list_inner_product(qv, qv))) DESC, cell
+              LIMIT 2),
+            cand AS (
+              SELECT p.vec_id, a.cell,
+                     list_inner_product(p.v, qv)
+                     / (sqrt(list_inner_product(p.v, p.v))
+                        * sqrt(list_inner_product(qv, qv))) AS raw
+              FROM pool p
+              JOIN assign a ON a.vec_id = p.vec_id
+              JOIN probe pr ON pr.cell = a.cell, q)
+            SELECT vec_id, cell, round(raw, 4) AS score
+            FROM cand ORDER BY raw DESC, vec_id LIMIT 5
         """,
         "cosine_topk": """
             WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv

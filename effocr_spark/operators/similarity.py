@@ -186,3 +186,56 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               n_cells: int = 8) -> DataFrame:
+    """IVF coarse quantizer, training-free: the first n_cells vectors
+    (by id) are the cell centroids — deterministic seed-vector init (a
+    k-means refinement is a training loop, out of scope; the SCALE
+    property IVF buys is the assign-then-probe plan shape, identical
+    for any centroid set). → (id, cell, cell_score).
+
+    Plan: broadcast crossJoin (n_cells rows — always broadcastable) +
+    the map-side max(struct) argmax, same shape as centroid_knn_join:
+    shuffle rows = n_vectors, no window sort."""
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    scored = (df.select(id_col, vec_col)
+              .crossJoin(F.broadcast(cents))
+              .withColumn("score",
+                          cosine(F.col(vec_col), F.col("centroid"))))
+    best = scored.groupBy(id_col).agg(F.max(F.struct(
+        F.col("score").alias("s"),
+        (-F.col("cell")).alias("neg_cell"),
+        F.col("cell").alias("cell"))).alias("m"))
+    return best.select(id_col, F.col("m.cell").alias("cell"),
+                       F.col("m.s").alias("cell_score"))
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
+             k: int = 5, nprobe: int = 2, n_cells: int = 8) -> DataFrame:
+    """IVF ANN query: rank cells by query↔centroid cosine, search the
+    top-nprobe cells EXACTLY. → (id, cell, score), the approximate
+    top-k (recall < 1 by design when the true neighbor lives in an
+    unprobed cell — that's the accuracy/cost dial).
+
+    At 100 TB the assignment is precomputed once and the vector table
+    is PARTITIONED BY cell, so the probe filter becomes partition
+    pruning: the scan touches nprobe/n_cells of the files before any
+    vector math — the same pruning hidden partitioning gives the
+    extraction branches. Here the candidate filter is a broadcast
+    semi-join on the probed cell ids (nprobe rows)."""
+    q = _vec_lit(query_vec)
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    probed = (cents.withColumn("qs", cosine(F.col("centroid"), q))
+              .orderBy(F.desc("qs"), "cell").limit(nprobe)
+              .select("cell"))
+    assign = ivf_assign(df, vec_col, id_col, n_cells)
+    cand = (df.select(id_col, vec_col)
+            .join(assign.select(id_col, "cell"), id_col)
+            .join(F.broadcast(probed), "cell"))
+    return (cand.select(F.col(id_col), F.col("cell"),
+                        cosine(F.col(vec_col), q).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col)).limit(k))
