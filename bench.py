@@ -51,7 +51,7 @@ HEADLINE = [
     "centroid_knn", "knn_topk", "srp_neardup", "envelope_join",
     "coco_spans", "events_daily", "hourly_windows",
     # round 3: new operator families
-    "spellcheck_filedict", "word_silver", "video_metadata",
+    "spellcheck_filedict", "word_silver", "video_metadata", "ivf_topk",
     "extract_pdf_scanned",
 ]
 
