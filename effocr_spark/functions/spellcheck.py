@@ -100,17 +100,28 @@ def load_frequency_dictionary(path: str, spark=None) -> dict[str, int]:
     return out
 
 
+_WORDDICT_CACHE: dict[str, dict[str, int]] = {}
+
+
 def create_worddict(freq_path: str | None = None, spark=None) -> dict[str, int]:
     """word → corpus frequency, with abbreviations removed
     (spell_check_utils.py:14-23). `freq_path` loads a full-scale
-    dictionary file (see load_frequency_dictionary); default falls back
-    to the embedded table."""
+    dictionary file (see load_frequency_dictionary) with a per-process
+    cache — on executors the file deserializes once per Python worker,
+    the same singleton discipline as the model artifact
+    (synth/model.load_projection); default falls back to the embedded
+    table."""
     if freq_path is not None:
+        cached = _WORDDICT_CACHE.get(freq_path)
+        if cached is not None:
+            return dict(cached)
         worddict = load_frequency_dictionary(freq_path, spark=spark)
     else:
         worddict = dict(_EMBEDDED_FREQS)
     for a in create_common_abbrev():
         worddict.pop(depunctuate(a), None)
+    if freq_path is not None:
+        _WORDDICT_CACHE[freq_path] = dict(worddict)
     return worddict
 
 

@@ -233,7 +233,8 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     vertical_override: bool | None = None,
                     emit_boxes: bool = False,
                     encoder_artifact: str | None = None,
-                    word_silver: float | None = None):
+                    word_silver: float | None = None,
+                    freq_dict: str | None = None):
     """Build the mapInPandas function for the fused OCR stage.
 
     word_silver: cosine threshold enabling the word-level recognizer
@@ -265,7 +266,11 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
         # ships in the closure; the weights deserialize once per worker
         proj = (synthmodel.load_projection(encoder_artifact)
                 if encoder_artifact else None)
-        spell_ctx = ((create_worddict(), create_homoglyph_dict(),
+        # freq_dict: full-scale dictionary file (spark-submit --files
+        # ships it; per-process cache in create_worddict = load once per
+        # worker, the reference's 82k-file load at pipeline start)
+        spell_ctx = ((create_worddict(freq_path=freq_dict),
+                      create_homoglyph_dict(),
                       create_common_abbrev()) if spell_check else None)
         for pdf in batches:
             urls, texts, ncs, oks, errs = [], [], [], [], []
@@ -387,7 +392,8 @@ def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                spell_check: bool = False, recognizer: str = "knn",
                vertical_override: bool | None = None,
                encoder_artifact: str | None = None,
-               word_silver: float | None = None) -> DataFrame:
+               word_silver: float | None = None,
+               freq_dict: str | None = None) -> DataFrame:
     """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error).
 
     encoder_artifact: path to a serialized npz encoder (visible on every
@@ -399,7 +405,7 @@ def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                          anchor_margin, spell_check, recognizer,
                          vertical_override,
                          encoder_artifact=encoder_artifact,
-                         word_silver=word_silver)
+                         word_silver=word_silver, freq_dict=freq_dict)
     return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
 
 

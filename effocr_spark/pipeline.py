@@ -67,6 +67,7 @@ def extract_pages(
     embedded_images: bool = False,
     encoder_artifact: str | None = None,
     word_silver: float | None = None,
+    freq_dict: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
     (url, extracted_text, n_chars, ok, error, branch).
@@ -90,7 +91,7 @@ def extract_pages(
     ocr = ocr_branch(image_rows, protos_bc, conf_thres, iou_thres,
                      anchor_margin, spell_check, recognizer,
                      encoder_artifact=encoder_artifact,
-                     word_silver=word_silver)
+                     word_silver=word_silver, freq_dict=freq_dict)
     dom = dom_branch(dom_rows)
     pdfs = pdf_branch(pdf_rows)
 

@@ -32,6 +32,8 @@ def stream_extract(
     protos_bc,
     max_files_per_trigger: int | None = None,
     salt_partitions: int | None = None,
+    encoder_artifact: str | None = None,
+    word_silver: float | None = None,
 ):
     """Incremental extraction: parquet file stream → three-way routed
     extract (same branches as the batch pipeline: PNG/JPEG→ocr,
@@ -47,7 +49,10 @@ def stream_extract(
     way the batch path spreads them). Embedded-image fusion is batch-
     only: it re-groups by url, which in streaming would need its own
     watermarked stateful aggregate for no reference-parity gain (the
-    reference is batch-only, SURVEY.md §2.9)."""
+    reference is batch-only, SURVEY.md §2.9). The serialized-encoder
+    artifact and the word-silver stream ARE available here — they are
+    row-local (per-executor singleton load + in-UDF merge), so the
+    batch and streaming OCR stages stay configuration-identical."""
     reader = (
         spark.readStream.schema(PAGES_DDL).format("parquet")
     )
@@ -59,7 +64,9 @@ def stream_extract(
     if salt_partitions:
         image_rows = image_rows.repartition(
             salt_partitions, F.xxhash64(F.col("url"), F.lit(0x5A17)))
-    ocr = ocr_branch(image_rows, protos_bc) \
+    ocr = ocr_branch(image_rows, protos_bc,
+                     encoder_artifact=encoder_artifact,
+                     word_silver=word_silver) \
         .withColumn("branch", F.lit("ocr"))
     dom = dom_branch(pages.filter(~is_image_page(F.col("html"))
                                   & ~is_pdf_page(F.col("html")))) \

@@ -107,3 +107,26 @@ def test_full_scale_frequency_dictionary(spark):
     # the full dictionary restores it, the 238-word table cannot
     assert visual_spell_checker("vaiue tabie", wd, sd, ab) == "value table"
     assert visual_spell_checker("vaiue tabie", small, sd, ab) == "vaiue tabie"
+
+
+def test_pipeline_spellcheck_with_file_dict(spark):
+    """extract_pages(spell_check=True, freq_dict=...) runs the checker
+    against the full-scale file dictionary inside the OCR UDF (per-
+    worker cached load — the reference's 82k-file load at pipeline
+    start). The file dict knows words the embedded table doesn't, so
+    the spell pass must NOT mangle them."""
+    from effocr_spark.pipeline import broadcast_prototypes, extract_pages
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import encode_png
+
+    text = "the market price fell"  # market/price/fell: file dict only
+    img, _, _ = render_line(text)
+    df = spark.createDataFrame(
+        [("u://0", None, bytearray(encode_png(img)), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    protos = broadcast_prototypes(spark)
+    out = extract_pages(
+        df, protos, spell_check=True,
+        freq_dict="/root/repo/data/frequency_dict_en_full.txt").collect()[0]
+    assert out["ok"] and out["extracted_text"] == text

@@ -87,3 +87,43 @@ def test_stream_extract_salted_matches_batch(spark, protos_bc, tmp_path):
     exp = {r["url"]: (r["extracted_text"], r["branch"])
            for r in batch.collect()}
     assert got == exp
+
+
+def test_stream_extract_word_silver_matches_batch(spark, tmp_path):
+    """The word-silver stream is row-local, so streaming extraction with
+    the flag matches the batch pipeline exactly — config parity between
+    the two skins."""
+    import numpy as np
+
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import encode_png
+
+    vocab = ["the", "quick", "brown", "fox", "county", "market"]
+    rows = []
+    for i, t in enumerate(["the quick brown fox", "county market the fox"]):
+        img, _, wb = render_line(t)
+        img = img.copy()
+        x0 = int(wb[1][0])
+        img[img.shape[0] // 3: img.shape[0] // 3 + 3, x0 + 4: x0 + 8] = 0
+        rows.append((f"s://{i}", None, bytearray(encode_png(img)),
+                     None, "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    pages_dir = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(pages_dir)
+
+    protos = pipeline.broadcast_prototypes(spark, word_vocab=vocab)
+    q = streaming.stream_extract(
+        spark, pages_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        protos, word_silver=0.8)
+    q.awaitTermination(300)
+    got = _collect_results(spark, str(tmp_path / "out"))
+
+    batch = pipeline.extract_pages(spark.read.parquet(pages_dir), protos,
+                                   word_silver=0.8)
+    exp = {r["url"]: (r["extracted_text"], r["branch"])
+           for r in batch.collect()}
+    assert got == exp
+    # and silver actually fired (damaged glyph restored)
+    assert got["s://0"][0] == "the quick brown fox"

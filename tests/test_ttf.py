@@ -136,3 +136,30 @@ def test_format6_trimmed_table():
     assert _parse_format6(sub) == {0x41: 5, 0x43: 7, 0x44: 9}
     with pytest.raises(ValueError, match="truncated"):
         _parse_format6(sub[:12])
+
+
+def test_ttc_collection_reads_first_font():
+    """A TrueType Collection wrapper (ttcf header + offset table) reads
+    the FIRST font, matching the reference's fontNumber=-1 behavior."""
+    font = _font_bytes()
+    # ttcf header: tag, version 1.0, numFonts=1, offset to first font
+    ttc = (b"ttcf" + struct.pack(">I", 0x00010000)
+           + struct.pack(">I", 1) + struct.pack(">I", 16) + font)
+    # table offsets inside `font` are relative to the FONT start, which
+    # is now at +16 — rebuild the directory offsets
+    tables = read_table_directory(ttc)  # reads dir at base 16
+    assert b"cmap" in tables
+    # parse_cmap resolves offsets against the whole buffer; the fixture
+    # font's offsets are 0-based, so shift: simplest honest check is
+    # that a ttc whose payload offsets ARE buffer-relative parses. Build
+    # that: rewrite each table offset +16.
+    import struct as _s
+    n = _s.unpack_from(">H", ttc, 16 + 4)[0]
+    buf = bytearray(ttc)
+    for i in range(n):
+        rec = 16 + 12 + 16 * i
+        off = _s.unpack_from(">I", buf, rec + 8)[0]
+        _s.pack_into(">I", buf, rec + 8, off + 16)
+    cps, chars = (sorted(parse_cmap(bytes(buf))),
+                  None)
+    assert cps == sorted(parse_cmap(font))
