@@ -1048,7 +1048,7 @@ def q_word_silver(spark, sf_dir):
     protos = broadcast_prototypes(spark, word_vocab=vocab)
     chars_only = extract_pages(pages, protos) \
         .select("url", F.col("extracted_text").alias("char_text"))
-    silver = extract_pages(pages, protos, word_silver=0.8) \
+    silver = extract_pages(pages, protos, word_silver=0.95) \
         .select("url", F.col("extracted_text").alias("silver_text"))
     return (chars_only.join(silver, "url")
             .select("url", "char_text", "silver_text",

@@ -135,7 +135,14 @@ def silver_correct(text: str | None, word_preds: list[str],
     Replaces the aligned token with word_preds[k] when sim ≥ threshold
     and the streams disagree (case-insensitively; the word bank is
     lowercase, so a capitalized char token keeps its capitalization).
-    → (text, n_replaced)."""
+    → (text, n_replaced).
+
+    Threshold guidance (measured in the synthetic embedding space):
+    out-of-vocabulary words still reach ~0.92 cosine against their
+    nearest bank entry, while true in-vocabulary matches — even with a
+    damaged glyph — score ≥0.98; τ = 0.95 separates them. Silver
+    correction is a HIGH-PRECISION dial: a too-low τ rewrites OOV words
+    into vocabulary, which is worse than any char-stream error."""
     if text is None or not word_preds:
         return text, 0
     if word_end_idx is not None:
