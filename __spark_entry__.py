@@ -779,11 +779,12 @@ def q_extract_pdf(spark, sf_dir):
         pdf_rows.append((f"pdf://doc/{i:03d}", None, bytearray(blob),
                          None, "en"))
     from effocr_spark.synth.pdfgen import make_encrypted_pdf
-    for r in (2, 3):  # RC4 permissions-only encryption decrypts for real
+    for r in (2, 3, 4):  # RC4 (R2/R3) + AES-128 (R4) permissions-only
+        # encryption decrypts for real
         pdf_rows.append((f"pdf://enc/r{r}", None,
                          bytearray(make_encrypted_pdf(
                              [[f"Encrypted rev {r} document text"]], r=r)),
-                         None, "en"))
+                         None, "en"))  # noqa: E501
     pdf_rows.append(("pdf://bad/0", None,
                      bytearray(b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
                                b"stream\nxx\nendstream"), None, "en"))

@@ -7,9 +7,10 @@ LZWDecode (PDF's 9-12-bit early-change variant), ASCIIHexDecode,
 ASCII85Decode, RunLengthDecode, and chains of them (/Filter arrays,
 applied in decode order per the spec). Pure stdlib (zlib + base64 +
 re + hashlib), no external PDF library. Standard-security-handler RC4
-encryption (R2/R3) with an empty user password — the web's common
-permissions-only locking — decrypts for real; true password-protected
-documents, AES (V≥4), and image filters (DCT/JBIG2/JPX/CCITT)
+encryption with an empty user password — the web's common
+permissions-only locking — decrypts for real, BOTH ciphers: RC4
+(R2/R3/V2) and AES-128-CBC (V4 /AESV2, functions/aescipher.py);
+true password-protected documents, AES-256 (V5), and image filters (DCT/JBIG2/JPX/CCITT)
 quarantine cleanly (the OCR branch is the right path for scans
 anyway). Flate/LZW /DecodeParms predictors (TIFF differencing + the
 PNG row filters) un-apply for real via the PNG codec's unfilter
@@ -457,12 +458,16 @@ def _check_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     return t == u[:16]
 
 
-def _object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 3.1: per-object RC4 key."""
+def _object_key(key: bytes, num: int, gen: int,
+                aes: bool = False) -> bytes:
+    """Algorithm 3.1: per-object key. For /AESV2 the salt bytes
+    'sAlT' (0x73416C54) are appended before hashing, per the spec."""
     import hashlib
     import struct as _struct
 
     ext = key + _struct.pack("<I", num)[:3] + _struct.pack("<I", gen)[:2]
+    if aes:
+        ext += b"sAlT"
     return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
 
 
@@ -489,10 +494,23 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes]]:
     lm = re.search(rb"/Length\s+(\d+)", enc_dict)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
+    cfm = b"V2"  # RC4 for V 1/2
+    if v == 4:
+        # crypt-filter dictionary: only the standard /StdCF shape with
+        # /CFM /AESV2 (AES-128-CBC) or /V2 (RC4) is handled
+        cm = re.search(rb"/CFM\s*/(\w+)", enc_dict)
+        cfm = cm.group(1) if cm else b"V2"
+        if cfm not in (b"AESV2", b"V2"):
+            raise NotImplementedError(
+                f"crypt filter /{cfm.decode('latin-1')} (AES-256/custom); "
+                f"plug a real PDF library in")
+    elif v not in (1, 2):
         raise NotImplementedError(
-            f"encryption V={v} R={r} (AES/crypt filters); plug a real "
+            f"encryption V={v} (AES-256/crypt filters); plug a real "
             f"PDF library in")
+    if r not in (2, 3, 4):
+        raise NotImplementedError(
+            f"encryption revision R={r}; plug a real PDF library in")
     o = _pdf_string(enc_dict, rb"/O")
     u = _pdf_string(enc_dict, rb"/U")
     if o is None or u is None or pm is None:
@@ -512,6 +530,19 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes]]:
         sm = _STREAM_RE.search(body)
         if sm is None or num == enc_num:
             continue
-        out.append((sm.group(1), _rc4(_object_key(key, num, gen),
-                                      sm.group(2))))
+        if cfm == b"AESV2":
+            ok_key = _object_key(key, num, gen, aes=True)
+            data = sm.group(2)
+            # the regex body includes any EOL before `endstream`; real
+            # ciphertext is block-aligned, so strip EOL bytes only while
+            # misaligned (mirrors the Flate .strip retry)
+            while (len(data) - 16) % 16 and data[-1:] in (b"\n", b"\r"):
+                data = data[:-1]
+            if len(data) < 16:
+                raise ValueError("AESV2 stream shorter than its IV")
+            from .aescipher import cbc_decrypt
+            body_out = cbc_decrypt(ok_key, data[:16], data[16:])
+        else:
+            body_out = _rc4(_object_key(key, num, gen), sm.group(2))
+        out.append((sm.group(1), body_out))
     return out

@@ -109,12 +109,14 @@ def make_pdf(pages: list[list[str]], compress: bool = True,
 def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
                        owner_pw: bytes = b"owner-secret",
                        permissions: int = -44) -> bytes:
-    """Standard-security-handler encrypted PDF (RC4, revision 2 or 3)
-    with an EMPTY user password — the permissions-only locking most
-    "encrypted" web PDFs use. Streams are Flate-encoded then RC4'd with
-    the per-object key, exactly the layering the spec prescribes."""
+    """Standard-security-handler encrypted PDF with an EMPTY user
+    password — the permissions-only locking most "encrypted" web PDFs
+    use. r=2/3: RC4 (V 1/2); r=4: AES-128-CBC (V4 /AESV2, per-stream
+    IV prepended). Streams are Flate-encoded then encrypted with the
+    per-object key, exactly the layering the spec prescribes."""
     import hashlib
 
+    from ..functions.aescipher import cbc_encrypt
     from ..functions.pdftext import (_PDF_PAD, _object_key, _rc4,
                                      _std_key)
 
@@ -156,7 +158,12 @@ def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
     enc_num = font_num + 1
     for i, lines in enumerate(pages):
         content = zlib.compress(_content_stream(lines))
-        content = _rc4(_object_key(key, 4 + 2 * i, 0), content)
+        if r == 4:  # AES-128-CBC; deterministic IV for fixture stability
+            iv = hashlib.md5(b"iv%d" % i).digest()
+            content = iv + cbc_encrypt(
+                _object_key(key, 4 + 2 * i, 0, aes=True), iv, content)
+        else:
+            content = _rc4(_object_key(key, 4 + 2 * i, 0), content)
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
@@ -164,10 +171,17 @@ def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
         objs.append(f"<< /Length {len(content)} /Filter /FlateDecode >>"
                     f"\nstream\n".encode() + content + b"\nendstream")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    objs.append(
-        f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
-        f"/Length {key_len * 8} /P {permissions} "
-        f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>".encode())
+    if r == 4:
+        objs.append(
+            f"<< /Filter /Standard /V 4 /R 4 /Length {key_len * 8} "
+            f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF /P {permissions} "
+            f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>".encode())
+    else:
+        objs.append(
+            f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+            f"/Length {key_len * 8} /P {permissions} "
+            f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>".encode())
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -281,3 +281,49 @@ def test_scanned_pdf_ocr_through_pipeline(spark, protos_bc):
     # and WITHOUT the flag the scan yields its (empty) text layer only
     base = {r["url"]: r for r in extract_pages(df, protos_bc).collect()}
     assert base["pdf://scan/0"]["extracted_text"] == ""
+
+
+def test_aes_known_answer_and_encrypted_pdf():
+    """FIPS-197 Appendix C known-answer vectors pin the AES primitive;
+    a V4 /AESV2 PDF with empty user password then decrypts end to
+    end."""
+    from effocr_spark.functions.aescipher import (_decrypt_block,
+                                                  _encrypt_block,
+                                                  _expand_key)
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # C.1
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+    k256 = bytes(range(32))
+    assert _encrypt_block(pt, _expand_key(k256)).hex() == \
+        "8ea2b7ca516745bfeafc49904b496089"  # C.3
+
+    blob = make_encrypted_pdf([["AES locked page", "second line"]], r=4)
+    assert b"/AESV2" in blob and b"AES locked" not in blob
+    assert extract_pdf_text(blob) == "AES locked page\nsecond line"
+
+
+def test_aes256_stays_a_seam():
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf
+
+    blob = (make_encrypted_pdf([["x"]], r=4)
+            .replace(b"/V 4 /R 4", b"/V 5 /R 6")
+            .replace(b"/CFM /AESV2", b"/CFM /AESV3"))
+    with _pytest.raises(NotImplementedError):
+        extract_pdf_text(blob)
+
+
+def test_aes_encrypted_pdf_through_pipeline(spark, protos_bc):
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf
+
+    df = spark.createDataFrame(
+        [("pdf://aes/0", None,
+          bytearray(make_encrypted_pdf([["Modern AES document"]], r=4)),
+          None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = extract_pages(df, protos_bc).collect()[0]
+    assert out["ok"] and out["extracted_text"] == "Modern AES document"
