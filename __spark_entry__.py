@@ -1446,8 +1446,10 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT v AS qv FROM vecs WHERE vec_id = 3),
             pool AS (SELECT * FROM vecs WHERE vec_id != 3),
             cents AS (
+              -- lowest-8-ids seeding (sparse-id-safe), mirroring
+              -- ivf_centroids' orderBy(id).limit(n_cells)
               SELECT vec_id AS cell, v AS centroid FROM pool
-              WHERE vec_id < 8),
+              ORDER BY vec_id LIMIT 8),
             assign AS (
               SELECT vec_id, cell FROM (
                 SELECT p.vec_id, c.cell,

@@ -160,6 +160,13 @@ def silver_correct(text: str | None, word_preds: list[str],
         tok = tokens[k + offset]
         if not w or s < threshold or not tok or tok.lower() == w.lower():
             continue
-        tokens[k + offset] = w.capitalize() if tok[:1].isupper() else w
+        # preserve the char stream's full-token casing, not just the
+        # initial cap: 'QUICK' stays all-caps after a word-bank rewrite
+        if tok.isupper() and len(tok) > 1:
+            tokens[k + offset] = w.upper()
+        elif tok[:1].isupper():
+            tokens[k + offset] = w.capitalize()
+        else:
+            tokens[k + offset] = w
         n += 1
     return " ".join(tokens), n

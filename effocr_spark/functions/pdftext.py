@@ -532,16 +532,16 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes]]:
             continue
         if cfm == b"AESV2":
             ok_key = _object_key(key, num, gen, aes=True)
-            data = sm.group(2)
+            sbody = sm.group(2)  # NOT `data` — don't shadow the PDF arg
             # the regex body includes any EOL before `endstream`; real
             # ciphertext is block-aligned, so strip EOL bytes only while
             # misaligned (mirrors the Flate .strip retry)
-            while (len(data) - 16) % 16 and data[-1:] in (b"\n", b"\r"):
-                data = data[:-1]
-            if len(data) < 16:
+            while (len(sbody) - 16) % 16 and sbody[-1:] in (b"\n", b"\r"):
+                sbody = sbody[:-1]
+            if len(sbody) < 16:
                 raise ValueError("AESV2 stream shorter than its IV")
             from .aescipher import cbc_decrypt
-            body_out = cbc_decrypt(ok_key, data[:16], data[16:])
+            body_out = cbc_decrypt(ok_key, sbody[:16], sbody[16:])
         else:
             body_out = _rc4(_object_key(key, num, gen), sm.group(2))
         out.append((sm.group(1), body_out))

@@ -188,19 +188,46 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
     )
 
 
-def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
-               n_cells: int = 8) -> DataFrame:
-    """IVF coarse quantizer, training-free: the first n_cells vectors
-    (by id) are the cell centroids — deterministic seed-vector init (a
-    k-means refinement is a training loop, out of scope; the SCALE
-    property IVF buys is the assign-then-probe plan shape, identical
-    for any centroid set). → (id, cell, cell_score).
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
+                  n_cells: int = 8, refine: int = 0) -> DataFrame:
+    """Deterministic IVF cell centroids → (cell, centroid).
 
-    Plan: broadcast crossJoin (n_cells rows — always broadcastable) +
-    the map-side max(struct) argmax, same shape as centroid_knn_join:
-    shuffle rows = n_vectors, no window sort."""
-    cents = df.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    Seeds are the n_cells LOWEST-id vectors via TakeOrderedAndProject —
+    NOT `id < n_cells`, which silently yields fewer/zero centroids on
+    sparse id spaces (url hashes, snowflake ids). A table with fewer
+    than n_cells rows degrades to one cell per row (never the old
+    silently-empty result). Cell labels are the seed ids (dense 0..n-1
+    on dense-id tables, so existing oracles are unchanged).
+
+    refine > 0 runs that many data-parallel Lloyd rounds: broadcast
+    centroids → map-side argmax assign → groupBy(cell) avg(vec) — one
+    shuffle of n_vectors rows per round, same loop shape as
+    dedup.connected_components. Empty cells keep their previous
+    centroid (the standard k-means convention)."""
+    cents = (df.select(F.col(id_col).alias("cell"),
+                       F.col(vec_col).alias("centroid"))
+             .orderBy("cell").limit(n_cells))
+    if refine > 0:
+        dim = len(df.select(vec_col).first()[0])
+        for _ in range(refine):
+            assigned = _assign_to(df, vec_col, id_col, cents)
+            means = (df.select(id_col, vec_col)
+                     .join(assigned.select(id_col, "cell"), id_col)
+                     .groupBy("cell")
+                     .agg(F.array(*[
+                         F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                         for i in range(dim)]).alias("new_centroid")))
+            cents = (cents.join(means, "cell", "left")
+                     .select("cell",
+                             F.coalesce("new_centroid", "centroid")
+                             .alias("centroid")))
+    return cents
+
+
+def _assign_to(df: DataFrame, vec_col: str, id_col: str,
+               cents: DataFrame) -> DataFrame:
+    """Assign every vector to its best cell given a centroid table:
+    broadcast crossJoin + map-side max(struct) argmax (no window)."""
     scored = (df.select(id_col, vec_col)
               .crossJoin(F.broadcast(cents))
               .withColumn("score",
@@ -213,8 +240,22 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
                        F.col("m.s").alias("cell_score"))
 
 
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               n_cells: int = 8, refine: int = 0) -> DataFrame:
+    """IVF coarse quantizer → (id, cell, cell_score). Deterministic
+    lowest-id seeds (optionally Lloyd-refined, see ivf_centroids); the
+    SCALE property IVF buys is the assign-then-probe plan shape.
+
+    Plan: broadcast crossJoin (n_cells rows — always broadcastable) +
+    the map-side max(struct) argmax, same shape as centroid_knn_join:
+    shuffle rows = n_vectors, no window sort."""
+    cents = ivf_centroids(df, vec_col, id_col, n_cells, refine)
+    return _assign_to(df, vec_col, id_col, cents)
+
+
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
-             k: int = 5, nprobe: int = 2, n_cells: int = 8) -> DataFrame:
+             k: int = 5, nprobe: int = 2, n_cells: int = 8,
+             refine: int = 0) -> DataFrame:
     """IVF ANN query: rank cells by query↔centroid cosine, search the
     top-nprobe cells EXACTLY. → (id, cell, score), the approximate
     top-k (recall < 1 by design when the true neighbor lives in an
@@ -227,12 +268,11 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
     extraction branches. Here the candidate filter is a broadcast
     semi-join on the probed cell ids (nprobe rows)."""
     q = _vec_lit(query_vec)
-    cents = df.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    cents = ivf_centroids(df, vec_col, id_col, n_cells, refine)
     probed = (cents.withColumn("qs", cosine(F.col("centroid"), q))
               .orderBy(F.desc("qs"), "cell").limit(nprobe)
               .select("cell"))
-    assign = ivf_assign(df, vec_col, id_col, n_cells)
+    assign = _assign_to(df, vec_col, id_col, cents)
     cand = (df.select(id_col, vec_col)
             .join(assign.select(id_col, "cell"), id_col)
             .join(F.broadcast(probed), "cell"))

@@ -108,7 +108,11 @@ def extract_pages(
                                         has_embedded_png, has_pdf_images,
                                         pdf_image_rows)
 
-        SEP = "emb"  # control-char guards: no url collision
+        # \x01 guards keep split_part safe on urls containing the
+        # literal text "emb" (e.g. https://emb.example) — written as
+        # escape sequences so the guards are VISIBLE in source and
+        # survive line-based edits
+        SEP = "\x01emb\x01"
         cand = dom_rows.filter(has_embedded_png(F.col("html")))
         emb = embedded_png_rows(cand).unionByName(
             pdf_image_rows(pdf_rows.filter(has_pdf_images(F.col("html")))))
@@ -119,8 +123,16 @@ def extract_pages(
             F.concat_ws(SEP, F.col("url"),
                         F.col("img_idx").cast("string")).alias("url"),
             "html", "lang")
+        # forward the FULL recognition config (encoder_artifact /
+        # word_silver / freq_dict): the kNN index in protos_bc is
+        # built in the artifact's embedding space, so embedded /
+        # scanned-PDF crops must be embedded with the same encoder
+        # or query and index spaces silently diverge
         emb_ocr = ocr_branch(emb_in, protos_bc, conf_thres, iou_thres,
-                             anchor_margin, spell_check, recognizer)
+                             anchor_margin, spell_check, recognizer,
+                             encoder_artifact=encoder_artifact,
+                             word_silver=word_silver,
+                             freq_dict=freq_dict)
         emb_texts = (
             emb_ocr
             .select(

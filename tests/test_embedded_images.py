@@ -84,3 +84,36 @@ def test_fusion_partitioning_invariant(spark, protos_bc):
          extract_pages(df.repartition(7), protos_bc, embedded_images=True,
                        salt_partitions=5).collect()}
     assert a == b
+
+
+def test_embedded_branch_uses_encoder_artifact(spark, tmp_path):
+    """The embedded-image OCR sub-branch must embed crops with the SAME
+    encoder artifact the broadcast kNN index was built with. With a
+    perturbed (non-default) projection on both sides, recognition still
+    reads the line; if the embedded branch silently fell back to the
+    in-module weights (the round-3 bug), query and index spaces
+    diverge and the fused text garbles."""
+    import numpy as np
+
+    from effocr_spark.functions.crops import CROP_SIZE
+    from effocr_spark.pipeline import broadcast_prototypes
+    from effocr_spark.synth import model as synthmodel
+
+    rng = np.random.RandomState(99)
+    pert = synthmodel._PROJ + 0.35 * rng.standard_normal(
+        synthmodel._PROJ.shape).astype(synthmodel._PROJ.dtype)
+    path = str(tmp_path / "pert_enc.npz")
+    np.savez(path, projection=pert,
+             crop_size=np.int64(CROP_SIZE),
+             embed_dim=np.int64(synthmodel.EMBED_DIM))
+
+    df = _mk(spark, [
+        _page("u1", "Body text here", images=["quick brown fox jumps"]),
+    ])
+    protos = broadcast_prototypes(spark, encoder_artifact=path)
+    out = {r["url"]: r for r in
+           extract_pages(df, protos, embedded_images=True,
+                         encoder_artifact=path).collect()}
+    parts = out["u1"]["extracted_text"].split("\n")
+    assert parts[0] == "Body text here"
+    assert parts[1].lower() == "quick brown fox jumps"

@@ -192,3 +192,69 @@ def test_ivf_probe_is_broadcast_join(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_shifted_sparse_ids(spark):
+    """Seeds must not assume a dense 0-based id space: shift every id
+    by +100000 (snowflake-style) and IVF must still produce full
+    assignment and brute-force-equal results at nprobe == n_cells.
+    Under the old `id < n_cells` seeding this returned zero centroids
+    and a silently empty result."""
+    from pyspark.sql import functions as F
+
+    from effocr_spark.operators.similarity import (cosine_topk,
+                                                   ivf_assign, ivf_topk)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .withColumn("vec_id", F.col("vec_id") + F.lit(100000)))
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+
+    a = ivf_assign(emb, "embedding", "vec_id", n_cells=8)
+    n = emb.count()
+    assert a.count() == n
+    assert a.agg(F.countDistinct("cell")).first()[0] <= 8
+    # cells are the 8 lowest shifted ids
+    cells = {r["cell"] for r in a.select("cell").distinct().collect()}
+    assert all(c >= 100000 for c in cells)
+
+    full = ivf_topk(emb, "embedding", "vec_id", qvec, k=5,
+                    nprobe=8, n_cells=8)
+    brute = cosine_topk(emb, "embedding", "vec_id", qvec, k=5)
+    assert [r["vec_id"] for r in full.collect()] == \
+        [r["vec_id"] for r in brute.collect()]
+
+
+def test_ivf_lloyd_refinement(spark, emb_df, vecs):
+    """One Lloyd round: centroids move to their cell means (verified
+    against a NumPy k-means step seeded identically); nprobe == n_cells
+    stays brute-force-equal regardless of refinement (probing every
+    cell searches every vector, whatever the centroids are)."""
+    import numpy as np
+
+    from effocr_spark.operators.similarity import (cosine_topk,
+                                                   ivf_centroids, ivf_topk)
+
+    v, _ = vecs
+    n_cells = 4
+    got = {r["cell"]: np.array(r["centroid"], np.float64)
+           for r in ivf_centroids(emb_df, "embedding", "vec_id",
+                                  n_cells=n_cells, refine=1).collect()}
+
+    # NumPy oracle: same seeds (lowest ids), one cosine-argmax assign,
+    # per-cell mean; ties broken toward the lower cell id
+    seeds = v[:n_cells].astype(np.float64)
+    vn = v.astype(np.float64)
+    sims = (vn / np.linalg.norm(vn, axis=1, keepdims=True)) @ \
+        (seeds / np.linalg.norm(seeds, axis=1, keepdims=True)).T
+    assign = sims.argmax(axis=1)
+    for c in range(n_cells):
+        members = vn[assign == c]
+        exp = members.mean(axis=0) if len(members) else seeds[c]
+        assert np.allclose(got[c], exp, atol=1e-5), f"cell {c}"
+
+    q = v[0].astype(np.float64)
+    full = ivf_topk(emb_df, "embedding", "vec_id", q, k=5,
+                    nprobe=n_cells, n_cells=n_cells, refine=1)
+    brute = cosine_topk(emb_df, "embedding", "vec_id", q, k=5)
+    assert [r["vec_id"] for r in full.collect()] == \
+        [r["vec_id"] for r in brute.collect()]

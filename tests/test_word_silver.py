@@ -33,6 +33,14 @@ def test_silver_correct_kernel():
     assert silver_correct(None, ["x"], [1.0], 0.5) == (None, 0)
     assert silver_correct("abc", [], [], 0.5) == ("abc", 0)
 
+    # full-token casing is preserved, not collapsed to initial-cap
+    out, n = silver_correct("The QUIKC fox", ["quick", "fox"],
+                            [0.99, 0.99], 0.9)
+    assert out == "The QUICK fox" and n == 1
+    # single-char uppercase token is initial-cap, not shouting
+    out, n = silver_correct("A brwn", ["brown"], [0.99], 0.9)
+    assert out == "A brown" and n == 1
+
 
 def test_word_bank_self_recognition():
     """Every vocabulary word's detector-cropped render is its nearest
