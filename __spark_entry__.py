@@ -788,6 +788,18 @@ def q_extract_pdf(spark, sf_dir):
     pdf_rows.append(("pdf://bad/0", None,
                      bytearray(b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
                                b"stream\nxx\nendstream"), None, "en"))
+    from effocr_spark.synth.pdfgen import make_cid_pdf
+    # Type0/Identity-H CID text: hex TJ/Tj shows + a literal-CID show,
+    # both mapped through /ToUnicode; the no-ToUnicode document is
+    # unextractable by ANY engine and must quarantine (ok=False), not
+    # silently pass with missing text
+    pdf_rows.append(("pdf://cid/hex", None, bytearray(make_cid_pdf(
+        [["Modern digital document", "with subset fonts"]])),
+        None, "en"))
+    pdf_rows.append(("pdf://cid/lit", None, bytearray(make_cid_pdf(
+        [["literal cid string show"]], literal_show=True)), None, "en"))
+    pdf_rows.append(("pdf://cid/noto", None, bytearray(make_cid_pdf(
+        [["opaque"]], tounicode=False)), None, "en"))
     extra = spark.createDataFrame(
         pdf_rows,
         "url string, warc_ts timestamp, html binary, text string, lang string")

@@ -2,7 +2,11 @@
 parse" branch).
 
 Scope: text-bearing PDFs with uncompressed or filtered content
-streams — the full standard filter set a text PDF uses: FlateDecode,
+streams — simple single-byte fonts AND Type0/CID fonts (Identity-H
+hex- or literal-string shows mapped through /ToUnicode CMaps; a CID
+document without /ToUnicode quarantines rather than extracting
+silently wrong) — with the full standard filter set a text PDF uses:
+FlateDecode,
 LZWDecode (PDF's 9-12-bit early-change variant), ASCIIHexDecode,
 ASCII85Decode, RunLengthDecode, and chains of them (/Filter arrays,
 applied in decode order per the spec). Pure stdlib (zlib + base64 +
@@ -42,15 +46,23 @@ _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-# one text-showing or line-advancing operator at a time, in order
+# one text-showing, line-advancing, or font-selecting operator at a
+# time, in order. Hex strings <..> are first-class show operands — the
+# encoding every Identity-H/Type0 (CID) PDF uses; `<<` never matches
+# (the hex group requires a closing `>` before another `<`).
 _OP_RE = re.compile(
     rb"\((?P<s>(?:\\.|[^\\()])*)\)\s*(?P<op>Tj|'|\")"   # (..) Tj / ' / "
+    rb"|<(?P<hs>[0-9A-Fa-f\s]*)>\s*(?P<hop>Tj|'|\")"     # <..> Tj / ' / "
     rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"                # [..] TJ
     rb"|(?P<tstar>T\*)"                                   # T*
-    rb"|(?P<tx>-?[\d.]+)\s+(?P<ty>-?[\d.]+)\s+(?:Td|TD)",  # x y Td/TD
+    rb"|(?P<tx>-?[\d.]+)\s+(?P<ty>-?[\d.]+)\s+(?:Td|TD)"  # x y Td/TD
+    rb"|/(?P<fname>[^\s/<>()\[\]]+)\s+-?[\d.]+\s+Tf",      # /F1 12 Tf
     re.S,
 )
-_SEG_RE = re.compile(rb"\((?P<s>(?:\\.|[^\\()])*)\)|(?P<n>-?[\d.]+)")
+_SEG_RE = re.compile(
+    rb"\((?P<s>(?:\\.|[^\\()])*)\)"
+    rb"|<(?P<h>[0-9A-Fa-f\s]*)>"
+    rb"|(?P<n>-?[\d.]+)")
 _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
         b"(": b"(", b")": b")", b"\\": b"\\"}
 
@@ -91,26 +103,217 @@ def _unescape(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _block_text(block: bytes) -> list[bytes]:
-    """One BT..ET block → list of line byte-strings."""
-    lines: list[bytearray] = [bytearray()]
-    for m in _OP_RE.finditer(block):
-        if m.group("s") is not None:
-            if m.group("op") in (b"'", b'"'):  # defined as T* + show
-                lines.append(bytearray())
-            lines[-1] += _unescape(m.group("s"))
-        elif m.group("arr") is not None:
-            for seg in _SEG_RE.finditer(m.group("arr")):
-                if seg.group("s") is not None:
-                    lines[-1] += _unescape(seg.group("s"))
-                elif float(seg.group("n")) < TJ_SPACE_THRESHOLD:
-                    lines[-1] += b" "
-        elif m.group("tstar") is not None:
-            lines.append(bytearray())
-        else:  # Td / TD
-            if float(m.group("ty")) != 0.0:
-                lines.append(bytearray())
-    return [bytes(ln) for ln in lines]
+def _hexstr_bytes(hx: bytes) -> bytes:
+    """Hex-string operand → raw string bytes (spec 7.3.4.3: whitespace
+    ignored, an odd final digit is padded with 0)."""
+    hx = re.sub(rb"\s+", b"", hx)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _stream_text(body: bytes, fonts: dict | None = None,
+                 strict_type0: bool = False) -> list[str]:
+    """Decoded content stream → list of line strings. The font cursor
+    (Tf) persists across BT..ET blocks, matching the graphics state.
+
+    Show-operand decoding is FONT-AWARE: under a /Type0 (CID) font the
+    string bytes are big-endian 2-byte CIDs (Identity-H, the encoding
+    nearly every modern born-digital PDF uses) mapped to unicode via
+    the font's /ToUnicode CMap — a CID font WITHOUT /ToUnicode raises
+    (caller quarantines: a silent partial extract would contradict the
+    pipeline's quarantine discipline); an individual unmapped CID
+    yields U+FFFD (countable, never silent). Under a simple font (or no
+    font tracking at all) bytes decode latin-1, hex and literal strings
+    alike."""
+    fonts = fonts or {}
+    lines: list[list[str]] = [[]]
+    cur: str | None = None
+
+    def _show(raw: bytes) -> None:
+        f = fonts.get(cur)
+        if f is None:
+            if strict_type0:
+                raise ValueError(
+                    f"unresolved font /{cur} in a /Type0 document; "
+                    f"cid-font text would extract silently wrong")
+            lines[-1].append(raw.decode("latin-1"))
+        elif f["cid"]:
+            if f["map"] is None:
+                raise ValueError(
+                    "cid-font text without /ToUnicode; plug a real "
+                    "PDF library in")
+            cmap = f["map"]
+            lines[-1].append("".join(
+                cmap.get((raw[k] << 8) | raw[k + 1], "�")
+                for k in range(0, len(raw) - 1, 2)))
+        else:
+            lines[-1].append(raw.decode("latin-1"))
+
+    for block in _BT_RE.findall(body):
+        if lines[-1]:
+            lines.append([])
+        for m in _OP_RE.finditer(block):
+            if m.group("s") is not None or m.group("hs") is not None:
+                op = m.group("op") or m.group("hop")
+                if op in (b"'", b'"'):  # defined as T* + show
+                    lines.append([])
+                _show(_unescape(m.group("s"))
+                      if m.group("s") is not None
+                      else _hexstr_bytes(m.group("hs")))
+            elif m.group("arr") is not None:
+                for seg in _SEG_RE.finditer(m.group("arr")):
+                    if seg.group("s") is not None:
+                        _show(_unescape(seg.group("s")))
+                    elif seg.group("h") is not None:
+                        _show(_hexstr_bytes(seg.group("h")))
+                    elif float(seg.group("n")) < TJ_SPACE_THRESHOLD:
+                        lines[-1].append(" ")
+            elif m.group("tstar") is not None:
+                lines.append([])
+            elif m.group("fname") is not None:
+                cur = m.group("fname").decode("latin-1")
+            else:  # Td / TD
+                if float(m.group("ty")) != 0.0:
+                    lines.append([])
+    return ["".join(ln) for ln in lines]
+
+
+# --------------------------------------------- fonts and ToUnicode
+
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNI_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_BIND_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+\d+\s+R")
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """data[start:] begins with '<<' → the bytes of that dict through
+    its matching '>>' (nesting-aware)."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+def _utf16be(hx: bytes) -> str:
+    b = _hexstr_bytes(hx)
+    return b.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(body: bytes) -> dict[int, str]:
+    """/ToUnicode CMap stream → {CID: unicode string}. Parses
+    beginbfchar (src → UTF-16BE dst, possibly multi-code-unit:
+    ligatures) and beginbfrange in BOTH forms — <lo> <hi> <dstStart>
+    (dst increments with the code) and <lo> <hi> [<d0> <d1> ...]
+    (explicit per-code dst array)."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(body):
+        toks = [t[0] for t in _CMAP_HEX_RE.findall(m.group(1)) if t[0]]
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(re.sub(rb"\s+", b"", src), 16)] = _utf16be(dst)
+    for m in _BFRANGE_RE.finditer(body):
+        # tokens: hex strings (bytes) and array brackets (str markers)
+        toks: list = []
+        for hx, lb, rb_ in _CMAP_HEX_RE.findall(m.group(1)):
+            toks.append("[" if lb else "]" if rb_ else hx)
+        i = 0
+        while i + 2 < len(toks):
+            lo_t, hi_t, third = toks[i], toks[i + 1], toks[i + 2]
+            if isinstance(lo_t, str) or isinstance(hi_t, str):
+                i += 1  # malformed entry: resync one token forward
+                continue
+            lo = int(re.sub(rb"\s+", b"", lo_t), 16)
+            hi = int(re.sub(rb"\s+", b"", hi_t), 16)
+            if third == "[":  # array form: one dst per code
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != "]":
+                    if code <= hi and not isinstance(toks[j], str):
+                        cmap[code] = _utf16be(toks[j])
+                    code += 1
+                    j += 1
+                i = j + 1
+            else:  # incrementing form: dst is UTF-16BE, low unit += off
+                dst = re.sub(rb"\s+", b"", third)
+                base = int(dst, 16) if dst else 0
+                width = max(len(dst) // 2, 2)
+                mask = (1 << (8 * width)) - 1
+                for off in range(hi - lo + 1):
+                    cmap[lo + off] = ((base + off) & mask).to_bytes(
+                        width, "big").decode("utf-16-be",
+                                             errors="replace")
+                i += 3
+    return cmap
+
+
+def _font_registry(data: bytes,
+                   stream_by_num: dict[int, tuple[bytes, bytes]]
+                   ) -> dict[str, dict]:
+    """Document-wide font-resource map: name → {cid, map}.
+
+    Binds every /Font <<...>> resource-dict entry (name → indirect font
+    object) across the whole document — a global last-wins map rather
+    than per-page resource scoping (documented approximation: per-page
+    name collisions with DIFFERENT font objects are vanishingly rare in
+    real writers, which emit unique /F<n>/T<n> names per font). Inline
+    (direct) font dicts inside /Font are not bound — a show under such
+    a font falls back to the unresolved-font path, which RAISES in a
+    /Type0 document rather than extracting wrong."""
+    objects = {int(m.group(1)): m.group(3)
+               for m in _OBJ_RE.finditer(data)}
+    fonts: dict[str, dict] = {}
+    for fm in re.finditer(rb"/Font\s*<<", data):
+        seg = _balanced_dict(data, fm.end() - 2)
+        for bm in _FONT_BIND_RE.finditer(seg):
+            name, num = bm.group(1).decode("latin-1"), int(bm.group(2))
+            body = objects.get(num)
+            if body is None:
+                continue
+            cid = _TYPE0_RE.search(body) is not None
+            cmap = None
+            tm = _TOUNI_REF_RE.search(body)
+            if tm is not None and int(tm.group(1)) in stream_by_num:
+                d, b = stream_by_num[int(tm.group(1))]
+                try:
+                    cmap = _parse_tounicode(_apply_filters(d, b))
+                except (ValueError, NotImplementedError):
+                    cmap = None
+            fonts[name] = {"cid": cid, "map": cmap}
+    return fonts
+
+
+def _plain_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
+    """All streams with their owning object number → [(dict, body,
+    num)]. Scanning PER OBJECT keeps each stream's dict scoped to its
+    own object (a whole-document `<<.*?>>\\s*stream` scan bleeds
+    preceding objects' dicts into the match and mis-attributes the
+    object number). Malformed documents without N G obj envelopes fall
+    back to the flat scan with num = -1 (their streams still decode or
+    quarantine on their own filters)."""
+    out = []
+    for om in _OBJ_RE.finditer(data):
+        sm = _STREAM_RE.search(om.group(3))
+        if sm is not None:
+            out.append((sm.group(1), sm.group(2), int(om.group(1))))
+    if not out:
+        out = [(d, b, -1) for d, b in _STREAM_RE.findall(data)]
+    return out
 
 
 def extract_pdf_text(data: bytes) -> str:
@@ -125,20 +328,24 @@ def extract_pdf_text(data: bytes) -> str:
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     if b"/Encrypt" in data:
-        # standard-handler RC4 with the empty user password (the common
-        # permissions-only case); raises for true-password/AES documents
+        # standard-handler decryption with the empty user password (the
+        # common permissions-only case); raises for true-password docs
         streams = _decrypt_streams(data)
     else:
-        streams = _STREAM_RE.findall(data)
-    lines: list[bytes] = []
-    for dict_part, body in streams:
+        streams = _plain_streams(data)
+    # font resources resolve over the PLAINTEXT object dicts (names and
+    # dicts are never encrypted — only strings and stream bodies), but
+    # ToUnicode CMap STREAMS come from the decrypted stream set
+    fonts = _font_registry(
+        data, {num: (d, b) for d, b, num in streams if num >= 0})
+    strict = _TYPE0_RE.search(data) is not None
+    lines: list[str] = []
+    for dict_part, body, _num in streams:
         if b"/Subtype" in dict_part and b"/Image" in dict_part:
             continue  # image XObject: no text; see extract_pdf_images
         body = _apply_filters(dict_part, body)
-        for block in _BT_RE.findall(body):
-            lines.extend(_block_text(block))
-    text = "\n".join(
-        ln.decode("latin-1") for ln in lines if ln.strip())
+        lines.extend(_stream_text(body, fonts, strict))
+    text = "\n".join(ln for ln in lines if ln.strip())
     return text
 
 
@@ -233,9 +440,9 @@ def extract_pdf_images(data: bytes) -> list[bytes]:
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     streams = (_decrypt_streams(data) if b"/Encrypt" in data
-               else _STREAM_RE.findall(data))
+               else _plain_streams(data))
     out: list[bytes] = []
-    for dict_part, body in streams:
+    for dict_part, body, _num in streams:
         if b"/Subtype" not in dict_part or b"/Image" not in dict_part:
             continue
         m = _FILTER_RE.search(dict_part)
@@ -471,10 +678,11 @@ def _object_key(key: bytes, num: int, gen: int,
     return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
 
 
-def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes]]:
+def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
     """Standard-handler decryption with the EMPTY user password:
-    → [(stream dict, decrypted body)] for every stream, or raises
-    NotImplementedError for truly password-protected / V≥4 documents."""
+    → [(stream dict, decrypted body, object number)] for every stream,
+    or raises NotImplementedError for truly password-protected /
+    unsupported-cipher documents."""
     em = _ENCRYPT_REF_RE.search(data)
     if em is None:
         raise ValueError("no /Encrypt reference")
@@ -544,5 +752,5 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes]]:
             body_out = cbc_decrypt(ok_key, sbody[:16], sbody[16:])
         else:
             body_out = _rc4(_object_key(key, num, gen), sm.group(2))
-        out.append((sm.group(1), body_out))
+        out.append((sm.group(1), body_out, num))
     return out

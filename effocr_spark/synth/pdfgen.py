@@ -254,3 +254,139 @@ def make_scanned_pdf(jpegs: list[tuple[bytes, int, int]],
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+# ------------------------------------------------- Type0 / CID fixtures
+
+def _cid_of(ch: str) -> int:
+    """Deterministic NON-identity glyph CID for fixtures: codepoint +
+    0x100. Non-identity so an extractor that skips the ToUnicode CMap
+    (and reads CIDs as chars) produces visibly wrong text."""
+    return ord(ch) + 0x100
+
+
+def _cid_hex(s: str) -> str:
+    return "".join(f"{_cid_of(c):04X}" for c in s)
+
+
+def _cid_tounicode_cmap(chars: set[str]) -> bytes:
+    """Minimal /ToUnicode CMap covering `chars`: lowercase a-z as ONE
+    incrementing bfrange, everything else as bfchar entries, plus a
+    multi-code-unit ligature mapping (CID 0x0001 → "fi") exercising
+    UTF-16BE multi-char dsts."""
+    lower = sorted(c for c in chars if "a" <= c <= "z")
+    other = sorted(c for c in chars if not ("a" <= c <= "z"))
+    bfchars = [f"<{_cid_of(c):04X}> <{ord(c):04X}>" for c in other]
+    bfchars.append("<0001> <00660069>")  # ligature: fi
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        "/Supplement 0 >> def",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+        f"{len(bfchars)} beginbfchar",
+        *bfchars,
+        "endbfchar",
+    ]
+    if lower:
+        parts += [
+            "1 beginbfrange",
+            f"<{_cid_of('a'):04X}> <{_cid_of('z'):04X}> <0061>",
+            "endbfrange",
+        ]
+    parts += ["endcmap", "CMapName currentdict /CMap defineresource pop",
+              "end", "end"]
+    return "\n".join(parts).encode("latin-1")
+
+
+def _cid_content_stream(lines: list[str], literal_show: bool) -> bytes:
+    """Identity-H content stream: hex-string show operators, TJ arrays
+    with word-gap kerning, and (optionally) a literal-string show whose
+    bytes are the same 2-byte CIDs — all three spellings a real CID
+    writer emits."""
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        words = line.split(" ")
+        if literal_show and i == len(lines) - 1:
+            # literal string carrying raw 2-byte CID bytes (escaped)
+            raw = b"".join(_cid_of(c).to_bytes(2, "big") for c in line)
+            esc = (raw.replace(b"\\", rb"\\").replace(b"(", rb"\(")
+                   .replace(b")", rb"\)").replace(b"\r", rb"\r"))
+            ops.append(b"(" + esc + b") Tj")
+        elif len(words) > 1:
+            parts = " -250 ".join(f"<{_cid_hex(w)}>" for w in words)
+            ops.append(f"[{parts}] TJ")
+        else:
+            ops.append(f"<{_cid_hex(line)}> Tj")
+    ops.append("ET")
+    return b"\n".join(o if isinstance(o, bytes) else o.encode("latin-1")
+                      for o in ops)
+
+
+def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
+                 compress: bool = True,
+                 literal_show: bool = False) -> bytes:
+    """Identity-H Type0 (CID-keyed) text PDF — the shape nearly every
+    modern born-digital PDF has (subset TrueType + Identity-H): hex
+    2-byte-CID show strings, a /DescendantFonts CIDFontType2, and a
+    /ToUnicode CMap mapping CIDs → unicode. tounicode=False omits the
+    CMap: such a document is UNEXTRACTABLE by any text engine and must
+    quarantine, not silently pass."""
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 2 * n_pages
+    desc_num = font_num + 1
+    touni_num = font_num + 2
+    for i, lines in enumerate(pages):
+        content = _cid_content_stream(lines, literal_show)
+        filt = ""
+        if compress:
+            content = zlib.compress(content)
+            filt = " /Filter /FlateDecode"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
+            f"{font_num} 0 R >> >> >>".encode())
+        objs.append(f"<< /Length {len(content)}{filt} >>\nstream\n"
+                    .encode() + content + b"\nendstream")
+    touni = (f" /ToUnicode {touni_num} 0 R" if tounicode else "")
+    objs.append(
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /SYNTH+Fixture "
+        f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R]"
+        f"{touni} >>".encode())
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SYNTH+Fixture"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /CIDToGIDMap /Identity >>")
+    if tounicode:
+        # include the space glyph: literal-CID shows encode spaces as
+        # CIDs too (TJ-array shows recover them from kerning instead)
+        chars = {c for page in pages for ln in page for c in ln}
+        cmap = zlib.compress(_cid_tounicode_cmap(chars))
+        objs.append(f"<< /Length {len(cmap)} /Filter /FlateDecode >>"
+                    f"\nstream\n".encode() + cmap + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

@@ -1,0 +1,114 @@
+"""Type0/CID PDF text: hex-string show operators + /ToUnicode CMaps —
+the encoding nearly every modern born-digital PDF uses (subset
+TrueType + Identity-H). Reference parity: the reference has no PDF
+handling at all; this closes the round-3 verdict's top real-world gap
+(silent empty text on CID documents)."""
+
+import pytest
+
+from effocr_spark.functions.pdftext import (_parse_tounicode,
+                                            extract_pdf_text)
+from effocr_spark.synth.pdfgen import (_cid_hex, _cid_of, make_cid_pdf,
+                                       make_pdf)
+
+
+def test_cid_hex_tj_and_tj_arrays():
+    pdf = make_cid_pdf([["Hello CID world", "second line here"]])
+    assert extract_pdf_text(pdf) == "Hello CID world\nsecond line here"
+
+
+def test_cid_literal_string_show():
+    """Literal (parenthesized) strings under an Identity-H font carry
+    the same 2-byte CIDs and must decode through the same CMap."""
+    pdf = make_cid_pdf([["alpha beta", "gamma delta"]],
+                       literal_show=True)
+    assert extract_pdf_text(pdf) == "alpha beta\ngamma delta"
+
+
+def test_cid_multipage_and_uncompressed():
+    pdf = make_cid_pdf([["page one text"], ["page two text"]],
+                       compress=False)
+    assert extract_pdf_text(pdf) == "page one text\npage two text"
+
+
+def test_cid_without_tounicode_quarantines():
+    """A CID document with no /ToUnicode is unextractable by ANY text
+    engine — it must raise (→ ok=False in the branch), never return
+    partial/empty text with ok=True (the round-3 silent miss)."""
+    with pytest.raises(ValueError, match="ToUnicode"):
+        extract_pdf_text(make_cid_pdf([["opaque text"]],
+                                      tounicode=False))
+
+
+def test_cid_unmapped_cid_yields_replacement_char():
+    """An individual CID missing from the CMap surfaces as U+FFFD —
+    countable, never silently dropped."""
+    # splice a show of an unmapped CID (0x9999) into the (uncompressed)
+    # content stream
+    pdf = make_cid_pdf([["ab"]], compress=False).replace(
+        f"<{_cid_hex('ab')}> Tj".encode(),
+        f"<{_cid_hex('ab')}9999> Tj".encode())
+    assert extract_pdf_text(pdf) == "ab�"
+
+
+def test_cid_ligature_multi_char_mapping():
+    """A single CID can map to MULTIPLE unicode chars (fi ligature:
+    dst <00660069>) — UTF-16BE multi-code-unit dsts decode fully."""
+    pdf = make_cid_pdf([["ab"]], compress=False).replace(
+        f"<{_cid_hex('ab')}> Tj".encode(),
+        f"<0001{_cid_hex('ab')}> Tj".encode())
+    assert extract_pdf_text(pdf) == "fiab"
+
+
+def test_hex_string_under_simple_font():
+    """Hex show strings are legal under simple (single-byte) fonts too
+    — bytes decode latin-1, exactly like literal strings."""
+    pdf = make_pdf([["placeholder"]], compress=False)
+    hx = "Hex text!".encode("latin-1").hex().upper()
+    pdf = pdf.replace(b"(placeholder) Tj", f"<{hx}> Tj".encode())
+    assert extract_pdf_text(pdf) == "Hex text!"
+
+
+def test_cid_of_is_not_identity():
+    """Fixture CIDs are shifted (+0x100) so an extractor that ignores
+    the CMap produces visibly wrong text — the mapping is load-bearing
+    in every CID test above."""
+    assert _cid_of("a") != ord("a")
+
+
+def test_parse_tounicode_bfrange_array_form():
+    cmap = _parse_tounicode(
+        b"1 beginbfrange\n<0010> <0012> [<0041> <0042> <0043>]\n"
+        b"endbfrange")
+    assert cmap == {0x10: "A", 0x11: "B", 0x12: "C"}
+
+
+def test_parse_tounicode_incrementing_range_and_bfchar():
+    cmap = _parse_tounicode(
+        b"2 beginbfchar\n<0001> <00660069>\n<0002> <0058>\nendbfchar\n"
+        b"1 beginbfrange\n<0100> <0102> <0061>\nendbfrange")
+    assert cmap[0x0001] == "fi" and cmap[0x0002] == "X"
+    assert [cmap[0x0100 + i] for i in range(3)] == ["a", "b", "c"]
+
+
+def test_cid_through_pipeline_branch(spark, protos_bc):
+    """End-to-end: CID PDFs route through the pdf branch; the
+    no-ToUnicode document lands in quarantine with a named error."""
+    from effocr_spark.pipeline import extract_pages
+
+    rows = [
+        ("pdf://cid/ok", None,
+         bytearray(make_cid_pdf([["Modern digital text"]])), None, "en"),
+        ("pdf://cid/noto", None,
+         bytearray(make_cid_pdf([["locked"]], tounicode=False)),
+         None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    out = {r["url"]: r for r in
+           extract_pages(df, protos_bc).collect()}
+    assert out["pdf://cid/ok"]["ok"]
+    assert out["pdf://cid/ok"]["extracted_text"] == "Modern digital text"
+    assert not out["pdf://cid/noto"]["ok"]
+    assert "ToUnicode" in out["pdf://cid/noto"]["error"]
