@@ -429,14 +429,17 @@ def _apply_one(name: bytes, body: bytes) -> bytes:
 
 
 def extract_pdf_images(data: bytes) -> list[bytes]:
-    """Image XObjects whose FINAL filter is /DCTDecode → list of the
-    embedded JPEG byte strings (outer transport filters like ASCII85 or
-    Flate applied first; standard-handler decryption applied when the
-    document is encrypted). This feeds the scanned-PDF OCR fusion — a
-    scanned newspaper PDF is a stack of DCT XObjects with no text
-    layer, exactly the north star's 'embedded images/PDF layouts'
-    input. Non-DCT images (raw samplers, CCITT, JBIG2) are skipped:
-    quarantine-by-omission, the text layer still extracts."""
+    """Image XObjects → list of image byte strings the OCR branch can
+    sniff-route: /DCTDecode images pass through as the embedded JPEG
+    bytes; /CCITTFaxDecode Group 4 images (K < 0 — what scanned
+    newspapers actually carry) are DECODED by the from-scratch T.6
+    codec (synth/ccittcodec.py) and re-emitted as PNG. Outer transport
+    filters (ASCII85, Flate, ...) are applied first; standard-handler
+    decryption applies when the document is encrypted. This feeds the
+    scanned-PDF OCR fusion — the north star's 'embedded images/PDF
+    layouts' input. Remaining image shapes (raw samplers, G3 fax,
+    JBIG2, JPX) are skipped: quarantine-by-omission, the text layer
+    still extracts."""
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     streams = (_decrypt_streams(data) if b"/Encrypt" in data
@@ -449,15 +452,39 @@ def extract_pdf_images(data: bytes) -> list[bytes]:
         if m is None:
             continue
         names = _NAME_RE.findall(m.group(1))
-        if not names or names[-1] != b"DCTDecode":
+        if not names or names[-1] not in (b"DCTDecode",
+                                          b"CCITTFaxDecode"):
             continue
         try:
             for name in names[:-1]:
                 body = _apply_one(name, body)
+            if names[-1] == b"CCITTFaxDecode":
+                body = _ccitt_to_png(dict_part, body)
         except (ValueError, NotImplementedError):
             continue
         out.append(body)
     return out
+
+
+def _ccitt_to_png(dict_part: bytes, body: bytes) -> bytes:
+    """/CCITTFaxDecode stream → PNG bytes via the G4 codec. Only pure
+    2-D coding (K < 0) is implemented; G3 (K >= 0) raises (caller
+    skips — quarantine-by-omission, same as JBIG2/JPX)."""
+    def _iparm(name: bytes, default: int) -> int:
+        mm = re.search(rb"/" + name + rb"\s+(-?\d+)", dict_part)
+        return int(mm.group(1)) if mm else default
+
+    k = _iparm(b"K", 0)
+    if k >= 0:
+        raise NotImplementedError(
+            "CCITT G3 (K >= 0); plug a real fax library in")
+    columns = _iparm(b"Columns", 1728)
+    rows = _iparm(b"Rows", 0) or _iparm(b"Height", 0) or None
+    black1 = re.search(rb"/BlackIs1\s+true", dict_part) is not None
+    from ..synth.ccittcodec import g4_decode
+    from ..synth.imgcodec import encode_png
+
+    return encode_png(g4_decode(body, columns, rows, black1))
 
 
 def ascii_hex_decode(body: bytes) -> bytes:

@@ -507,10 +507,12 @@ def embedded_png_rows(df: DataFrame) -> DataFrame:
 
 
 def has_pdf_images(html_col):
-    """JVM-side pre-filter for PDFs carrying DCT (JPEG) image XObjects —
-    scanned documents. Cheap contains() so the image-explode UDF only
-    sees candidates."""
-    return F.contains(html_col.cast("string"), F.lit("/DCTDecode"))
+    """JVM-side pre-filter for PDFs carrying DCT (JPEG) or CCITT G4
+    (fax — the scanned-newspaper norm) image XObjects. Cheap
+    contains() so the image-explode UDF only sees candidates."""
+    s = html_col.cast("string")
+    return (F.contains(s, F.lit("/DCTDecode"))
+            | F.contains(s, F.lit("/CCITTFaxDecode")))
 
 
 def pdf_image_rows(df: DataFrame) -> DataFrame:

@@ -390,3 +390,65 @@ def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_fax_pdf(bitmaps: list["object"],
+                 text_lines: list[list[str]] | None = None,
+                 black_is_1: bool = False,
+                 k: int = -1,
+                 omit_rows: bool = False) -> bytes:
+    """Scanned-document PDF with CCITT Group 4 fax image XObjects —
+    what newspaper archives actually emit (G4, not DCT). bitmaps =
+    list of 2-D uint8 grayscale arrays (ink black=0); each becomes one
+    full-page 1-bit /CCITTFaxDecode image with /K -1 /DecodeParms.
+    k >= 0 writes a (deliberately unsupported) G3 parm for
+    quarantine-path fixtures; omit_rows drops /Rows (decoder must stop
+    at EOFB)."""
+    from .ccittcodec import g4_encode
+
+    n_pages = len(bitmaps)
+    if text_lines is None:
+        text_lines = [[] for _ in range(n_pages)]
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 3 * n_pages
+    for i, (img, lines) in enumerate(zip(bitmaps, text_lines)):
+        h, w = img.shape
+        content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
+        if lines:
+            content += _content_stream(lines)
+        body = g4_encode(img, black_is_1=black_is_1)
+        rows = "" if omit_rows else f" /Rows {h}"
+        parms = (f"/DecodeParms << /K {k} /Columns {w}{rows}"
+                 f"{' /BlackIs1 true' if black_is_1 else ''} >>")
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Contents {4 + 3 * i} 0 R /Resources << /XObject "
+            f"<< /Im0 {5 + 3 * i} 0 R >> /Font << /F1 {font_num} 0 R >> "
+            f">> >>".encode())
+        objs.append(f"<< /Length {len(content)} >>\nstream\n".encode()
+                    + content + b"\nendstream")
+        objs.append(
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Filter /CCITTFaxDecode {parms} "
+            f"/Length {len(body)} >>\nstream\n".encode()
+            + body + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
