@@ -785,6 +785,9 @@ def q_extract_pdf(spark, sf_dir):
                          bytearray(make_encrypted_pdf(
                              [[f"Encrypted rev {r} document text"]], r=r)),
                          None, "en"))  # noqa: E501
+    from effocr_spark.synth.pdfgen import make_aes256_pdf
+    pdf_rows.append(("pdf://enc/r6", None, bytearray(make_aes256_pdf(
+        [["Encrypted rev 6 AES-256 text"]])), None, "en"))
     pdf_rows.append(("pdf://bad/0", None,
                      bytearray(b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
                                b"stream\nxx\nendstream"), None, "en"))

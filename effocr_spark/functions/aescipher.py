@@ -157,6 +157,37 @@ def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     return bytes(out)
 
 
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw AES-CBC over already-block-aligned data (no padding) — the
+    primitive the PDF R6 password hash (Algorithm 2.B) iterates and
+    the /UE file-key unwrap uses."""
+    if len(data) % 16 or not data:
+        raise ValueError("CBC-nopad data not block-aligned")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    """Raw AES-CBC decrypt without padding removal (the /UE // /OE
+    entries wrap exactly 32 key bytes)."""
+    if len(ciphertext) % 16 or not ciphertext:
+        raise ValueError("CBC-nopad ciphertext not block-aligned")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ciphertext), 16):
+        blk = ciphertext[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
+    return bytes(out)
+
+
 def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
     """AES-CBC decrypt + PKCS#7 unpad; raises ValueError on bad
     padding/length (callers quarantine)."""

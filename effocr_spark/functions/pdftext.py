@@ -12,11 +12,12 @@ ASCII85Decode, RunLengthDecode, and chains of them (/Filter arrays,
 applied in decode order per the spec). Pure stdlib (zlib + base64 +
 re + hashlib), no external PDF library. Standard-security-handler RC4
 encryption with an empty user password — the web's common
-permissions-only locking — decrypts for real, BOTH ciphers: RC4
-(R2/R3/V2) and AES-128-CBC (V4 /AESV2, functions/aescipher.py);
-true password-protected documents, AES-256 (V5), and image filters (DCT/JBIG2/JPX/CCITT)
-quarantine cleanly (the OCR branch is the right path for scans
-anyway). Flate/LZW /DecodeParms predictors (TIFF differencing + the
+permissions-only locking — decrypts for real, ALL standard ciphers: RC4
+(R2/R3/V2), AES-128-CBC (V4 /AESV2, functions/aescipher.py), and
+AES-256-CBC (V5 R5/R6 /AESV3 — PDF 2.0's Algorithm 2.B hash);
+true password-protected documents quarantine cleanly, and image
+streams route to the OCR branch (DCT passes through as JPEG, CCITT
+G4 decodes via synth/ccittcodec.py; JBIG2/JPX skip). Flate/LZW /DecodeParms predictors (TIFF differencing + the
 PNG row filters) un-apply for real via the PNG codec's unfilter
 kernel.
 
@@ -621,11 +622,12 @@ def lzw_encode(data: bytes) -> bytes:
 
 
 # ----------------------------------------------- standard encryption
-# PDF 1.4-1.7 standard security handler (spec §7.6.3 / PDF1.4 §3.5),
-# revisions 2 (40-bit) and 3 (128-bit), RC4. Most "encrypted" web PDFs
-# are permissions-only: empty USER password, everything decryptable —
-# this makes those extractable. True password-protected documents (U
-# check fails) and V≥4 crypt filters (AES) stay a declared seam.
+# PDF standard security handler, every standard revision: R2 (40-bit
+# RC4), R3 (128-bit RC4), R4 (/AESV2 AES-128-CBC), R5/R6 (/AESV3
+# AES-256-CBC, PDF 2.0 Algorithm 2.B). Most "encrypted" web PDFs are
+# permissions-only: empty USER password, everything decryptable — this
+# makes those extractable. True password-protected documents (U check
+# fails) quarantine with a named error.
 
 _PDF_PAD = bytes([
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
@@ -737,11 +739,13 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
         cfm = cm.group(1) if cm else b"V2"
         if cfm not in (b"AESV2", b"V2"):
             raise NotImplementedError(
-                f"crypt filter /{cfm.decode('latin-1')} (AES-256/custom); "
+                f"crypt filter /{cfm.decode('latin-1')} (custom); "
                 f"plug a real PDF library in")
+    elif v == 5:
+        return _decrypt_streams_v5(data, enc_dict, enc_num, objs, r)
     elif v not in (1, 2):
         raise NotImplementedError(
-            f"encryption V={v} (AES-256/crypt filters); plug a real "
+            f"encryption V={v} (custom crypt filters); plug a real "
             f"PDF library in")
     if r not in (2, 3, 4):
         raise NotImplementedError(
@@ -780,4 +784,72 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
         else:
             body_out = _rc4(_object_key(key, num, gen), sm.group(2))
         out.append((sm.group(1), body_out, num))
+    return out
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """PDF 2.0 Algorithm 2.B password hash. R5 (the deprecated Adobe
+    extension) is a single SHA-256; R6 iterates SHA-256/384/512 through
+    an AES-128-CBC mixing loop: K1 = 64·(pw‖K‖udata), E = CBC(K[:16],
+    iv=K[16:32], K1), next hash picked by sum(E[:16]) mod 3, stopping
+    once round ≥ 64 and E[-1] ≤ round − 32."""
+    import hashlib
+
+    from .aescipher import cbc_encrypt_nopad
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    if r < 6:
+        return k
+    rnd = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _decrypt_streams_v5(data: bytes, enc_dict: bytes, enc_num: int,
+                        objs: list[tuple[int, int, bytes]],
+                        r: int) -> list[tuple[bytes, bytes, int]]:
+    """AES-256 security handler (V5: R5 legacy / R6 = PDF 2.0 /AESV3)
+    with the EMPTY user password: validate against /U's validation
+    salt, unwrap the 32-byte file key from /UE with the key-salt hash,
+    then AES-256-CBC-decrypt every stream with the FILE key directly
+    (V5 has no per-object key derivation; the IV is the stream's first
+    16 bytes, padding is PKCS#7 — same framing as /AESV2)."""
+    from .aescipher import cbc_decrypt, cbc_decrypt_nopad
+
+    if r not in (5, 6):
+        raise NotImplementedError(
+            f"encryption V=5 revision R={r}; plug a real PDF library in")
+    cm = re.search(rb"/CFM\s*/(\w+)", enc_dict)
+    if cm is not None and cm.group(1) != b"AESV3":
+        raise NotImplementedError(
+            f"V=5 crypt filter /{cm.group(1).decode('latin-1')}; "
+            f"plug a real PDF library in")
+    u = _pdf_string(enc_dict, rb"/U")
+    ue = _pdf_string(enc_dict, rb"/UE")
+    if u is None or ue is None or len(u) < 48 or len(ue) < 32:
+        raise ValueError("malformed V5 encryption dictionary")
+    if _hash_2b(b"", u[32:40], b"", r) != u[:32]:
+        raise NotImplementedError(
+            "password-protected PDF (non-empty user password); plug a "
+            "real PDF library in")
+    inter = _hash_2b(b"", u[40:48], b"", r)
+    file_key = cbc_decrypt_nopad(inter, b"\x00" * 16, ue[:32])
+    out = []
+    for num, gen, body in objs:
+        sm = _STREAM_RE.search(body)
+        if sm is None or num == enc_num:
+            continue
+        sbody = sm.group(2)
+        while (len(sbody) - 16) % 16 and sbody[-1:] in (b"\n", b"\r"):
+            sbody = sbody[:-1]
+        if len(sbody) < 16:
+            raise ValueError("AESV3 stream shorter than its IV")
+        out.append((sm.group(1),
+                    cbc_decrypt(file_key, sbody[:16], sbody[16:]), num))
     return out

@@ -452,3 +452,78 @@ def make_fax_pdf(bitmaps: list["object"],
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_aes256_pdf(pages: list[list[str]],
+                    owner_pw: bytes = b"owner-secret",
+                    permissions: int = -44) -> bytes:
+    """AES-256 (V5/R6, PDF 2.0 /AESV3) encrypted PDF with an EMPTY
+    user password. /U carries hash-2.B(pw, validation salt) + the two
+    salts; /UE wraps the random file key under the key-salt hash;
+    streams are Flate-encoded then AES-256-CBC'd with the FILE key
+    (IV-prefixed, PKCS#7) — no per-object keys in V5."""
+    import hashlib
+
+    from ..functions.aescipher import (cbc_encrypt, cbc_encrypt_nopad)
+    from ..functions.pdftext import _hash_2b
+
+    # deterministic "random" material for fixture stability
+    seed = hashlib.sha256(repr(pages).encode()).digest()
+    vsalt, ksalt = seed[:8], seed[8:16]
+    file_key = hashlib.sha256(seed + b"filekey").digest()  # 32 bytes
+
+    u_hash = _hash_2b(b"", vsalt, b"", 6)
+    u_val = u_hash + vsalt + ksalt  # 48 bytes
+    inter = _hash_2b(b"", ksalt, b"", 6)
+    ue_val = cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
+
+    ovsalt, oksalt = seed[16:24], seed[24:32]
+    o_hash = _hash_2b(owner_pw, ovsalt, u_val, 6)
+    o_val = o_hash + ovsalt + oksalt
+    oe_val = cbc_encrypt_nopad(_hash_2b(owner_pw, oksalt, u_val, 6),
+                               b"\x00" * 16, file_key)
+    perms_blk = (permissions & 0xFFFFFFFF).to_bytes(4, "little") \
+        + b"\xff\xff\xff\xff" + b"Tadb" + seed[:4]
+    perms_val = cbc_encrypt_nopad(file_key, b"\x00" * 16, perms_blk)
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 2 * n_pages
+    enc_num = font_num + 1
+    for i, lines in enumerate(pages):
+        content = zlib.compress(_content_stream(lines))
+        iv = hashlib.md5(b"aes256iv%d" % i).digest()
+        content = iv + cbc_encrypt(file_key, iv, content)
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
+            f"{font_num} 0 R >> >> >>".encode())
+        objs.append(f"<< /Length {len(content)} /Filter /FlateDecode >>"
+                    f"\nstream\n".encode() + content + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.append(
+        f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF /P {permissions} "
+        f"/U <{u_val.hex()}> /UE <{ue_val.hex()}> "
+        f"/O <{o_val.hex()}> /OE <{oe_val.hex()}> "
+        f"/Perms <{perms_val.hex()}> >>".encode())
+
+    out = bytearray(b"%PDF-2.0\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+            f"/Encrypt {enc_num} 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

@@ -306,13 +306,24 @@ def test_aes_known_answer_and_encrypted_pdf():
     assert extract_pdf_text(blob) == "AES locked page\nsecond line"
 
 
-def test_aes256_stays_a_seam():
+def test_aes256_malformed_v5_dict_quarantines():
+    """AES-256 (V5/R6) is implemented now; a V5 label on a legacy V4
+    dictionary (missing the 48-byte /U and /UE) must still raise —
+    malformed, never silently mis-decrypted."""
     from effocr_spark.synth.pdfgen import make_encrypted_pdf
 
     blob = (make_encrypted_pdf([["x"]], r=4)
             .replace(b"/V 4 /R 4", b"/V 5 /R 6")
             .replace(b"/CFM /AESV2", b"/CFM /AESV3"))
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="malformed V5"):
+        extract_pdf_text(blob)
+
+
+def test_v5_unknown_revision_stays_a_seam():
+    from effocr_spark.synth.pdfgen import make_aes256_pdf
+
+    blob = make_aes256_pdf([["x"]]).replace(b"/V 5 /R 6", b"/V 5 /R 7")
+    with _pytest.raises(NotImplementedError, match="R=7"):
         extract_pdf_text(blob)
 
 
@@ -327,3 +338,62 @@ def test_aes_encrypted_pdf_through_pipeline(spark, protos_bc):
         "lang string")
     out = extract_pages(df, protos_bc).collect()[0]
     assert out["ok"] and out["extracted_text"] == "Modern AES document"
+
+
+def test_aes256_r6_roundtrip():
+    """AES-256 (V5/R6, /AESV3) with an empty user password decrypts:
+    Algorithm 2.B hash (SHA-256/384/512 + AES-CBC mixing loop)
+    validates /U, the key-salt hash unwraps /UE, streams decrypt with
+    the file key directly. Self-consistency pin (writer and reader
+    derive 2.B independently of each other's output); a 2.B deviation
+    from the spec would fail /U validation on REAL documents and
+    quarantine — never extract silently wrong."""
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import make_aes256_pdf
+
+    pdf = make_aes256_pdf([["AES two fifty six line", "more text"],
+                           ["page two content"]])
+    assert extract_pdf_text(pdf) == \
+        "AES two fifty six line\nmore text\npage two content"
+
+
+def test_aes256_r6_wrong_password_quarantines():
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import make_aes256_pdf
+
+    pdf = make_aes256_pdf([["locked"]])
+    bad = pdf.replace(b"/U <", b"/U <00", 1)
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        extract_pdf_text(bad)
+
+
+def test_hash_2b_r5_is_single_sha256():
+    import hashlib
+
+    from effocr_spark.functions.pdftext import _hash_2b
+
+    assert _hash_2b(b"x", b"12345678", b"", 5) == \
+        hashlib.sha256(b"x" + b"12345678").digest()
+
+
+def test_hash_2b_r6_loop_properties():
+    """The R6 loop runs ≥ 64 rounds and is deterministic; different
+    salts diverge (the mixing actually mixes)."""
+    from effocr_spark.functions.pdftext import _hash_2b
+
+    a = _hash_2b(b"", b"saltsalt", b"", 6)
+    b = _hash_2b(b"", b"saltsalt", b"", 6)
+    c = _hash_2b(b"", b"other!!!", b"", 6)
+    assert a == b and a != c and len(a) == 32
+
+
+def test_cbc_nopad_roundtrip_all_key_sizes():
+    from effocr_spark.functions.aescipher import (cbc_decrypt_nopad,
+                                                  cbc_encrypt_nopad)
+
+    data = bytes(range(48))
+    for klen in (16, 24, 32):
+        key = bytes(range(klen))
+        iv = bytes(16)
+        assert cbc_decrypt_nopad(key, iv,
+                                 cbc_encrypt_nopad(key, iv, data)) == data
