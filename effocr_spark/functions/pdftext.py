@@ -385,20 +385,28 @@ def _unpredict(dict_part: bytes, body: bytes) -> bytes:
     columns = _param(b"Columns", 1)
     colors = _param(b"Colors", 1)
     bpc = _param(b"BitsPerComponent", 8)
-    if bpc != 8:
-        raise NotImplementedError(
-            "predictor with BitsPerComponent != 8; plug a real PDF "
-            "library in")
-    stride = columns * colors
-    bpp = colors
+    if bpc not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal BitsPerComponent {bpc}")
     if pred == 2:  # TIFF horizontal differencing
+        if bpc != 8:
+            # sub-byte TIFF differencing operates on packed sub-byte
+            # SAMPLES, not bytes — vanishingly rare in the wild
+            raise NotImplementedError(
+                "TIFF predictor with BitsPerComponent != 8; plug a "
+                "real PDF library in")
+        stride = columns * colors
+        bpp = colors
         if len(body) % stride:
             raise ValueError("TIFF-predictor data not row-aligned")
         rows = np.frombuffer(body, np.uint8).reshape(-1, stride).copy()
         for x in range(bpp, stride):
             rows[:, x] = (rows[:, x] + rows[:, x - bpp]) & 0xFF
         return rows.tobytes()
-    if pred >= 10:  # PNG row filters
+    if pred >= 10:  # PNG row filters — BYTE-oriented whatever bpc is
+        # (PNG spec: sub-byte pixels filter with bpp rounded up to 1
+        # byte; 16-bit components use bpp = 2·colors)
+        stride = (columns * colors * bpc + 7) // 8
+        bpp = max(1, (colors * bpc + 7) // 8)
         if len(body) % (stride + 1):
             raise ValueError("PNG-predictor data not row-aligned")
         h = len(body) // (stride + 1)

@@ -161,9 +161,52 @@ def test_image_filters_stay_seams_predictors_decode():
            + blob + b"\nendstream\nendobj\n%%EOF")
     assert x(pdf) == "Predicted text here"
 
-    # sub-byte components stay a seam
+    # sub-byte components: PNG predictors are byte-oriented at any
+    # BitsPerComponent (bpp rounds up to 1 byte) — decode for real
+    content = b"BT (Subbyte predicted) Tj ET."
+    bpc, cols_px = 4, 18  # stride = ceil(18*1*4/8) = 9 bytes
+    stride = (cols_px * bpc + 7) // 8
+    data = content + b" " * ((-len(content)) % stride)
+    rows = np.frombuffer(data, np.uint8).reshape(-1, stride)
+    enc = bytearray()
+    prev_b = np.zeros(stride, np.int32)
+    for r in rows:
+        enc.append(2)  # Up filter
+        enc += ((r.astype(np.int32) - prev_b) & 0xFF).astype(
+            np.uint8).tobytes()
+        prev_b = r.astype(np.int32)
+    blob2 = _zlib.compress(bytes(enc))
+    pdf2 = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(blob2)).encode()
+            + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            + b"/Columns " + str(cols_px).encode()
+            + b" /BitsPerComponent 4 >> >>\nstream\n"
+            + blob2 + b"\nendstream\nendobj\n%%EOF")
+    assert x(pdf2) == "Subbyte predicted"
+
+    # 16-bit components: bpp = 2·colors — Sub filter needs the right
+    # byte offset to invert
+    bpc16_stride = 4 * 3 * 2  # 4 px × RGB × 2 bytes
+    data16 = (b"BT (Wide comps) Tj ET" + b"." * 3)
+    rows16 = np.frombuffer(data16, np.uint8).reshape(-1, bpc16_stride)
+    enc16 = bytearray()
+    for r in rows16:
+        enc16.append(1)  # Sub filter: depends on bpp within the row
+        rr = r.astype(np.int32).copy()
+        out_r = rr.copy()
+        for xx in range(6, bpc16_stride):
+            out_r[xx] = (rr[xx] - rr[xx - 6]) & 0xFF
+        enc16 += out_r.astype(np.uint8).tobytes()
+    blob16 = _zlib.compress(bytes(enc16))
+    pdf16 = (b"%PDF-1.4\n1 0 obj\n<< /Length "
+             + str(len(blob16)).encode()
+             + b" /Filter /FlateDecode /DecodeParms << /Predictor 11 "
+             + b"/Columns 4 /Colors 3 /BitsPerComponent 16 >> >>\n"
+             + b"stream\n" + blob16 + b"\nendstream\nendobj\n%%EOF")
+    assert x(pdf16) == "Wide comps"
+
+    # TIFF differencing on sub-byte samples stays a (named) seam
     bad = (b"%PDF-1.4\n<< /Filter /FlateDecode /DecodeParms "
-           b"<< /Predictor 12 /Columns 4 /BitsPerComponent 4 >> >>\n"
+           b"<< /Predictor 2 /Columns 4 /BitsPerComponent 4 >> >>\n"
            b"stream\n" + _zlib.compress(b"xxxx") + b"\nendstream")
     with _pytest.raises(NotImplementedError, match="BitsPerComponent"):
         x(bad)
