@@ -1130,60 +1130,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered by measured per-query runtime ASCENDING (local[8],
+    # sf0.01) so a wall-clock-budgeted harness records the most rows
+    # before any truncation — round 3 lost the three tail entries to
+    # exactly that. Total ~80s at 8 cores; every entry also has a
+    # local replica via tools/check_queries.py.
     return {
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "shipping_priority": q_shipping_priority,
-        "gt_pred_eval": q_gt_pred_eval,
-        "asof_join": q_asof_join,
-        "topk_per_group": q_topk_per_group,
-        "reading_order": q_reading_order,
-        "lead_lag": q_lead_lag,
-        "set_ops": q_set_ops,
-        "row_replicate": q_row_replicate,
-        "interval_join": q_interval_join,
-        "events_daily": q_events_daily,
-        "hourly_windows": q_hourly_windows,
-        "sessionize": q_sessionize,
-        "quarantine_counts": q_quarantine_counts,
-        "hex_codepoint": q_hex_codepoint,
-        "string_battery": q_string_battery,
-        "max_by": q_max_by,
-        "posexplode_zip": q_posexplode_zip,
-        "distinct_users": q_distinct_users,
-        "exact_dedup": q_exact_dedup,
-        "minhash_sigs": q_minhash_sigs,
-        "lsh_buckets": q_lsh_buckets,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "doc_stats": q_doc_stats,
-        "langid_confusion": q_langid_confusion,
-        "cosine_topk": q_cosine_topk,
-        "ivf_topk": q_ivf_topk,
-        "centroid_knn": q_centroid_knn,
-        "embedding_neardup": q_embedding_neardup,
-        "srp_buckets": q_srp_buckets,
-        "lsh_candidates": q_lsh_candidates,
-        "dedup_groups": q_dedup_groups,
-        "knn_topk": q_knn_topk,
-        "coco_spans": q_coco_spans,
-        "extract_pages": q_extract_pages,
-        "extract_match_rate": q_extract_match_rate,
-        "media_features": q_media_features,
         "spellcheck": q_spellcheck,
-        "spellcheck_filedict": q_spellcheck_filedict,
-        "word_silver": q_word_silver,
-        "video_metadata": q_video_metadata,
-        "trocr_eval": q_trocr_eval,
-        "envelope_join": q_envelope_join,
         "hard_negatives": q_hard_negatives,
-        "srp_neardup": q_srp_neardup,
+        "row_replicate": q_row_replicate,
+        "lead_lag": q_lead_lag,
         "audio_features": q_audio_features,
-        "coco_sink_roundtrip": q_coco_sink_roundtrip,
-        "extract_pdf": q_extract_pdf,
-        "extract_pdf_scanned": q_extract_pdf_scanned,
-        "extract_embedded": q_extract_embedded,
+        "video_metadata": q_video_metadata,
+        "hex_codepoint": q_hex_codepoint,
+        "coco_spans": q_coco_spans,
+        "spellcheck_filedict": q_spellcheck_filedict,
+        "posexplode_zip": q_posexplode_zip,
+        "quarantine_counts": q_quarantine_counts,
+        "doc_stats": q_doc_stats,
+        "media_features": q_media_features,
         "jpeg_features": q_jpeg_features,
+        "envelope_join": q_envelope_join,
+        "distinct_users": q_distinct_users,
+        "events_daily": q_events_daily,
+        "max_by": q_max_by,
+        "exact_dedup": q_exact_dedup,
+        "string_battery": q_string_battery,
+        "minhash_sigs": q_minhash_sigs,
+        "interval_join": q_interval_join,
+        "centroid_knn": q_centroid_knn,
+        "trocr_eval": q_trocr_eval,
+        "hourly_windows": q_hourly_windows,
+        "set_ops": q_set_ops,
+        "gt_pred_eval": q_gt_pred_eval,
+        "embedding_neardup": q_embedding_neardup,
+        "asof_join": q_asof_join,
+        "reading_order": q_reading_order,
+        "coco_sink_roundtrip": q_coco_sink_roundtrip,
+        "sessionize": q_sessionize,
+        "srp_buckets": q_srp_buckets,
+        "extract_embedded": q_extract_embedded,
+        "cosine_topk": q_cosine_topk,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "extract_pdf_scanned": q_extract_pdf_scanned,
+        "srp_neardup": q_srp_neardup,
+        "topk_per_group": q_topk_per_group,
+        "lsh_buckets": q_lsh_buckets,
+        "ivf_topk": q_ivf_topk,
+        "knn_topk": q_knn_topk,
+        "shipping_priority": q_shipping_priority,
+        "top_customers": q_top_customers,
+        "extract_match_rate": q_extract_match_rate,
+        "simhash": q_simhash,
+        "langid_confusion": q_langid_confusion,
+        "extract_pages": q_extract_pages,
+        "word_silver": q_word_silver,
+        "dedup_groups": q_dedup_groups,
+        "pricing_summary": q_pricing_summary,
+        "extract_pdf": q_extract_pdf,
     }
 
 

@@ -66,6 +66,13 @@ _RCON = [0x01]
 while len(_RCON) < 14:
     _RCON.append(_gf_mul(_RCON[-1], 2))
 
+# precomputed GF(2^8) multiplication tables for the (Inv)MixColumns
+# constants — turns the per-byte _gf_mul bit loop into one list index
+# (the PDF R6 password hash drives ~8k block encryptions per password,
+# so block speed is user-visible)
+_M2, _M3, _M9, _M11, _M13, _M14 = (
+    [_gf_mul(a, c) for a in range(256)] for c in (2, 3, 9, 11, 13, 14))
+
 
 def _expand_key(key: bytes) -> list[list[int]]:
     nk = len(key) // 4
@@ -104,12 +111,12 @@ def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
         if rnd != nr:                            # MixColumns
             t = []
             for c in range(4):
-                a = s[4 * c: 4 * c + 4]
+                a0, a1, a2, a3 = s[4 * c: 4 * c + 4]
                 t += [
-                    _gf_mul(a[0], 2) ^ _gf_mul(a[1], 3) ^ a[2] ^ a[3],
-                    a[0] ^ _gf_mul(a[1], 2) ^ _gf_mul(a[2], 3) ^ a[3],
-                    a[0] ^ a[1] ^ _gf_mul(a[2], 2) ^ _gf_mul(a[3], 3),
-                    _gf_mul(a[0], 3) ^ a[1] ^ a[2] ^ _gf_mul(a[3], 2),
+                    _M2[a0] ^ _M3[a1] ^ a2 ^ a3,
+                    a0 ^ _M2[a1] ^ _M3[a2] ^ a3,
+                    a0 ^ a1 ^ _M2[a2] ^ _M3[a3],
+                    _M3[a0] ^ a1 ^ a2 ^ _M2[a3],
                 ]
             s = t
         _add_round_key(s, rks[rnd])
@@ -127,16 +134,12 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
         if rnd != 0:                                # InvMixColumns
             t = []
             for c in range(4):
-                a = s[4 * c: 4 * c + 4]
+                a0, a1, a2, a3 = s[4 * c: 4 * c + 4]
                 t += [
-                    _gf_mul(a[0], 14) ^ _gf_mul(a[1], 11)
-                    ^ _gf_mul(a[2], 13) ^ _gf_mul(a[3], 9),
-                    _gf_mul(a[0], 9) ^ _gf_mul(a[1], 14)
-                    ^ _gf_mul(a[2], 11) ^ _gf_mul(a[3], 13),
-                    _gf_mul(a[0], 13) ^ _gf_mul(a[1], 9)
-                    ^ _gf_mul(a[2], 14) ^ _gf_mul(a[3], 11),
-                    _gf_mul(a[0], 11) ^ _gf_mul(a[1], 13)
-                    ^ _gf_mul(a[2], 9) ^ _gf_mul(a[3], 14),
+                    _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3],
+                    _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3],
+                    _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3],
+                    _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3],
                 ]
             s = t
     return bytes(s)

@@ -37,6 +37,7 @@ as functions/domstrip.py.
 from __future__ import annotations
 
 import base64
+import functools
 import re
 import zlib
 
@@ -795,6 +796,7 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
     return out
 
 
+@functools.lru_cache(maxsize=256)
 def _hash_2b(pw: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
     """PDF 2.0 Algorithm 2.B password hash. R5 (the deprecated Adobe
     extension) is a single SHA-256; R6 iterates SHA-256/384/512 through
