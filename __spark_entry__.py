@@ -850,10 +850,10 @@ def q_extract_pdf_scanned(spark, sf_dir):
                      None, "en"))
     rows.append(("pdf://text/0", None,
                  bytearray(make_pdf([["Plain text page"]])), None, "en"))
-    # CCITT Group 4 fax scans — the encoding newspaper archives
-    # actually use; decoded by the from-scratch T.6 codec and OCR-fused
-    # exactly like the DCT path. One plain, one BlackIs1+unsized, one
-    # G3-parm (skipped → text layer only).
+    # CCITT fax scans — the encoding newspaper archives actually use;
+    # decoded by the from-scratch T.6/T.4 codecs and OCR-fused exactly
+    # like the DCT path. One G4, one G4 BlackIs1+unsized, one G3 1-D
+    # (text layer + scan fusion).
     from effocr_spark.synth.pdfgen import make_fax_pdf
     fax_imgs = [render_line(_en_ocr_line(_rng(888000, j), 4))[0]
                 for j in range(3)]
@@ -864,7 +864,7 @@ def q_extract_pdf_scanned(spark, sf_dir):
                      text_lines=[["Fax layer line"]])), None, "en"))
     rows.append(("pdf://fax/g3", None, bytearray(
         make_fax_pdf([fax_imgs[2]], k=0,
-                     text_lines=[["G3 text layer only"]])), None, "en"))
+                     text_lines=[["G3 layer line"]])), None, "en"))
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, "
               "lang string")

@@ -264,8 +264,41 @@ def _parse_tounicode(body: bytes) -> dict[int, str]:
     return cmap
 
 
+def _expand_objstms(streams: list[tuple[bytes, bytes, int]]
+                    ) -> dict[int, bytes]:
+    """/Type /ObjStm object streams → {object number: object body}.
+
+    Modern writers park most non-stream objects (page dicts, font
+    dicts, CID descendants) inside compressed object streams; a raw
+    `N G obj` scan cannot see them, so the font registry expands them
+    here. Layout per spec 7.5.7: /N pairs of "objnum offset" ints in
+    the stream head, object bodies starting at /First + offset.
+    Undecodable object streams are skipped (their objects simply stay
+    unresolved — which QUARANTINES CID text rather than mis-reading
+    it)."""
+    objmap: dict[int, bytes] = {}
+    for d, b, _num in streams:
+        if not re.search(rb"/Type\s*/ObjStm", d):
+            continue
+        try:
+            body = _apply_filters(d, b)
+            n = int(re.search(rb"/N\s+(\d+)", d).group(1))
+            first = int(re.search(rb"/First\s+(\d+)", d).group(1))
+        except (AttributeError, ValueError, NotImplementedError):
+            continue
+        header = body[:first].split()
+        nums = [int(x) for x in header[0::2][:n]]
+        offs = [int(x) for x in header[1::2][:n]]
+        for i, (objnum, off) in enumerate(zip(nums, offs)):
+            end = (first + offs[i + 1] if i + 1 < len(offs)
+                   else len(body))
+            objmap[objnum] = body[first + off: end]
+    return objmap
+
+
 def _font_registry(data: bytes,
-                   stream_by_num: dict[int, tuple[bytes, bytes]]
+                   stream_by_num: dict[int, tuple[bytes, bytes]],
+                   extra_objects: dict[int, bytes] | None = None
                    ) -> dict[str, dict]:
     """Document-wide font-resource map: name → {cid, map}.
 
@@ -279,24 +312,33 @@ def _font_registry(data: bytes,
     /Type0 document rather than extracting wrong."""
     objects = {int(m.group(1)): m.group(3)
                for m in _OBJ_RE.finditer(data)}
+    if extra_objects:
+        objects.update(extra_objects)
+    # /Font resource dicts can live in the raw object space OR inside
+    # an expanded object stream — scan both
+    scan_spaces = [data] + list((extra_objects or {}).values())
     fonts: dict[str, dict] = {}
-    for fm in re.finditer(rb"/Font\s*<<", data):
-        seg = _balanced_dict(data, fm.end() - 2)
-        for bm in _FONT_BIND_RE.finditer(seg):
-            name, num = bm.group(1).decode("latin-1"), int(bm.group(2))
-            body = objects.get(num)
-            if body is None:
-                continue
-            cid = _TYPE0_RE.search(body) is not None
-            cmap = None
-            tm = _TOUNI_REF_RE.search(body)
-            if tm is not None and int(tm.group(1)) in stream_by_num:
-                d, b = stream_by_num[int(tm.group(1))]
-                try:
-                    cmap = _parse_tounicode(_apply_filters(d, b))
-                except (ValueError, NotImplementedError):
-                    cmap = None
-            fonts[name] = {"cid": cid, "map": cmap}
+    bindings: list[tuple[bytes, int]] = []
+    for space in scan_spaces:
+        for fm in re.finditer(rb"/Font\s*<<", space):
+            seg = _balanced_dict(space, fm.end() - 2)
+            bindings.extend((bm.group(1), int(bm.group(2)))
+                            for bm in _FONT_BIND_RE.finditer(seg))
+    for bname, num in bindings:
+        name = bname.decode("latin-1")
+        body = objects.get(num)
+        if body is None:
+            continue
+        cid = _TYPE0_RE.search(body) is not None
+        cmap = None
+        tm = _TOUNI_REF_RE.search(body)
+        if tm is not None and int(tm.group(1)) in stream_by_num:
+            d, b = stream_by_num[int(tm.group(1))]
+            try:
+                cmap = _parse_tounicode(_apply_filters(d, b))
+            except (ValueError, NotImplementedError):
+                cmap = None
+        fonts[name] = {"cid": cid, "map": cmap}
     return fonts
 
 
@@ -336,11 +378,15 @@ def extract_pdf_text(data: bytes) -> str:
     else:
         streams = _plain_streams(data)
     # font resources resolve over the PLAINTEXT object dicts (names and
-    # dicts are never encrypted — only strings and stream bodies), but
-    # ToUnicode CMap STREAMS come from the decrypted stream set
+    # dicts are never encrypted — only strings and stream bodies) PLUS
+    # any /ObjStm-packed objects (the modern-writer shape); ToUnicode
+    # CMap STREAMS come from the decrypted stream set
+    objstm = _expand_objstms(streams)
     fonts = _font_registry(
-        data, {num: (d, b) for d, b, num in streams if num >= 0})
-    strict = _TYPE0_RE.search(data) is not None
+        data, {num: (d, b) for d, b, num in streams if num >= 0},
+        objstm)
+    strict = (_TYPE0_RE.search(data) is not None
+              or any(_TYPE0_RE.search(b) for b in objstm.values()))
     lines: list[str] = []
     for dict_part, body, _num in streams:
         if b"/Subtype" in dict_part and b"/Image" in dict_part:
@@ -477,24 +523,25 @@ def extract_pdf_images(data: bytes) -> list[bytes]:
 
 
 def _ccitt_to_png(dict_part: bytes, body: bytes) -> bytes:
-    """/CCITTFaxDecode stream → PNG bytes via the G4 codec. Only pure
-    2-D coding (K < 0) is implemented; G3 (K >= 0) raises (caller
-    skips — quarantine-by-omission, same as JBIG2/JPX)."""
+    """/CCITTFaxDecode stream → PNG bytes via the fax codecs: K < 0 →
+    G4 (T.6), K = 0 → G3 1-D MH, K > 0 → G3 mixed (per-line tag bits).
+    /EncodedByteAlign raises (caller skips — quarantine-by-omission,
+    same as JBIG2/JPX)."""
     def _iparm(name: bytes, default: int) -> int:
         mm = re.search(rb"/" + name + rb"\s+(-?\d+)", dict_part)
         return int(mm.group(1)) if mm else default
 
     k = _iparm(b"K", 0)
-    if k >= 0:
+    if re.search(rb"/EncodedByteAlign\s+true", dict_part):
         raise NotImplementedError(
-            "CCITT G3 (K >= 0); plug a real fax library in")
+            "CCITT EncodedByteAlign; plug a real fax library in")
     columns = _iparm(b"Columns", 1728)
     rows = _iparm(b"Rows", 0) or _iparm(b"Height", 0) or None
     black1 = re.search(rb"/BlackIs1\s+true", dict_part) is not None
-    from ..synth.ccittcodec import g4_decode
+    from ..synth.ccittcodec import ccitt_decode
     from ..synth.imgcodec import encode_png
 
-    return encode_png(g4_decode(body, columns, rows, black1))
+    return encode_png(ccitt_decode(body, k, columns, rows, black1))
 
 
 def ascii_hex_decode(body: bytes) -> bytes:

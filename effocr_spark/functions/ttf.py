@@ -13,9 +13,10 @@ subtable formats that carry unicode mappings in practice:
   segment encodings);
 - format 12 (segmented coverage) — supplementary-plane fonts;
 - format 6 (trimmed table) — small legacy fonts;
-- format 0 (byte encoding) — legacy Macintosh tables.
+- format 0 (byte encoding) — legacy Macintosh tables;
+- format 13 (many-to-one ranges) — 'last resort' fallback fonts.
 
-Unsupported formats (2, 8, 10, 13, 14) are SKIPPED like fontTools'
+Unsupported formats (2, 8, 10, 14) are SKIPPED like fontTools'
 ignoreDecompileErrors skips broken tables — coverage is the union of
 the subtables we can read. Structural corruption (bad magic, truncated
 tables, offsets out of bounds) raises ValueError for the caller to
@@ -150,8 +151,28 @@ def _parse_format6(sub: bytes) -> dict[int, int]:
     return out
 
 
+def _parse_format13(sub: bytes) -> dict[int, int]:
+    """Many-to-one range mappings ('last resort' fonts): same group
+    layout as format 12, but every char in a group maps to the SAME
+    glyph id."""
+    if len(sub) < 16:
+        raise ValueError("truncated cmap format 13 header")
+    n_groups = _u32(sub, 12)
+    if 16 + 12 * n_groups > len(sub):
+        raise ValueError("truncated cmap format 13 groups")
+    out: dict[int, int] = {}
+    for g in range(n_groups):
+        off = 16 + 12 * g
+        start, end, gid = struct.unpack_from(">III", sub, off)
+        if start > end:
+            raise ValueError(f"format 13 group {g}: start > end")
+        for c in range(start, end + 1):
+            out[c] = gid
+    return out
+
+
 _PARSERS = {0: _parse_format0, 4: _parse_format4, 6: _parse_format6,
-            12: _parse_format12}
+            12: _parse_format12, 13: _parse_format13}
 
 
 def parse_cmap(data: bytes) -> dict[int, int]:

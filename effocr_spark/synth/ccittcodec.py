@@ -254,6 +254,91 @@ def _decode_row(br: _BitReader, ref: list[int], columns: int) -> list[int]:
     return cur
 
 
+# ------------------------------------------------- G3 (T.4) decoding
+
+_EOL = "000000000001"
+
+
+def _try_skip_eol(br: _BitReader) -> bool:
+    """Consume one EOL (11+ zeros then a 1 — fill bits allowed) if the
+    stream is positioned at one; returns whether it did."""
+    look = br.peek_str(64)
+    i = 0
+    while i < len(look) and look[i] == "0":
+        i += 1
+    if i >= 11 and i < len(look) and look[i] == "1":
+        br.pos += i + 1
+        return True
+    return False
+
+
+def _decode_row_1d(br: _BitReader, columns: int) -> list[int]:
+    """One T.4 1-D (MH) coding line → changing-element positions."""
+    cur: list[int] = []
+    pos, color = 0, 0
+    while pos < columns:
+        pos += _read_run(br, color)
+        cur.append(min(pos, columns))
+        color ^= 1
+    return cur
+
+
+def g3_decode(data: bytes, columns: int, rows: int | None = None,
+              black_is_1: bool = False, k: int = 0) -> np.ndarray:
+    """CCITT Group 3 bytes → uint8 grayscale, same output contract as
+    g4_decode. k = 0: pure one-dimensional MH lines (the PDF /K 0
+    default — EOLs optional, tolerated with fill bits). k > 0: mixed
+    mode — each line carries a 1-D/2-D tag bit after its EOL; 2-D
+    lines decode with the T.6 mode machinery against the previous
+    line."""
+    br = _BitReader(data)
+    out: list[np.ndarray] = []
+    ref = [columns, columns]
+    while rows is None or len(out) < rows:
+        if br.pos >= len(br.bits):
+            break
+        saw_eol = _try_skip_eol(br)
+        if br.pos >= len(br.bits):
+            break
+        try:
+            if k > 0:
+                if not saw_eol:
+                    raise ValueError("mixed-mode G3 line without EOL")
+                two_d = br.read() == 0  # tag bit: 1 = 1-D, 0 = 2-D
+                cur = (_decode_row(br, ref, columns) if two_d
+                       else _decode_row_1d(br, columns))
+            else:
+                cur = _decode_row_1d(br, columns)
+        except ValueError:
+            if rows is None and out:
+                break  # trailing fill/RTC after the last line
+            raise
+        row = np.zeros(columns, np.uint8)
+        pos, color = 0, 0
+        for c in cur:
+            if color:
+                row[pos:c] = 1
+            pos, color = c, 1 - color
+        out.append(row)
+        ref = cur + [columns, columns]
+    if not out:
+        raise ValueError("empty G3 image")
+    bitmap = np.stack(out)
+    if black_is_1:
+        bitmap = 1 - bitmap
+    return np.where(bitmap == 1, np.uint8(0), np.uint8(255))
+
+
+def ccitt_decode(data: bytes, k: int, columns: int,
+                 rows: int | None = None,
+                 black_is_1: bool = False) -> np.ndarray:
+    """PDF /CCITTFaxDecode dispatch on /K: < 0 → G4 (T.6), 0 → G3
+    1-D, > 0 → G3 mixed."""
+    if k < 0:
+        return g4_decode(data, columns, rows, black_is_1)
+    return g3_decode(data, columns, rows, black_is_1, k)
+
+
 # ------------------------------------------------------------ encoder
 
 def _changes(row: np.ndarray) -> list[int]:
@@ -277,6 +362,93 @@ def _run_bits(run: int, color: int) -> str:
         run -= big
     out.append(term[run])
     return "".join(out)
+
+
+def _row_runs_bits(row: np.ndarray, w: int) -> str:
+    """One bitmap row → its 1-D MH code string (white run first)."""
+    changes = _changes(row) + [w]
+    bits = []
+    pos, color = 0, 0
+    for c in changes:
+        if c > w:
+            break
+        bits.append(_run_bits(c - pos, color))
+        pos, color = c, 1 - color
+        if pos >= w:
+            break
+    if pos < w:
+        bits.append(_run_bits(w - pos, color))
+    return "".join(bits)
+
+
+def g3_encode(img: np.ndarray, black_is_1: bool = False,
+              k: int = 0, eol: bool = False) -> bytes:
+    """G3 encoder matching g3_decode. k = 0: 1-D MH lines (EOL
+    prefixes optional via eol=True); k > 0: mixed mode with an EOL +
+    tag bit per line, alternating 1-D and 2-D lines (2-D lines reuse
+    the T.6 mode coder against the previous line)."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("g3_encode wants a 2-D uint8 grayscale array")
+    bitmap = (img < 128).astype(np.uint8)
+    if black_is_1:
+        bitmap = 1 - bitmap
+    h, w = bitmap.shape
+    bits: list[str] = []
+    prev: np.ndarray | None = None
+    for y in range(h):
+        if k > 0:
+            use_2d = (y % 2 == 1)  # alternate; first line must be 1-D
+            bits.append(_EOL + ("0" if use_2d else "1"))
+            if use_2d:
+                bits.append(_encode_row_2d(bitmap[y], prev, w))
+            else:
+                bits.append(_row_runs_bits(bitmap[y], w))
+        else:
+            if eol:
+                bits.append(_EOL)
+            bits.append(_row_runs_bits(bitmap[y], w))
+        prev = bitmap[y]
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return np.packbits(
+        np.frombuffer(s.encode("ascii"), np.uint8) - ord("0")).tobytes()
+
+
+def _encode_row_2d(row: np.ndarray, prev: np.ndarray | None,
+                   w: int) -> str:
+    """One 2-D-coded line against its reference (T.6 mode coder,
+    shared by g4_encode's per-row loop)."""
+    ref = (_changes(prev) if prev is not None else []) + [w, w]
+    cur = _changes(row) + [w, w]
+    bits: list[str] = []
+    a0, color = -1, 0
+    ci = 0
+    while a0 < w:
+        i = 0 if color == 0 else 1
+        while i < len(ref) and ref[i] <= a0:
+            i += 2
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        while ci < len(cur) and cur[ci] <= a0:
+            ci += 1
+        a1 = cur[ci] if ci < len(cur) else w
+        if b2 < a1:
+            bits.append("0001")
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            bits.append({0: "1", 1: "011", -1: "010", 2: "000011",
+                         -2: "000010", 3: "0000011", -3: "0000010"}[d])
+            a0, color = a1, 1 - color
+            continue
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+        start = 0 if a0 < 0 else a0
+        bits.append("001")
+        bits.append(_run_bits(a1 - start, color))
+        bits.append(_run_bits(a2 - a1, 1 - color))
+        a0 = a2
+    return "".join(bits)
 
 
 def g4_encode(img: np.ndarray, black_is_1: bool = False) -> bytes:

@@ -332,19 +332,25 @@ def _cid_content_stream(lines: list[str], literal_show: bool) -> bytes:
 
 def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
                  compress: bool = True,
-                 literal_show: bool = False) -> bytes:
+                 literal_show: bool = False,
+                 objstm: bool = False) -> bytes:
     """Identity-H Type0 (CID-keyed) text PDF — the shape nearly every
     modern born-digital PDF has (subset TrueType + Identity-H): hex
     2-byte-CID show strings, a /DescendantFonts CIDFontType2, and a
     /ToUnicode CMap mapping CIDs → unicode. tounicode=False omits the
     CMap: such a document is UNEXTRACTABLE by any text engine and must
-    quarantine, not silently pass."""
-    objs: list[bytes] = []
+    quarantine, not silently pass. objstm=True packs the page + font +
+    descendant dicts into a Flate /ObjStm object stream (the modern-
+    writer layout where a raw `N G obj` scan sees no font objects);
+    the xref then indexes only the top-level objects — readers that
+    walk the xref table need the /XRef-stream form, which the
+    extractor does not require."""
     n_pages = len(pages)
+    numbered: dict[int, bytes] = {}
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
-                .encode())
+    numbered[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    numbered[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                   .encode())
     font_num = 3 + 2 * n_pages
     desc_num = font_num + 1
     touni_num = font_num + 2
@@ -354,18 +360,19 @@ def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
         if compress:
             content = zlib.compress(content)
             filt = " /Filter /FlateDecode"
-        objs.append(
+        numbered[3 + 2 * i] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
             f"{font_num} 0 R >> >> >>".encode())
-        objs.append(f"<< /Length {len(content)}{filt} >>\nstream\n"
-                    .encode() + content + b"\nendstream")
+        numbered[4 + 2 * i] = (
+            f"<< /Length {len(content)}{filt} >>\nstream\n".encode()
+            + content + b"\nendstream")
     touni = (f" /ToUnicode {touni_num} 0 R" if tounicode else "")
-    objs.append(
+    numbered[font_num] = (
         f"<< /Type /Font /Subtype /Type0 /BaseFont /SYNTH+Fixture "
         f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R]"
         f"{touni} >>".encode())
-    objs.append(
+    numbered[desc_num] = (
         b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SYNTH+Fixture"
         b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
         b"/Supplement 0 >> /CIDToGIDMap /Identity >>")
@@ -374,20 +381,39 @@ def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
         # CIDs too (TJ-array shows recover them from kerning instead)
         chars = {c for page in pages for ln in page for c in ln}
         cmap = zlib.compress(_cid_tounicode_cmap(chars))
-        objs.append(f"<< /Length {len(cmap)} /Filter /FlateDecode >>"
-                    f"\nstream\n".encode() + cmap + b"\nendstream")
+        numbered[touni_num] = (
+            f"<< /Length {len(cmap)} /Filter /FlateDecode >>"
+            f"\nstream\n".encode() + cmap + b"\nendstream")
+
+    if objstm:
+        packed = ([3 + 2 * i for i in range(n_pages)]
+                  + [font_num, desc_num])
+        bodies = [numbered.pop(n) for n in packed]
+        offs = []
+        pos = 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b) + 1
+        header = " ".join(f"{n} {o}" for n, o in zip(packed, offs))
+        payload = header.encode() + b"\n" + b"\n".join(bodies) + b"\n"
+        first = len(header) + 1
+        blob = zlib.compress(payload)
+        numbered[touni_num + 1] = (
+            f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+            f"/Length {len(blob)} /Filter /FlateDecode >>\nstream\n"
+            .encode() + blob + b"\nendstream")
 
     out = bytearray(b"%PDF-1.5\n")
-    offsets = [0]
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets: dict[int, int] = {}
+    for num in sorted(numbered):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + numbered[num] + b"\nendobj\n"
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += f"xref\n0 1\n".encode()
     out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+    for num in sorted(numbered):
+        out += f"{num} 1\n{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {max(numbered) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
 
@@ -400,11 +426,11 @@ def make_fax_pdf(bitmaps: list["object"],
     """Scanned-document PDF with CCITT Group 4 fax image XObjects —
     what newspaper archives actually emit (G4, not DCT). bitmaps =
     list of 2-D uint8 grayscale arrays (ink black=0); each becomes one
-    full-page 1-bit /CCITTFaxDecode image with /K -1 /DecodeParms.
-    k >= 0 writes a (deliberately unsupported) G3 parm for
-    quarantine-path fixtures; omit_rows drops /Rows (decoder must stop
-    at EOFB)."""
-    from .ccittcodec import g4_encode
+    full-page 1-bit /CCITTFaxDecode image with matching /DecodeParms.
+    k selects the coder for real: k < 0 → G4 (T.6), k = 0 → G3 1-D MH,
+    k > 0 → G3 mixed mode; omit_rows drops /Rows (the G4 decoder must
+    stop at EOFB)."""
+    from .ccittcodec import g3_encode, g4_encode
 
     n_pages = len(bitmaps)
     if text_lines is None:
@@ -420,7 +446,9 @@ def make_fax_pdf(bitmaps: list["object"],
         content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
         if lines:
             content += _content_stream(lines)
-        body = g4_encode(img, black_is_1=black_is_1)
+        body = (g4_encode(img, black_is_1=black_is_1) if k < 0
+                else g3_encode(img, black_is_1=black_is_1, k=k,
+                               eol=(k > 0)))
         rows = "" if omit_rows else f" /Rows {h}"
         parms = (f"/DecodeParms << /K {k} /Columns {w}{rows}"
                  f"{' /BlackIs1 true' if black_is_1 else ''} >>")

@@ -126,8 +126,6 @@ def test_fax_pdf_images_decode_to_png():
     assert len(imgs) == 1 and imgs[0][:4] == b"\x89PNG"
     assert np.array_equal(decode_png(imgs[0]), thr)
     assert "Fax page text layer" in extract_pdf_text(pdf)
-    # G3 parm (K >= 0) is skipped — quarantine-by-omission
-    assert extract_pdf_images(make_fax_pdf([img], k=0)) == []
     # BlackIs1 flips the coded bit sense, not the decoded image
     out = extract_pdf_images(make_fax_pdf([img], black_is_1=True,
                                           omit_rows=True))
@@ -150,3 +148,53 @@ def test_fax_scan_through_pipeline(spark, protos_bc):
     out = extract_pages(df, protos_bc, embedded_images=True).collect()
     assert len(out) == 1 and out[0]["ok"]
     assert out[0]["extracted_text"].lower() == "town gazette says 1890"
+
+
+@pytest.mark.parametrize("eol", [False, True])
+def test_g3_1d_roundtrip(eol):
+    from effocr_spark.synth.ccittcodec import g3_decode, g3_encode
+
+    rng = np.random.RandomState(21)
+    for (h, w, p) in [(1, 1, 0.5), (4, 40, 0.3), (2, 3000, 0.5)]:
+        img = np.where(rng.rand(h, w) < p, np.uint8(0), np.uint8(255))
+        assert np.array_equal(
+            g3_decode(g3_encode(img, eol=eol), w, h), img)
+
+
+def test_g3_mixed_mode_roundtrip():
+    """K > 0: per-line EOL + tag bit, alternating 1-D and 2-D lines
+    (2-D lines reuse the T.6 mode coder against the previous line)."""
+    from effocr_spark.synth.ccittcodec import g3_decode, g3_encode
+
+    rng = np.random.RandomState(22)
+    for (h, w, p) in [(5, 61, 0.4), (6, 130, 0.3), (1, 16, 0.5)]:
+        img = np.where(rng.rand(h, w) < p, np.uint8(0), np.uint8(255))
+        assert np.array_equal(
+            g3_decode(g3_encode(img, k=4), w, h, k=4), img)
+
+
+def test_g3_kat_all_white():
+    """1-D all-white width-8 row is exactly the white-8 code 10011."""
+    from effocr_spark.synth.ccittcodec import g3_encode
+
+    enc = g3_encode(np.full((1, 8), 255, np.uint8))
+    bits = "".join(f"{b:08b}" for b in enc)
+    assert bits.startswith("10011")
+
+
+def test_g3_pdf_images_decode():
+    from effocr_spark.functions.pdftext import extract_pdf_images
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import decode_png
+    from effocr_spark.synth.pdfgen import make_fax_pdf
+
+    img = render_line("old fax line text")[0]
+    thr = np.where(img < 128, np.uint8(0), np.uint8(255))
+    for k in (0, 2):
+        out = extract_pdf_images(make_fax_pdf([img], k=k))
+        assert len(out) == 1 and np.array_equal(decode_png(out[0]), thr)
+    # EncodedByteAlign stays a named seam (skip, text layer flows)
+    pdf = make_fax_pdf([img], k=0).replace(
+        b"/DecodeParms << /K 0",
+        b"/DecodeParms << /EncodedByteAlign true /K 0")
+    assert extract_pdf_images(pdf) == []

@@ -112,3 +112,25 @@ def test_cid_through_pipeline_branch(spark, protos_bc):
     assert out["pdf://cid/ok"]["extracted_text"] == "Modern digital text"
     assert not out["pdf://cid/noto"]["ok"]
     assert "ToUnicode" in out["pdf://cid/noto"]["error"]
+
+
+def test_objstm_packed_fonts_resolve():
+    """Modern-writer layout: page + font + descendant dicts packed in
+    a Flate /ObjStm — invisible to a raw `N G obj` scan — must still
+    resolve through the object-stream expansion."""
+    import re
+
+    pdf = make_cid_pdf([["Packed object stream text", "line two"]],
+                       objstm=True)
+    assert b"/ObjStm" in pdf
+    top = {int(x) for x in re.findall(rb"(\d+)\s+0\s+obj", pdf)}
+    # the font object (5) and page object (3) are NOT top-level
+    assert 3 not in top and 5 not in top
+    assert extract_pdf_text(pdf) == \
+        "Packed object stream text\nline two"
+
+
+def test_objstm_without_tounicode_still_quarantines():
+    with pytest.raises(ValueError, match="ToUnicode"):
+        extract_pdf_text(make_cid_pdf([["opaque"]], tounicode=False,
+                                      objstm=True))

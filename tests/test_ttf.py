@@ -163,3 +163,24 @@ def test_ttc_collection_reads_first_font():
     cps, chars = (sorted(parse_cmap(bytes(buf))),
                   None)
     assert cps == sorted(parse_cmap(font))
+
+
+def test_format13_many_to_one():
+    """cmap format 13 ('last resort' fonts): format-12 group layout,
+    but every char in a group maps to the SAME glyph id."""
+    import struct
+
+    from effocr_spark.functions.ttf import _parse_format13
+
+    groups = [(0x40, 0x42, 7), (0x100, 0x100, 9)]
+    sub = struct.pack(">HHIII", 13, 0, 16 + 12 * len(groups), 0,
+                      len(groups))
+    for s, e, g in groups:
+        sub += struct.pack(">III", s, e, g)
+    assert _parse_format13(sub) == {0x40: 7, 0x41: 7, 0x42: 7,
+                                    0x100: 9}
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_format13(sub[:14])
+    bad = sub[:16] + struct.pack(">III", 5, 2, 1) + sub[28:]
+    with pytest.raises(ValueError, match="start > end"):
+        _parse_format13(bad)
