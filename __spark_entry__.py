@@ -865,6 +865,16 @@ def q_extract_pdf_scanned(spark, sf_dir):
     rows.append(("pdf://fax/g3", None, bytearray(
         make_fax_pdf([fax_imgs[2]], k=0,
                      text_lines=[["G3 layer line"]])), None, "en"))
+    # JBIG2 scans (the other scanned-newspaper encoding): MQ-coded
+    # generic region, plus the /JBIG2Globals two-stream layout
+    from effocr_spark.synth.pdfgen import make_jbig2_pdf
+    jb_imgs = [render_line(_en_ocr_line(_rng(999000, j), 4))[0]
+               for j in range(2)]
+    rows.append(("pdf://jbig2/0", None, bytearray(
+        make_jbig2_pdf([jb_imgs[0]])), None, "en"))
+    rows.append(("pdf://jbig2/glob", None, bytearray(
+        make_jbig2_pdf([jb_imgs[1]], use_globals=True,
+                       text_lines=[["JBIG2 layer line"]])), None, "en"))
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, "
               "lang string")

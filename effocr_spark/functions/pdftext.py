@@ -500,6 +500,7 @@ def extract_pdf_images(data: bytes) -> list[bytes]:
         raise ValueError("not a PDF (missing %PDF- header)")
     streams = (_decrypt_streams(data) if b"/Encrypt" in data
                else _plain_streams(data))
+    by_num = {num: (d, b) for d, b, num in streams if num >= 0}
     out: list[bytes] = []
     for dict_part, body, _num in streams:
         if b"/Subtype" not in dict_part or b"/Image" not in dict_part:
@@ -509,17 +510,41 @@ def extract_pdf_images(data: bytes) -> list[bytes]:
             continue
         names = _NAME_RE.findall(m.group(1))
         if not names or names[-1] not in (b"DCTDecode",
-                                          b"CCITTFaxDecode"):
+                                          b"CCITTFaxDecode",
+                                          b"JBIG2Decode"):
             continue
         try:
             for name in names[:-1]:
                 body = _apply_one(name, body)
             if names[-1] == b"CCITTFaxDecode":
                 body = _ccitt_to_png(dict_part, body)
+            elif names[-1] == b"JBIG2Decode":
+                body = _jbig2_to_png(dict_part, body, by_num)
         except (ValueError, NotImplementedError):
             continue
         out.append(body)
     return out
+
+
+_JBIG2_GLOBALS_RE = re.compile(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R")
+
+
+def _jbig2_to_png(dict_part: bytes, body: bytes,
+                  by_num: dict[int, tuple[bytes, bytes]]) -> bytes:
+    """/JBIG2Decode stream → PNG bytes via the from-scratch T.88 codec
+    (synth/jbig2codec.py: MQ coder + generic regions, MMR via the T.6
+    codec). A /JBIG2Globals stream (shared segments) is resolved and
+    prepended when referenced. Symbol/text/halftone segments raise
+    (caller skips — quarantine-by-omission)."""
+    from ..synth.imgcodec import encode_png
+    from ..synth.jbig2codec import jbig2_decode_embedded
+
+    gdata = None
+    gm = _JBIG2_GLOBALS_RE.search(dict_part)
+    if gm is not None and int(gm.group(1)) in by_num:
+        gd, gb = by_num[int(gm.group(1))]
+        gdata = _apply_filters(gd, gb)
+    return encode_png(jbig2_decode_embedded(body, gdata))
 
 
 def _ccitt_to_png(dict_part: bytes, body: bytes) -> bytes:

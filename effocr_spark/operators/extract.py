@@ -507,12 +507,14 @@ def embedded_png_rows(df: DataFrame) -> DataFrame:
 
 
 def has_pdf_images(html_col):
-    """JVM-side pre-filter for PDFs carrying DCT (JPEG) or CCITT G4
-    (fax — the scanned-newspaper norm) image XObjects. Cheap
-    contains() so the image-explode UDF only sees candidates."""
+    """JVM-side pre-filter for PDFs carrying DCT (JPEG), CCITT fax, or
+    JBIG2 image XObjects — the three encodings scanned documents
+    actually use. Cheap contains() so the image-explode UDF only sees
+    candidates."""
     s = html_col.cast("string")
     return (F.contains(s, F.lit("/DCTDecode"))
-            | F.contains(s, F.lit("/CCITTFaxDecode")))
+            | F.contains(s, F.lit("/CCITTFaxDecode"))
+            | F.contains(s, F.lit("/JBIG2Decode")))
 
 
 def pdf_image_rows(df: DataFrame) -> DataFrame:

@@ -555,3 +555,78 @@ def make_aes256_pdf(pages: list[list[str]],
             f"/Encrypt {enc_num} 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_jbig2_pdf(bitmaps: list["object"],
+                   text_lines: list[list[str]] | None = None,
+                   template: int = 0, tpgdon: bool = False,
+                   mmr: bool = False,
+                   use_globals: bool = False) -> bytes:
+    """Scanned-document PDF with JBIG2 image XObjects (the OTHER
+    encoding newspaper archives emit beside G4 fax). bitmaps = 2-D
+    uint8 grayscale arrays (ink black = 0); each becomes one full-page
+    /JBIG2Decode image (embedded organization: page info + immediate
+    lossless generic region + end of page). use_globals moves the
+    page-info segment into a shared /JBIG2Globals stream referenced
+    from /DecodeParms — the two-stream layout PDF writers use for
+    multi-page symbol reuse."""
+    from .jbig2codec import jbig2_encode_embedded, parse_segments
+
+    n_pages = len(bitmaps)
+    if text_lines is None:
+        text_lines = [[] for _ in range(n_pages)]
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 3 * n_pages
+    glob_num = font_num + 1
+    glob_payload = b""
+    for i, (img, lines) in enumerate(zip(bitmaps, text_lines)):
+        h, w = img.shape
+        content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
+        if lines:
+            content += _content_stream(lines)
+        body = jbig2_encode_embedded(img, template=template,
+                                     tpgdon=tpgdon, mmr=mmr)
+        parms = ""
+        if use_globals:
+            # split: first segment (page info) → the globals stream
+            segs = parse_segments(body)
+            first_len = len(body) - sum(
+                len(p) + 11 for _t, _pg, p in segs[1:])
+            glob_payload = body[:first_len]
+            body = body[first_len:]
+            parms = f" /DecodeParms << /JBIG2Globals {glob_num} 0 R >>"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Contents {4 + 3 * i} 0 R /Resources << /XObject "
+            f"<< /Im0 {5 + 3 * i} 0 R >> /Font << /F1 {font_num} 0 R >> "
+            f">> >>".encode())
+        objs.append(f"<< /Length {len(content)} >>\nstream\n".encode()
+                    + content + b"\nendstream")
+        objs.append(
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Filter /JBIG2Decode{parms} "
+            f"/Length {len(body)} >>\nstream\n".encode()
+            + body + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if use_globals:
+        objs.append(f"<< /Length {len(glob_payload)} >>\nstream\n"
+                    .encode() + glob_payload + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

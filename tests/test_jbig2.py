@@ -1,0 +1,142 @@
+"""JBIG2 (T.88) generic-region codec + scanned-PDF integration.
+
+No external JBIG2 oracle ships in this container; correctness rests on
+the same three legs as the CCITT codec: structural pins of the
+published MQ probability table, adversarial MQ encode→decode
+roundtrips (incl. 0xFF bit-stuffing and heavily skewed streams), and
+generic-region/segment roundtrips across every option axis (templates
+0-3, TPGDON, AT pixels, MMR, /JBIG2Globals)."""
+
+import numpy as np
+import pytest
+
+from effocr_spark.synth.jbig2codec import (_QE, MQDecoder, MQEncoder,
+                                           generic_region_decode,
+                                           generic_region_encode,
+                                           jbig2_decode_embedded,
+                                           jbig2_encode_embedded,
+                                           parse_segments)
+
+
+def test_qe_table_structure():
+    """T.88 Table E.1 pins: 47 states; spot values; all transitions in
+    range; terminal state 46 self-loops; Qe bounded by 0x5601."""
+    assert len(_QE) == 47
+    assert _QE[0] == (0x5601, 1, 1, 1)
+    assert _QE[45] == (0x0001, 45, 43, 0)
+    assert _QE[46] == (0x5601, 46, 46, 0)
+    assert _QE[13][0] == 0x1601 and _QE[29][0] == 0x1101
+    for qe, nmps, nlps, switch in _QE:
+        assert 1 <= qe <= 0x5601
+        assert 0 <= nmps < 47 and 0 <= nlps < 47
+        assert switch in (0, 1)
+    # exactly the four switch states the spec defines
+    assert [i for i, s in enumerate(_QE) if s[3]] == [0, 6, 14]
+
+
+@pytest.mark.parametrize("skew", [0.02, 0.5, 0.98])
+def test_mq_roundtrip(skew):
+    rng = np.random.RandomState(int(skew * 100))
+    for _ in range(8):
+        n = rng.randint(1, 3000)
+        ncx = rng.randint(1, 64)
+        bits = (rng.rand(n) < skew).astype(np.int64)
+        cxs = rng.randint(0, ncx, n)
+        icx = np.zeros(ncx, np.int64)
+        mps = np.zeros(ncx, np.int64)
+        enc = MQEncoder()
+        for b, c in zip(bits, cxs):
+            enc.encode(icx, mps, int(c), int(b))
+        data = enc.flush()
+        icx2 = np.zeros(ncx, np.int64)
+        mps2 = np.zeros(ncx, np.int64)
+        dec = MQDecoder(data)
+        out = [dec.decode(icx2, mps2, int(c)) for c in cxs]
+        assert out == bits.tolist()
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_generic_region_roundtrip(template, tpgdon):
+    rng = np.random.RandomState(template * 10 + tpgdon)
+    for (h, w, p) in [(1, 1, 0.5), (6, 40, 0.3), (5, 128, 0.1)]:
+        bm = (rng.rand(h, w) < p).astype(np.uint8)
+        enc = generic_region_encode(bm, template, tpgdon)
+        assert np.array_equal(
+            generic_region_decode(enc, w, h, template, tpgdon), bm)
+
+
+def test_generic_region_custom_at_and_tpgdon_copy():
+    rng = np.random.RandomState(7)
+    bm = (rng.rand(9, 50) < 0.4).astype(np.uint8)
+    at = [(1, -1), (-1, -1), (1, -2), (-1, -2)]
+    enc = generic_region_encode(bm, 0, False, at)
+    assert np.array_equal(
+        generic_region_decode(enc, 50, 9, 0, False, at), bm)
+    # repeated rows drive the TPGDON copy path
+    bm2 = np.tile((rng.rand(1, 60) < 0.3).astype(np.uint8), (8, 1))
+    enc2 = generic_region_encode(bm2, 0, True)
+    assert np.array_equal(
+        generic_region_decode(enc2, 60, 8, 0, True), bm2)
+    assert len(enc2) < len(generic_region_encode(bm2, 0, False))
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(template=2),
+                                dict(tpgdon=True), dict(mmr=True)])
+def test_embedded_stream_roundtrip(kw):
+    from effocr_spark.synth.font import render_line
+
+    img = render_line("jbig two line text")[0]
+    thr = np.where(img < 128, np.uint8(0), np.uint8(255))
+    assert np.array_equal(
+        jbig2_decode_embedded(jbig2_encode_embedded(img, **kw)), thr)
+
+
+def test_segment_parse_and_seams():
+    from effocr_spark.synth.font import render_line
+
+    img = render_line("seg")[0]
+    data = jbig2_encode_embedded(img)
+    segs = parse_segments(data)
+    assert [t for t, _p, _b in segs] == [48, 39, 49]
+    # unsupported segment type (text region = 4) raises a named seam
+    bad = data[:4] + bytes([(data[4] & 0xC0) | 4]) + data[5:]
+    with pytest.raises(NotImplementedError, match="segment type 4"):
+        jbig2_decode_embedded(bad)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_segments(data[:5])
+
+
+def test_jbig2_pdf_images_decode_to_png():
+    from effocr_spark.functions.pdftext import (extract_pdf_images,
+                                                extract_pdf_text)
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import decode_png
+    from effocr_spark.synth.pdfgen import make_jbig2_pdf
+
+    img = render_line("jbig scanned line")[0]
+    thr = np.where(img < 128, np.uint8(0), np.uint8(255))
+    for kw in [dict(), dict(mmr=True), dict(use_globals=True)]:
+        pdf = make_jbig2_pdf([img], text_lines=[["Layer text"]], **kw)
+        out = extract_pdf_images(pdf)
+        assert len(out) == 1 and out[0][:4] == b"\x89PNG", kw
+        assert np.array_equal(decode_png(out[0]), thr), kw
+        assert "Layer text" in extract_pdf_text(pdf)
+
+
+def test_jbig2_scan_through_pipeline(spark, protos_bc):
+    """End-to-end: a no-text-layer JBIG2 PDF OCRs through the same
+    branch as DCT/CCITT scans and fuses per url."""
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.pdfgen import make_jbig2_pdf
+
+    img = render_line("daily herald june 1902")[0]
+    df = spark.createDataFrame(
+        [("pdf://jbig2/e2e", None,
+          bytearray(make_jbig2_pdf([img])), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = extract_pages(df, protos_bc, embedded_images=True).collect()
+    assert len(out) == 1 and out[0]["ok"]
+    assert out[0]["extracted_text"].lower() == "daily herald june 1902"
