@@ -803,6 +803,11 @@ def q_extract_pdf(spark, sf_dir):
         [["literal cid string show"]], literal_show=True)), None, "en"))
     pdf_rows.append(("pdf://cid/noto", None, bytearray(make_cid_pdf(
         [["opaque"]], tounicode=False)), None, "en"))
+    # the realistic modern shape: AES-128-encrypted Identity-H CID
+    # document (ToUnicode CMap stream itself encrypted)
+    from effocr_spark.synth.pdfgen import encrypt_pdf
+    pdf_rows.append(("pdf://enc/cid", None, bytearray(encrypt_pdf(
+        make_cid_pdf([["Encrypted CID document"]]), r=4)), None, "en"))
     extra = spark.createDataFrame(
         pdf_rows,
         "url string, warc_ts timestamp, html binary, text string, lang string")

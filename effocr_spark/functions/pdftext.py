@@ -149,6 +149,16 @@ def _stream_text(body: bytes, fonts: dict | None = None,
             lines[-1].append("".join(
                 cmap.get((raw[k] << 8) | raw[k + 1], "�")
                 for k in range(0, len(raw) - 1, 2)))
+        elif f.get("map") or f.get("diffs"):
+            # simple font with /ToUnicode and/or /Differences: subset
+            # fonts remap byte codes arbitrarily — latin-1 would
+            # silently garble them. Per byte: ToUnicode wins, then
+            # Differences, then the latin-1 base encoding.
+            cmap = f.get("map") or {}
+            diffs = f.get("diffs") or {}
+            lines[-1].append("".join(
+                cmap.get(b_) or diffs.get(b_) or chr(b_)
+                for b_ in raw))
         else:
             lines[-1].append(raw.decode("latin-1"))
 
@@ -186,6 +196,96 @@ def _stream_text(body: bytes, fonts: dict | None = None,
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _TOUNI_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _FONT_BIND_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+\d+\s+R")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_DIFFS_RE = re.compile(rb"/Differences\s*\[((?:[^\[\]])*)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/<>()\[\]]+)")
+
+# Adobe Glyph List subset: the names real simple-font /Differences
+# arrays use (TeX and subset-font output). Letters/digits resolve by
+# rule below; uniXXXX parses numerically; anything else → U+FFFD
+# (countable, never silent).
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9",
+    "fi": "fi", "fl": "fl", "ff": "ff", "ffi": "ffi", "ffl": "ffl",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "section": "§",
+    "paragraph": "¶", "cent": "¢", "sterling": "£",
+    "yen": "¥", "Euro": "€", "currency": "¤",
+    "copyright": "©", "registered": "®",
+    "trademark": "™", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "exclamdown": "¡", "questiondown": "¿",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oe": "œ", "OE": "Œ", "oslash": "ø",
+    "Oslash": "Ø", "aring": "å", "Aring": "Å",
+    "ccedilla": "ç", "Ccedilla": "Ç",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "edieresis": "ë", "aacute": "á", "agrave": "à",
+    "acircumflex": "â", "adieresis": "ä",
+    "atilde": "ã", "iacute": "í", "igrave": "ì",
+    "icircumflex": "î", "idieresis": "ï",
+    "oacute": "ó", "ograve": "ò", "ocircumflex": "ô",
+    "odieresis": "ö", "otilde": "õ", "uacute": "ú",
+    "ugrave": "ù", "ucircumflex": "û",
+    "udieresis": "ü", "ntilde": "ñ", "yacute": "ý",
+    "ydieresis": "ÿ", "Eacute": "É", "Agrave": "À",
+    "Adieresis": "Ä", "Odieresis": "Ö",
+    "Udieresis": "Ü", "Ntilde": "Ñ", "eth": "ð",
+    "thorn": "þ", "Thorn": "Þ", "mu": "µ",
+    "minus": "−", "fraction": "⁄", "florin": "ƒ",
+    "circumflex": "ˆ", "tilde": "˜", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "cedilla": "¸",
+    "hungarumlaut": "˝", "ogonek": "˛", "caron": "ˇ",
+    "macron": "¯", "brokenbar": "¦", "dotlessi": "ı",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+}
+
+
+def _glyph_name_to_char(name: str) -> str:
+    if len(name) == 1 and ("a" <= name <= "z" or "A" <= name <= "Z"):
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            pass
+    return "�"
+
+
+def _parse_differences(enc_seg: bytes) -> dict[int, str]:
+    """/Encoding /Differences array → {byte code: unicode char}. The
+    array alternates ints (next code) and glyph names (consecutive
+    codes from there)."""
+    dm = _DIFFS_RE.search(enc_seg)
+    if dm is None:
+        return {}
+    out: dict[int, str] = {}
+    code = 0
+    for num, name in _DIFF_TOK_RE.findall(dm.group(1)):
+        if num:
+            code = int(num)
+        else:
+            out[code] = _glyph_name_to_char(name.decode("latin-1"))
+            code += 1
+    return out
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -338,7 +438,20 @@ def _font_registry(data: bytes,
                 cmap = _parse_tounicode(_apply_filters(d, b))
             except (ValueError, NotImplementedError):
                 cmap = None
-        fonts[name] = {"cid": cid, "map": cmap}
+        # simple-font /Encoding /Differences (inline dict or indirect
+        # object): byte code → glyph name → unicode
+        diffs: dict[int, str] = {}
+        if not cid:
+            em = re.search(rb"/Encoding\s*<<", body)
+            if em is not None:
+                diffs = _parse_differences(
+                    _balanced_dict(body, em.end() - 2))
+            else:
+                erm = _ENC_REF_RE.search(body)
+                if erm is not None and int(erm.group(1)) in objects:
+                    diffs = _parse_differences(
+                        objects[int(erm.group(1))])
+        fonts[name] = {"cid": cid, "map": cmap, "diffs": diffs}
     return fonts
 
 

@@ -630,3 +630,125 @@ def make_jbig2_pdf(bitmaps: list["object"],
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def encrypt_pdf(pdf: bytes, r: int = 4,
+                owner_pw: bytes = b"owner-secret",
+                permissions: int = -44) -> bytes:
+    """Post-hoc encryptor: take ANY fixture PDF and produce the
+    standard-security-handler encrypted equivalent (empty user
+    password) — r = 2/3 RC4, 4 AES-128 /AESV2, 6 AES-256 /AESV3.
+    Every stream body is encrypted in place (per-object keys for
+    r ≤ 4, the file key for r = 6) and /Length corrected; the
+    /Encrypt dictionary and /ID land in the trailer. Lets every
+    fixture shape (CID + ToUnicode, ObjStm, CCITT, JBIG2) be
+    exercised under encryption without a bespoke writer each."""
+    import hashlib
+    import re as _re
+
+    from ..functions.aescipher import cbc_encrypt, cbc_encrypt_nopad
+    from ..functions.pdftext import (_OBJ_RE, _PDF_PAD, _STREAM_RE,
+                                     _hash_2b, _object_key, _rc4,
+                                     _std_key)
+
+    id0 = hashlib.md5(pdf).digest()
+    if r == 6:
+        seed = hashlib.sha256(pdf).digest()
+        vsalt, ksalt = seed[:8], seed[8:16]
+        file_key = hashlib.sha256(seed + b"filekey").digest()
+        u_val = _hash_2b(b"", vsalt, b"", 6) + vsalt + ksalt
+        ue_val = cbc_encrypt_nopad(_hash_2b(b"", ksalt, b"", 6),
+                                   b"\x00" * 16, file_key)
+        ovs, oks = seed[16:24], seed[24:32]
+        o_val = _hash_2b(owner_pw, ovs, u_val, 6) + ovs + oks
+        oe_val = cbc_encrypt_nopad(_hash_2b(owner_pw, oks, u_val, 6),
+                                   b"\x00" * 16, file_key)
+        perms_blk = ((permissions & 0xFFFFFFFF).to_bytes(4, "little")
+                     + b"\xff" * 4 + b"Tadb" + seed[:4])
+        perms_hex = cbc_encrypt_nopad(file_key, bytes(16),
+                                      perms_blk).hex()
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            f"/StmF /StdCF /StrF /StdCF /P {permissions} "
+            f"/U <{u_val.hex()}> /UE <{ue_val.hex()}> "
+            f"/O <{o_val.hex()}> /OE <{oe_val.hex()}> "
+            f"/Perms <{perms_hex}> >>"
+        ).encode()
+    else:
+        key_len = 5 if r == 2 else 16
+        padded_user = _PDF_PAD
+        if r == 2:
+            o_key = hashlib.md5((owner_pw + _PDF_PAD)[:32]).digest()[:5]
+            o_val = _rc4(o_key, padded_user)
+        else:
+            d = hashlib.md5((owner_pw + _PDF_PAD)[:32]).digest()
+            for _ in range(50):
+                d = hashlib.md5(d).digest()
+            o_key = d[:key_len]
+            t = _rc4(o_key, padded_user)
+            for i in range(1, 20):
+                t = _rc4(bytes(b ^ i for b in o_key), t)
+            o_val = t
+        key = _std_key(b"", o_val, permissions, id0, r, key_len)
+        if r == 2:
+            u_val = _rc4(key, _PDF_PAD)
+        else:
+            x = hashlib.md5(_PDF_PAD + id0).digest()
+            t = _rc4(key, x)
+            for i in range(1, 20):
+                t = _rc4(bytes(b ^ i for b in key), t)
+            u_val = t + b"\x00" * 16
+        if r == 4:
+            enc_dict = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length {key_len * 8} "
+                f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                f"/StmF /StdCF /StrF /StdCF /P {permissions} "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>").encode()
+        else:
+            enc_dict = (
+                f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+                f"/Length {key_len * 8} /P {permissions} "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>").encode()
+
+    header_end = pdf.find(b"\n") + 1
+    objs: list[tuple[int, bytes]] = []
+    max_num = 0
+    for om in _OBJ_RE.finditer(pdf):
+        num, body = int(om.group(1)), om.group(3)
+        max_num = max(max_num, num)
+        sm = _STREAM_RE.search(body)
+        if sm is not None:
+            sbody = sm.group(2)
+            if r == 6:
+                iv = hashlib.md5(b"iv%d" % num).digest()
+                enc = iv + cbc_encrypt(file_key, iv, sbody)
+            elif r == 4:
+                iv = hashlib.md5(b"iv%d" % num).digest()
+                enc = iv + cbc_encrypt(
+                    _object_key(key, num, 0, aes=True), iv, sbody)
+            else:
+                enc = _rc4(_object_key(key, num, 0), sbody)
+            dict_part = _re.sub(
+                rb"/Length\s+\d+",
+                b"/Length " + str(len(enc)).encode(),
+                sm.group(1), count=1)
+            body = (body[: sm.start()] + b"<<" + dict_part
+                    + b">>\nstream\n" + enc + b"\nendstream")
+        objs.append((num, body.strip()))
+    enc_num = max_num + 1
+    objs.append((enc_num, enc_dict))
+
+    out = bytearray(pdf[:header_end])
+    offsets: dict[int, int] = {}
+    for num, body in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for num in sorted(offsets):
+        out += f"{num} 1\n{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {enc_num + 1} /Root 1 0 R "
+            f"/Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+            f" >>\nstartxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

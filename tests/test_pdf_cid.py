@@ -134,3 +134,84 @@ def test_objstm_without_tounicode_still_quarantines():
     with pytest.raises(ValueError, match="ToUnicode"):
         extract_pdf_text(make_cid_pdf([["opaque"]], tounicode=False,
                                       objstm=True))
+
+
+def test_simple_font_differences_encoding():
+    """TeX-style simple font: /Encoding /Differences remaps byte
+    codes to glyph names (ligatures, quotes); codes outside the array
+    keep the base encoding."""
+    pdf = make_pdf([["placeholder"]], compress=False)
+    pdf = pdf.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /SYNTH+T1 "
+        b"/Encoding << /Differences [ 1 /fi /quoteright 10 /emdash ] "
+        b">> >>")
+    # bytes: \001 = fi, \002 = ', \012 = em-dash, rest latin-1 base
+    pdf = pdf.replace(b"(placeholder) Tj",
+                      b"(It\002s \001ne \012 ok) Tj")
+    from effocr_spark.functions.pdftext import extract_pdf_text as x
+    assert x(pdf) == "It’s fine — ok"
+
+
+def test_simple_font_tounicode_overrides_bytes():
+    """Subset simple fonts remap byte codes arbitrarily; a /ToUnicode
+    CMap on a SIMPLE font must drive decoding (latin-1 would garble),
+    with unmapped bytes falling back to the base encoding."""
+    import zlib as _z
+
+    cmap_body = (b"2 beginbfchar\n<01> <0048>\n<02> <0069>\n"
+                 b"endbfchar")
+    blob = _z.compress(cmap_body)
+    pdf = make_pdf([["placeholder"]], compress=False)
+    pdf = pdf.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /SYNTH+TT "
+        b"/ToUnicode 6 0 R >>")
+    # append the ToUnicode stream as object 6 (parser ignores xref)
+    pdf = pdf.replace(
+        b"xref",
+        b"6 0 obj\n<< /Length " + str(len(blob)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + blob
+        + b"\nendstream\nendobj\nxref", 1)
+    pdf = pdf.replace(b"(placeholder) Tj", b"(\001\002!) Tj")
+    from effocr_spark.functions.pdftext import extract_pdf_text as x
+    assert x(pdf) == "Hi!"
+
+
+def test_glyph_name_resolution():
+    from effocr_spark.functions.pdftext import _glyph_name_to_char
+
+    assert _glyph_name_to_char("a") == "a"
+    assert _glyph_name_to_char("quoteright") == "’"
+    assert _glyph_name_to_char("uni0041") == "A"
+    assert _glyph_name_to_char("g123") == "�"  # unmappable, countable
+
+
+def test_encryption_cross_feature_matrix():
+    """Post-hoc encryptor x every fixture shape: encrypted CID
+    (ToUnicode CMap stream itself encrypted), encrypted ObjStm,
+    encrypted CCITT and JBIG2 scans — the combinations real modern
+    PDFs actually ship."""
+    import numpy as np
+
+    from effocr_spark.functions.pdftext import (extract_pdf_images,
+                                                extract_pdf_text)
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import decode_png
+    from effocr_spark.synth.pdfgen import (encrypt_pdf, make_fax_pdf,
+                                           make_jbig2_pdf)
+
+    for r in (2, 3, 4, 6):
+        assert extract_pdf_text(encrypt_pdf(
+            make_cid_pdf([["Enc CID text line"]]), r=r)) == \
+            "Enc CID text line"
+        assert extract_pdf_text(encrypt_pdf(
+            make_cid_pdf([["Enc packed text"]], objstm=True),
+            r=r)) == "Enc packed text"
+    img = render_line("enc fax scan")[0]
+    thr = np.where(img < 128, np.uint8(0), np.uint8(255))
+    for r in (4, 6):
+        for mk in (make_fax_pdf, make_jbig2_pdf):
+            out = extract_pdf_images(encrypt_pdf(mk([img]), r=r))
+            assert len(out) == 1
+            assert np.array_equal(decode_png(out[0]), thr)
