@@ -34,6 +34,7 @@ def stream_extract(
     salt_partitions: int | None = None,
     encoder_artifact: str | None = None,
     word_silver: float | None = None,
+    embedded_images: bool = False,
 ):
     """Incremental extraction: parquet file stream → three-way routed
     extract (same branches as the batch pipeline: PNG/JPEG→ocr,
@@ -41,24 +42,45 @@ def stream_extract(
     started query (caller awaits termination; AvailableNow stops when
     caught up).
 
-    Parity boundary vs the batch pipeline (extract_pages): the same
-    three-way routing and branch operators, plus the same optional
-    salted repartition before the OCR stage (a stateless repartition is
-    legal in streaming — it only reshuffles within the micro-batch;
-    host-skewed page files arriving in one trigger get spread the same
-    way the batch path spreads them). Embedded-image fusion is batch-
-    only: it re-groups by url, which in streaming would need its own
-    watermarked stateful aggregate for no reference-parity gain (the
-    reference is batch-only, SURVEY.md §2.9). The serialized-encoder
-    artifact and the word-silver stream ARE available here — they are
-    row-local (per-executor singleton load + in-UDF merge), so the
-    batch and streaming OCR stages stay configuration-identical."""
+    Parity vs the batch pipeline (extract_pages): the same three-way
+    routing and branch operators, plus the same optional salted
+    repartition before the OCR stage (a stateless repartition is legal
+    in streaming — it only reshuffles within the micro-batch).
+    embedded_images=True runs the FULL batch pipeline per micro-batch
+    via foreachBatch: the fusion's per-url groupBy+join only ever
+    touches rows DERIVED from that batch's own pages, so batch-local
+    execution is semantically exact (no cross-batch state, no
+    watermark needed); each micro-batch lands in its own
+    batch_id=<n> partition with overwrite, making retries idempotent
+    (foreachBatch is at-least-once; the per-batch overwrite restores
+    exactly-once at the sink). The serialized-encoder artifact and the
+    word-silver stream are row-local (per-executor singleton load +
+    in-UDF merge), so batch and streaming OCR stages stay
+    configuration-identical."""
     reader = (
         spark.readStream.schema(PAGES_DDL).format("parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.load(pages_dir)
+
+    if embedded_images:
+        from .pipeline import extract_pages
+
+        def _process(batch_df, batch_id: int) -> None:
+            out = extract_pages(
+                batch_df, protos_bc, salt_partitions=salt_partitions,
+                embedded_images=True, encoder_artifact=encoder_artifact,
+                word_silver=word_silver)
+            out.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}")
+
+        return (
+            pages.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     image_rows = pages.filter(is_image_page(F.col("html")))
     if salt_partitions:

@@ -127,3 +127,59 @@ def test_stream_extract_word_silver_matches_batch(spark, tmp_path):
     assert got == exp
     # and silver actually fired (damaged glyph restored)
     assert got["s://0"][0] == "the quick brown fox"
+
+
+def test_stream_extract_embedded_fusion_matches_batch(spark, protos_bc,
+                                                      tmp_path):
+    """embedded_images=True in streaming (foreachBatch running the
+    full batch pipeline per micro-batch) produces exactly the batch
+    pipeline's fused output — the fusion is batch-local by
+    construction (derived rows never cross micro-batches)."""
+    import base64
+
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import encode_png
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _uri(text):
+        png = encode_png(render_line(text)[0])
+        return "data:image/png;base64," + base64.b64encode(png).decode()
+
+    rows = [
+        ("u1", None, bytearray(
+            f"<html><body><div id='m'><p>Body one</p>"
+            f"<img src=\"{_uri('farm house print line')}\"></div>"
+            f"</body></html>".encode()), None, "en"),
+        ("u2", None, bytearray(
+            b"<html><body><div id='m'><p>Plain body</p></div>"
+            b"</body></html>"), None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, streaming.PAGES_DDL)
+    pages.write.mode("overwrite").parquet(pages_dir)
+
+    q = streaming.stream_extract(spark, pages_dir, out_dir, ckpt,
+                                 protos_bc, embedded_images=True)
+    q.awaitTermination(300)
+    got = {r["url"]: (r["extracted_text"], r["branch"])
+           for r in spark.read.parquet(out_dir).collect()}
+    batch = pipeline.extract_pages(spark.read.parquet(pages_dir),
+                                   protos_bc, embedded_images=True)
+    exp = {r["url"]: (r["extracted_text"], r["branch"])
+           for r in batch.collect()}
+    assert got == exp
+    assert "farm house print line" in got["u1"][0].lower()
+
+    # incremental: a new file is picked up into its own batch dir
+    extra = spark.createDataFrame(
+        [("u3", None, bytearray(
+            b"<html><body><div id='m'><p>Late page</p></div>"
+            b"</body></html>"), None, "en")], streaming.PAGES_DDL)
+    extra.write.mode("append").parquet(pages_dir)
+    q2 = streaming.stream_extract(spark, pages_dir, out_dir, ckpt,
+                                  protos_bc, embedded_images=True)
+    q2.awaitTermination(300)
+    got2 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"u1", "u2", "u3"}
