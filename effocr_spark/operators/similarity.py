@@ -279,3 +279,51 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
     return (cand.select(F.col(id_col), F.col("cell"),
                         cosine(F.col(vec_col), q).alias("score"))
             .orderBy(F.desc("score"), F.col(id_col)).limit(k))
+
+
+def ivf_materialize(df: DataFrame, vec_col: str, id_col: str,
+                    path: str, n_cells: int = 8, refine: int = 0,
+                    ) -> DataFrame:
+    """Materialize the IVF index as a cell-partitioned parquet table
+    (path/cell=<c>/...) plus its centroid sidecar (path/_centroids) —
+    the 100 TB layout where the probe filter becomes PARTITION
+    PRUNING: a query scans nprobe/n_cells of the FILES before any
+    vector math runs. This turns the plan-shape claim in ivf_topk's
+    docstring into an actual on-disk layout (pinned in tests via
+    PartitionFilters in the scan node). Assignment is the one
+    n_vectors-row shuffle; the centroid sidecar is n_cells rows."""
+    cents = ivf_centroids(df, vec_col, id_col, n_cells, refine)
+    assign = _assign_to(df, vec_col, id_col, cents)
+    (df.join(assign.select(id_col, "cell"), id_col)
+       .write.mode("overwrite").partitionBy("cell").parquet(path))
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
+    spark = df.sparkSession
+    return spark.read.parquet(path)
+
+
+def ivf_topk_pruned(spark, path: str, vec_col: str, id_col: str,
+                    query_vec, k: int = 5, nprobe: int = 2
+                    ) -> DataFrame:
+    """IVF query over a materialized cell-partitioned index: rank the
+    sidecar centroids (driver-side, n_cells rows), then scan ONLY the
+    probed cells via an IN filter on the partition column — Catalyst
+    turns it into PartitionFilters, so unprobed cells' files are never
+    opened. Same result contract as ivf_topk at equal centroids."""
+    import numpy as np
+
+    q = _vec_lit(query_vec)
+    cents = spark.read.parquet(path + "/_centroids").collect()
+    qv = np.asarray(query_vec, np.float64)
+    qv /= max(float(np.linalg.norm(qv)), 1e-12)
+
+    def _score(c):
+        v = np.asarray(c["centroid"], np.float64)
+        return float(v @ qv / max(float(np.linalg.norm(v)), 1e-12))
+
+    probed = [c["cell"] for c in sorted(
+        cents, key=lambda c: (-_score(c), c["cell"]))[:nprobe]]
+    idx = spark.read.parquet(path)
+    cand = idx.filter(F.col("cell").isin(probed))
+    return (cand.select(F.col(id_col), F.col("cell"),
+                        cosine(F.col(vec_col), q).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col)).limit(k))

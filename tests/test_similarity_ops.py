@@ -258,3 +258,36 @@ def test_ivf_lloyd_refinement(spark, emb_df, vecs):
     brute = cosine_topk(emb_df, "embedding", "vec_id", q, k=5)
     assert [r["vec_id"] for r in full.collect()] == \
         [r["vec_id"] for r in brute.collect()]
+
+
+def test_ivf_materialized_partition_pruning(spark, tmp_path):
+    """The 100 TB IVF layout for real: cell-partitioned parquet +
+    centroid sidecar. The pruned query must (a) match ivf_topk's
+    results at equal centroids, and (b) show the probed-cell filter as
+    PartitionFilters in the scan — unprobed cells' files are never
+    opened."""
+    from pyspark.sql import functions as F
+
+    from effocr_spark.operators.similarity import (ivf_materialize,
+                                                   ivf_topk,
+                                                   ivf_topk_pruned)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    path = str(tmp_path / "ivf_index")
+    ivf_materialize(emb, "embedding", "vec_id", path, n_cells=8)
+
+    pruned = ivf_topk_pruned(spark, path, "embedding", "vec_id", qvec,
+                             k=5, nprobe=2)
+    direct = ivf_topk(emb, "embedding", "vec_id", qvec, k=5, nprobe=2,
+                      n_cells=8)
+    assert [(r["vec_id"], r["cell"]) for r in pruned.collect()] == \
+        [(r["vec_id"], r["cell"]) for r in direct.collect()]
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the scan's partition filter carries the probed cells, i.e. the
+    # filter reached the FILE level, not a post-scan Filter node
+    assert "cell IN" in plan.replace("#", " ").split(
+        "PartitionFilters")[1][:200] or "cell" in plan.split(
+        "PartitionFilters")[1][:120]
