@@ -880,6 +880,12 @@ def q_extract_pdf_scanned(spark, sf_dir):
     rows.append(("pdf://jbig2/glob", None, bytearray(
         make_jbig2_pdf([jb_imgs[1]], use_globals=True,
                        text_lines=[["JBIG2 layer line"]])), None, "en"))
+    # symbol-coded JBIG2 (symbol dictionary + text region — how real
+    # scanner encoders compress text pages)
+    symtxt = _en_ocr_line(_rng(999100, 0), 4)
+    rows.append(("pdf://jbig2/sym", None, bytearray(
+        make_jbig2_pdf([render_line(symtxt)[0]],
+                       symbol_text=symtxt)), None, "en"))
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, "
               "lang string")

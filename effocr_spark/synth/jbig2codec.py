@@ -2,16 +2,16 @@
 
 Scanned-document PDFs carry two bilevel encodings in practice: CCITT
 G4 (synth/ccittcodec.py) and JBIG2. This implements the JBIG2 subset
-those images need on the DECODE side — the embedded-stream segment
+scanned pages need on the DECODE side — the embedded-stream segment
 organization PDF's /JBIG2Decode uses (no file header), page
-information segments, and immediate (lossless) generic region
-segments coded with the MQ arithmetic coder over templates 0-3 with
-optional TPGDON typical-prediction — plus a matching encoder for
-fixture generation. Symbol dictionaries / text regions / halftone
-regions / refinement (the compression-ratio features) are declared
-seams: a generic-region-only stream is what image-oriented encoders
-emit, and anything using the unimplemented segment types raises so
-the caller quarantines.
+information segments, immediate (lossless) generic regions (MQ coder,
+templates 0-3, TPGDON, AT pixels; MMR via the T.6 codec), AND the
+symbol-coded path text pages actually ship: arithmetic symbol
+dictionaries + text regions (Annex A integer decoding procedures,
+height classes, strip placement) — plus matching encoders for fixture
+generation. Huffman-coded variants, refinement coding, and halftone
+regions are declared seams: anything using them raises so the caller
+quarantines.
 
 Correctness strategy mirrors ccittcodec.py: the encoder and decoder
 are independent walks of the published algorithm; tests pin (a) the
@@ -184,22 +184,26 @@ class MQEncoder:
                 break
 
     def flush(self) -> bytes:
-        # SETBITS
-        tempc = self.c + self.a - 1
-        tempc &= 0xFFFF0000
-        if tempc < self.c:
-            tempc += 0x8000
-        self.c = tempc
+        # SETBITS: drive the low 16 code bits to ONES — the decoder
+        # pads past-the-end input with 1-bits, so the final code value
+        # must look like that padding; clamp back into [C, C+A) when
+        # the ones overshoot the interval top
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
         self.c = (self.c << self.ct) & 0xFFFFFFFF
         self._byteout()
         self.c = (self.c << self.ct) & 0xFFFFFFFF
         self._byteout()
-        body = self.b[1:] if self.b[0] == 0 else self.b
-        # spec: discard trailing 0xFF bytes, then append the optional
-        # 0xFF 0xAC marker
-        while body and body[-1] == 0xFF:
-            body = body[:-1]
-        return bytes(body) + b"\xff\xac"
+        body = list(self.b[1:] if self.b[0] == 0 else self.b)
+        # spec FLUSH tail: ensure the stream ends FF AC — a final DATA
+        # byte of 0xFF doubles as the marker prefix (it still carries
+        # flushed code bits; never strip it)
+        if not body or body[-1] != 0xFF:
+            body.append(0xFF)
+        body.append(0xAC)
+        return bytes(body)
 
 
 # ------------------------------- generic region coding (spec 6.2.5)
@@ -312,6 +316,10 @@ def generic_region_encode(bm: np.ndarray, template: int = 0,
 # --------------------------- embedded-stream segments (spec 7.2-7.4)
 
 _SEG_PAGE_INFO = 48
+_SEG_SYMBOL_DICT = 0
+_SEG_IMM_TEXT = 6
+_SEG_IMM_LOSSLESS_TEXT = 7
+_SEG_INTERMEDIATE_TEXT = 4
 _SEG_IMM_GENERIC = 38
 _SEG_IMM_LOSSLESS_GENERIC = 39
 _SEG_INTERMEDIATE_GENERIC = 36
@@ -371,16 +379,22 @@ def jbig2_decode_embedded(data: bytes,
     """PDF /JBIG2Decode stream → uint8 grayscale page (ink black = 0,
     background white = 255), same output contract as the CCITT codec.
 
-    Supports the image-oriented subset: page information + immediate
-    (lossless) generic regions, MQ-coded (templates 0-3, TPGDON, AT
-    pixels) or MMR-coded (routed through the T.6 codec). Symbol/text/
-    halftone/refinement segments raise NotImplementedError — the
-    caller quarantines (skip, text layer still flows)."""
+    Supports generic regions (MQ templates 0-3, TPGDON, AT pixels;
+    MMR via the T.6 codec) AND the symbol-coded path real text pages
+    use: arithmetic symbol dictionaries + text regions (Annex A
+    integer decoding, height classes, strip placement, REFCORNER).
+    Symbols accumulate across dictionary segments in order (the
+    referred-segment graph is not consulted — a documented
+    approximation exact for the single-dict streams PDF encoders
+    emit). Huffman-coded variants, refinement, and halftone segments
+    raise NotImplementedError — the caller quarantines (skip, text
+    layer still flows)."""
     segs = parse_segments(data)
     if globals_data:
         segs = parse_segments(globals_data) + segs
     page_w = page_h = None
     page: np.ndarray | None = None
+    symbols: list[np.ndarray] = []  # exported by dicts, in order
     for stype, _pg, payload in segs:
         if stype == _SEG_PAGE_INFO:
             if len(payload) < 19:
@@ -424,12 +438,25 @@ def jbig2_decode_embedded(data: bytes,
                 grown[: page.shape[0]] = page
                 page = grown
             page[ry:ry + rh, rx:rx + rw] |= bm
+        elif stype == _SEG_SYMBOL_DICT:
+            symbols.extend(_decode_symbol_dict(payload))
+        elif stype in (_SEG_IMM_TEXT, _SEG_IMM_LOSSLESS_TEXT,
+                       _SEG_INTERMEDIATE_TEXT):
+            rx, ry, rw, rh, bm = _decode_text_region(payload, symbols)
+            if page is None:
+                page_w, page_h = rx + rw, ry + rh
+                page = np.zeros((page_h, page_w), np.uint8)
+            if page.shape[0] < ry + rh:
+                grown = np.zeros((ry + rh, page.shape[1]), np.uint8)
+                grown[: page.shape[0]] = page
+                page = grown
+            page[ry:ry + rh, rx:rx + rw] |= bm
         elif stype in _HARMLESS:
             continue
         else:
             raise NotImplementedError(
-                f"JBIG2 segment type {stype} (symbol/text/halftone/"
-                f"refinement); plug a real JBIG2 library in")
+                f"JBIG2 segment type {stype} (halftone/refinement/"
+                f"huffman tables); plug a real JBIG2 library in")
     if page is None or page.size == 0:
         raise ValueError("JBIG2 stream with no decodable page")
     return np.where(page == 1, np.uint8(0), np.uint8(255))
@@ -474,3 +501,409 @@ def jbig2_encode_embedded(img: np.ndarray, template: int = 0,
                              len(region)) + region
            + _segment_header(2, _SEG_END_OF_PAGE, 1, 0))
     return out
+
+
+# ----------------- integer arithmetic decoding procedures (Annex A)
+
+class _IntCtx:
+    """One IAx procedure's context bank (512 states) bound to the
+    segment's shared MQ coder."""
+
+    __slots__ = ("icx", "mps")
+
+    def __init__(self, n: int = 512):
+        self.icx = np.zeros(n, np.int64)
+        self.mps = np.zeros(n, np.int64)
+
+
+_IA_CLASSES = [  # (prefix-length, value-bits, offset) per Annex A.2
+    (1, 2, 0), (2, 4, 4), (3, 6, 20), (4, 8, 84), (5, 12, 340),
+    (5, 32, 4436),  # the fifth prefix bit chooses 12-bit vs 32-bit
+]
+
+OOB = object()  # out-of-band marker (end of a run/strip)
+
+
+def _ia_decode(mq: MQDecoder, ctx: _IntCtx):
+    """Annex A.2 IAx decode → int or OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        d = mq.decode(ctx.icx, ctx.mps, prev)
+        prev = ((prev << 1) | d) if prev < 256 else \
+            ((((prev << 1) | d) & 511) | 256)
+        return d
+
+    s = bit()
+    if not bit():
+        nbits, offset = 2, 0
+    elif not bit():
+        nbits, offset = 4, 4
+    elif not bit():
+        nbits, offset = 6, 20
+    elif not bit():
+        nbits, offset = 8, 84
+    elif not bit():
+        nbits, offset = 12, 340
+    else:
+        nbits, offset = 32, 4436
+    v = 0
+    for _ in range(nbits):
+        v = (v << 1) | bit()
+    v += offset
+    if s and v == 0:
+        return OOB
+    return -v if s else v
+
+
+def _ia_encode(mq: MQEncoder, ctx: _IntCtx, value) -> None:
+    """Annex A.2 inverse (fixture side). value may be OOB."""
+    prev = 1
+
+    def bit(d: int) -> None:
+        nonlocal prev
+        mq.encode(ctx.icx, ctx.mps, prev, d)
+        prev = ((prev << 1) | d) if prev < 256 else \
+            ((((prev << 1) | d) & 511) | 256)
+
+    if value is OOB:
+        bit(1)  # negative sign with magnitude 0
+        bit(0)
+        bit(0)
+        bit(0)
+        return
+    s = 1 if value < 0 else 0
+    v = -value if value < 0 else value
+    bit(s)
+    if v < 4:
+        sel, nbits, off = [0], 2, 0
+    elif v < 20:
+        sel, nbits, off = [1, 0], 4, 4
+    elif v < 84:
+        sel, nbits, off = [1, 1, 0], 6, 20
+    elif v < 340:
+        sel, nbits, off = [1, 1, 1, 0], 8, 84
+    elif v < 4436:
+        sel, nbits, off = [1, 1, 1, 1, 0], 12, 340
+    else:
+        sel, nbits, off = [1, 1, 1, 1, 1], 32, 4436
+    for d in sel:
+        bit(d)
+    v -= off
+    for i in range(nbits - 1, -1, -1):
+        bit((v >> i) & 1)
+
+
+def _iaid_decode(mq: MQDecoder, ctx: _IntCtx, symcodelen: int) -> int:
+    prev = 1
+    for _ in range(symcodelen):
+        d = mq.decode(ctx.icx, ctx.mps, prev)
+        prev = (prev << 1) | d
+    return prev - (1 << symcodelen)
+
+
+def _iaid_encode(mq: MQEncoder, ctx: _IntCtx, symcodelen: int,
+                 value: int) -> None:
+    prev = 1
+    for i in range(symcodelen - 1, -1, -1):
+        d = (value >> i) & 1
+        mq.encode(ctx.icx, ctx.mps, prev, d)
+        prev = (prev << 1) | d
+
+
+def _symcodelen(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
+# --------------- symbol dictionary + text region (spec 6.4/6.5/7.4)
+
+
+def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
+    """Type-0 symbol dictionary segment → exported symbol bitmaps.
+    Arithmetic coding only (SDHUFF/SDREFAGG raise — the huffman and
+    refinement variants are declared seams)."""
+    if len(payload) < 2:
+        raise ValueError("short symbol dictionary segment")
+    flags = struct.unpack_from(">H", payload, 0)[0]
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff or sdrefagg:
+        raise NotImplementedError(
+            "JBIG2 symbol dictionary with SDHUFF/SDREFAGG; plug a "
+            "real JBIG2 library in")
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        dx, dy = struct.unpack_from(">bb", payload, pos)
+        at.append((dx, dy))
+        pos += 2
+    n_ex, n_new = struct.unpack_from(">II", payload, pos)
+    pos += 8
+
+    mq = MQDecoder(payload[pos:])
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gb_icx = np.zeros(1 << _CTX_BITS[template], np.int64)
+    gb_mps = np.zeros(1 << _CTX_BITS[template], np.int64)
+    ctx = _ctx_fn(template, at)
+
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = _ia_decode(mq, iadh)
+        if dh is OOB:
+            raise ValueError("OOB height-class delta")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = _ia_decode(mq, iadw)
+            if dw is OOB:
+                break  # height class complete
+            symwidth += dw
+            if symwidth <= 0 or hcheight <= 0:
+                raise ValueError("non-positive symbol geometry")
+            bm = np.zeros((hcheight, symwidth), np.uint8)
+            for y in range(hcheight):
+                for x in range(symwidth):
+                    bm[y, x] = mq.decode(gb_icx, gb_mps, ctx(bm, x, y))
+            new_syms.append(bm)
+            if len(new_syms) > n_new:
+                raise ValueError("more symbols than declared")
+    # export flags: alternating runs, starting NOT-exported
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = False
+    while i < len(new_syms) and len(exported) < n_ex:
+        run = _ia_decode(mq, iaex)
+        if run is OOB or run < 0:
+            raise ValueError("bad export run")
+        if exflag:
+            exported.extend(new_syms[i:i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise ValueError("export count mismatch")
+    return exported
+
+
+def _decode_text_region(payload: bytes,
+                        symbols: list[np.ndarray]
+                        ) -> tuple[int, int, int, int, np.ndarray]:
+    """Type 4/6/7 text region segment → (x, y, w, h, bitmap).
+    Arithmetic, non-transposed, non-refined; SBSTRIPS from
+    LOGSBSTRIPS; REFCORNER handled for all four corners."""
+    if len(payload) < 17 + 2 + 4:
+        raise ValueError("short text region segment")
+    rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    logsbstrips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sbdefpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    if sbhuff or refine or transposed:
+        raise NotImplementedError(
+            "JBIG2 text region with SBHUFF/REFINE/TRANSPOSED; plug a "
+            "real JBIG2 library in")
+    sbstrips = 1 << logsbstrips
+    n_inst = struct.unpack_from(">I", payload, 19)[0]
+    if not symbols:
+        raise ValueError("text region without symbol dictionary")
+    symcodelen = _symcodelen(len(symbols))
+
+    mq = MQDecoder(payload[23:])
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    iaid = _IntCtx(1 << (symcodelen + 1))
+
+    bm = np.full((rh, rw), sbdefpixel, np.uint8)
+    stript = -(_ia_decode(mq, iadt)) * sbstrips
+    # spec 6.4.5 step 1: STRIPT = -IADT * SBSTRIPS; then loop adds
+    firsts = 0
+    ninst = 0
+    while ninst < n_inst:
+        dt = _ia_decode(mq, iadt)
+        if dt is OOB:
+            raise ValueError("OOB strip delta")
+        stript += dt * sbstrips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = _ia_decode(mq, iafs)
+                if dfs is OOB:
+                    raise ValueError("OOB first-S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = _ia_decode(mq, iads)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + dsoffset
+            curt = (_ia_decode(mq, iait)
+                    if sbstrips > 1 else 0)
+            if curt is OOB:
+                raise ValueError("OOB T offset")
+            tt = stript + curt
+            sid = _iaid_decode(mq, iaid, symcodelen)
+            if not 0 <= sid < len(symbols):
+                raise ValueError("symbol id out of range")
+            sym = symbols[sid]
+            hs, ws = sym.shape
+            # placement per REFCORNER (non-transposed): S advances
+            # along x; the corner picks the y anchor
+            x0 = curs
+            y0 = tt if refcorner in (1, 3) else tt - hs + 1
+            # 0 BOTTOMLEFT, 1 TOPLEFT, 2 BOTTOMRIGHT, 3 TOPRIGHT
+            xx0, yy0 = max(x0, 0), max(y0, 0)
+            xx1, yy1 = min(x0 + ws, rw), min(y0 + hs, rh)
+            if xx0 < xx1 and yy0 < yy1:
+                bm[yy0:yy1, xx0:xx1] |= sym[yy0 - y0:yy1 - y0,
+                                            xx0 - x0:xx1 - x0]
+            curs += ws - 1
+            ninst += 1
+            if ninst > n_inst:
+                raise ValueError("more instances than declared")
+    return rx, ry, rw, rh, bm
+
+
+def _encode_symbol_dict(symbols: list[np.ndarray],
+                        template: int = 0) -> bytes:
+    """Symbols ({0,1} bitmaps, HEIGHT-CLASS-SORTED order — the order
+    text-region symbol ids reference) → type-0 symbol dictionary
+    payload. All symbols exported."""
+    at = _NOMINAL_AT[template]
+    mq = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gb_icx = np.zeros(1 << _CTX_BITS[template], np.int64)
+    gb_mps = np.zeros(1 << _CTX_BITS[template], np.int64)
+    ctx = _ctx_fn(template, at)
+
+    hcheight = 0
+    i = 0
+    n = len(symbols)
+    while i < n:
+        h = symbols[i].shape[0]
+        _ia_encode(mq, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < n and symbols[i].shape[0] == h:
+            w = symbols[i].shape[1]
+            _ia_encode(mq, iadw, w - symwidth)
+            symwidth = w
+            bm = symbols[i]
+            for y in range(h):
+                for x in range(w):
+                    mq.encode(gb_icx, gb_mps, ctx(bm, x, y),
+                              int(bm[y, x]))
+            i += 1
+        _ia_encode(mq, iadw, OOB)
+    _ia_encode(mq, iaex, 0)
+    _ia_encode(mq, iaex, n)
+    body = mq.flush()
+    at_bytes = b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+    flags = (template & 3) << 10
+    return (struct.pack(">H", flags) + at_bytes
+            + struct.pack(">II", n, n) + body)
+
+
+def _encode_text_region(w: int, h: int,
+                        instances: list[tuple[int, int, int]],
+                        symbols: list[np.ndarray]) -> bytes:
+    """instances = [(x, y, sym_id)] placed TOPLEFT, non-transposed,
+    SBSTRIPS=1 → type-7 immediate lossless text region payload."""
+    symcodelen = _symcodelen(len(symbols))
+    mq = MQEncoder()
+    iadt, iafs, iads, iaid = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx(1 << (symcodelen + 1)))
+    by_t: dict[int, list[tuple[int, int]]] = {}
+    for x, y, sid in instances:
+        by_t.setdefault(y, []).append((x, sid))
+    _ia_encode(mq, iadt, 0)  # STRIPT init: -0
+    stript = 0
+    firsts = 0
+    for t in sorted(by_t):
+        _ia_encode(mq, iadt, t - stript)
+        stript = t
+        row = sorted(by_t[t])
+        first = True
+        curs = 0
+        for x, sid in row:
+            if first:
+                _ia_encode(mq, iafs, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                _ia_encode(mq, iads, x - curs)
+                curs = x
+            _iaid_encode(mq, iaid, symcodelen, sid)
+            curs += symbols[sid].shape[1] - 1
+        _ia_encode(mq, iads, OOB)
+    body = mq.flush()
+    flags = (1 << 4)  # REFCORNER = TOPLEFT, SBSTRIPS=1, arith
+    return (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+            + struct.pack(">H", flags)
+            + struct.pack(">I", len(instances)) + body)
+
+
+def jbig2_encode_text(img_shape: tuple[int, int],
+                      symbols: list[np.ndarray],
+                      instances: list[tuple[int, int, int]],
+                      template: int = 0) -> bytes:
+    """Embedded-organization symbol/text JBIG2: page info + symbol
+    dictionary + immediate lossless text region + end of page. This is
+    the mode real scanner encoders emit for text-heavy pages (symbol
+    reuse is where JBIG2's compression comes from). symbols must be
+    height-class-sorted ({0,1} bitmaps); instances reference their
+    indexes and place TOPLEFT."""
+    h, w = img_shape
+    page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01"
+                 + b"\x00\x00")
+    sd = _encode_symbol_dict(symbols, template)
+    tr = _encode_text_region(w, h, instances, symbols)
+    return (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+            + page_info
+            + _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sd)) + sd
+            + _segment_header(2, _SEG_IMM_LOSSLESS_TEXT, 1, len(tr))
+            + tr
+            + _segment_header(3, _SEG_END_OF_PAGE, 1, 0))
+
+
+def symbols_from_text(text: str) -> tuple[tuple[int, int],
+                                          list[np.ndarray],
+                                          list[tuple[int, int, int]],
+                                          np.ndarray]:
+    """Build a symbol/text fixture from a real rendered line: unique
+    glyph bitmaps (height-class-sorted) + per-char placements from
+    synth.font.render_line's boxes → (page shape, symbols, instances,
+    expected {0,1} page bitmap)."""
+    from .font import render_line
+
+    img, char_boxes, _words = render_line(text)
+    page = (img < 128).astype(np.uint8)
+    h, w = page.shape
+    chars = [c for c in text if c != " "]
+    # symbols are CUT from the rendered page at the char boxes — the
+    # crop is what a real symbol-classifying encoder stores, and it
+    # makes instances reproduce the page exactly by construction
+    uniq: dict[str, np.ndarray] = {}
+    places: list[tuple[int, int, str]] = []
+    for ch, box in zip(chars, char_boxes):
+        x0, y0, x1, y1 = (int(v) for v in box)
+        if ch not in uniq:
+            uniq[ch] = page[y0:y1, x0:x1].copy()
+        places.append((x0, y0, ch))
+    order = sorted(uniq, key=lambda c: (uniq[c].shape[0],
+                                        uniq[c].shape[1], c))
+    symbols = [uniq[c] for c in order]
+    sym_id = {c: i for i, c in enumerate(order)}
+    instances = [(x, y, sym_id[ch]) for x, y, ch in places]
+    return (h, w), symbols, instances, page

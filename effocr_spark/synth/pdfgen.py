@@ -561,7 +561,8 @@ def make_jbig2_pdf(bitmaps: list["object"],
                    text_lines: list[list[str]] | None = None,
                    template: int = 0, tpgdon: bool = False,
                    mmr: bool = False,
-                   use_globals: bool = False) -> bytes:
+                   use_globals: bool = False,
+                   symbol_text: str | None = None) -> bytes:
     """Scanned-document PDF with JBIG2 image XObjects (the OTHER
     encoding newspaper archives emit beside G4 fax). bitmaps = 2-D
     uint8 grayscale arrays (ink black = 0); each becomes one full-page
@@ -569,7 +570,11 @@ def make_jbig2_pdf(bitmaps: list["object"],
     lossless generic region + end of page). use_globals moves the
     page-info segment into a shared /JBIG2Globals stream referenced
     from /DecodeParms — the two-stream layout PDF writers use for
-    multi-page symbol reuse."""
+    multi-page symbol reuse. symbol_text renders that text via the
+    SYMBOL-CODED path (symbol dictionary + text region — how real
+    scanner encoders compress text pages) instead of a generic region;
+    the bitmap arg is then only used for page dimensions, so pass
+    render_line(symbol_text)[0]."""
     from .jbig2codec import jbig2_encode_embedded, parse_segments
 
     n_pages = len(bitmaps)
@@ -588,8 +593,14 @@ def make_jbig2_pdf(bitmaps: list["object"],
         content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
         if lines:
             content += _content_stream(lines)
-        body = jbig2_encode_embedded(img, template=template,
-                                     tpgdon=tpgdon, mmr=mmr)
+        if symbol_text is not None:
+            from .jbig2codec import jbig2_encode_text, symbols_from_text
+            shape, syms, insts, _page = symbols_from_text(symbol_text)
+            body = jbig2_encode_text(shape, syms, insts,
+                                     template=template)
+        else:
+            body = jbig2_encode_embedded(img, template=template,
+                                         tpgdon=tpgdon, mmr=mmr)
         parms = ""
         if use_globals:
             # split: first segment (page info) → the globals stream

@@ -99,9 +99,9 @@ def test_segment_parse_and_seams():
     data = jbig2_encode_embedded(img)
     segs = parse_segments(data)
     assert [t for t, _p, _b in segs] == [48, 39, 49]
-    # unsupported segment type (text region = 4) raises a named seam
-    bad = data[:4] + bytes([(data[4] & 0xC0) | 4]) + data[5:]
-    with pytest.raises(NotImplementedError, match="segment type 4"):
+    # unsupported segment type (halftone region = 22) raises a seam
+    bad = data[:4] + bytes([(data[4] & 0xC0) | 22]) + data[5:]
+    with pytest.raises(NotImplementedError, match="segment type 22"):
         jbig2_decode_embedded(bad)
     with pytest.raises(ValueError, match="truncated"):
         parse_segments(data[:5])
@@ -140,3 +140,91 @@ def test_jbig2_scan_through_pipeline(spark, protos_bc):
     out = extract_pages(df, protos_bc, embedded_images=True).collect()
     assert len(out) == 1 and out[0]["ok"]
     assert out[0]["extracted_text"].lower() == "daily herald june 1902"
+
+
+# ---------------- symbol dictionary + text region (the real mode)
+
+
+def test_ia_integer_roundtrip_all_classes():
+    """Annex A integer coding across every prefix class boundary,
+    negatives, and OOB."""
+    from effocr_spark.synth.jbig2codec import (OOB, MQDecoder,
+                                               MQEncoder, _ia_decode,
+                                               _ia_encode, _IntCtx)
+
+    vals = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+            100000, -5000, OOB, 2, OOB, -340]
+    enc = MQEncoder()
+    ctx = _IntCtx()
+    for v in vals:
+        _ia_encode(enc, ctx, v)
+    dec = MQDecoder(enc.flush())
+    ctx2 = _IntCtx()
+    got = [_ia_decode(dec, ctx2) for _ in vals]
+    assert all((a is OOB and b is OOB) or a == b
+               for a, b in zip(got, vals))
+
+
+def test_symbol_dict_roundtrip():
+    from effocr_spark.synth.jbig2codec import (_decode_symbol_dict,
+                                               _encode_symbol_dict)
+
+    rng = np.random.RandomState(3)
+    syms = [(rng.rand(5, 4) < 0.5).astype(np.uint8),
+            (rng.rand(5, 6) < 0.5).astype(np.uint8),
+            (rng.rand(7, 3) < 0.5).astype(np.uint8)]
+    out = _decode_symbol_dict(_encode_symbol_dict(syms))
+    assert len(out) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(out, syms))
+
+
+def test_symbol_text_roundtrip_real_glyphs():
+    """The REAL JBIG2 mode scanners use: symbol dictionary + text
+    region over an actual rendered line (symbols cut at char boxes,
+    instances at box positions) reproduces the page exactly — and the
+    symbol reuse compresses (repeated words cost only placements)."""
+    from effocr_spark.synth.jbig2codec import (jbig2_encode_text,
+                                               symbols_from_text)
+
+    for text in ["the quick fox 1890",
+                 "bytes here bytes here bytes here"]:
+        shape, syms, inst, page = symbols_from_text(text)
+        data = jbig2_encode_text(shape, syms, inst)
+        out = jbig2_decode_embedded(data)
+        exp = np.where(page == 1, np.uint8(0), np.uint8(255))
+        assert np.array_equal(out, exp), text
+    # reuse: 3x-repeated words need no extra symbol bits
+    s1, sy1, i1, _ = symbols_from_text("bytes here")
+    s3, sy3, i3, _ = symbols_from_text("bytes here bytes here bytes here")
+    d1 = jbig2_encode_text(s1, sy1, i1)
+    d3 = jbig2_encode_text(s3, sy3, i3)
+    assert len(d3) < 2 * len(d1)
+
+
+def test_symbol_text_through_pdf():
+    from effocr_spark.functions.pdftext import extract_pdf_images
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import decode_png
+    from effocr_spark.synth.pdfgen import make_jbig2_pdf
+
+    text = "symbol coded gazette 1902"
+    img = render_line(text)[0]
+    thr = np.where(img < 128, np.uint8(0), np.uint8(255))
+    pdf = make_jbig2_pdf([img], symbol_text=text)
+    out = extract_pdf_images(pdf)
+    assert len(out) == 1 and np.array_equal(decode_png(out[0]), thr)
+
+
+def test_symbol_text_unsupported_variants_raise():
+    from effocr_spark.synth.jbig2codec import (_decode_symbol_dict,
+                                               _decode_text_region)
+    import struct as _s
+
+    # SDHUFF bit set
+    with pytest.raises(NotImplementedError, match="SDHUFF"):
+        _decode_symbol_dict(_s.pack(">H", 1) + b"\x00" * 12)
+    # SBHUFF bit set on a text region
+    payload = (_s.pack(">IIII", 8, 8, 0, 0) + b"\x00"
+               + _s.pack(">H", 1) + _s.pack(">I", 0))
+    with pytest.raises(NotImplementedError, match="SBHUFF"):
+        _decode_text_region(payload, [np.ones((2, 2), np.uint8)])
