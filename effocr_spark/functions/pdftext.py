@@ -16,10 +16,12 @@ permissions-only locking — decrypts for real, ALL standard ciphers: RC4
 (R2/R3/V2), AES-128-CBC (V4 /AESV2, functions/aescipher.py), and
 AES-256-CBC (V5 R5/R6 /AESV3 — PDF 2.0's Algorithm 2.B hash);
 true password-protected documents quarantine cleanly, and image
-streams route to the OCR branch (DCT passes through as JPEG, CCITT
-G4 decodes via synth/ccittcodec.py; JBIG2/JPX skip). Flate/LZW /DecodeParms predictors (TIFF differencing + the
-PNG row filters) un-apply for real via the PNG codec's unfilter
-kernel.
+streams route to the OCR branch (DCT passes through as JPEG; CCITT
+G3/G4 decode via synth/ccittcodec.py incl. EncodedByteAlign; JBIG2
+generic AND symbol-coded streams decode via synth/jbig2codec.py;
+JPX skips). Flate/LZW /DecodeParms predictors (TIFF differencing +
+the PNG row filters, sub-byte and 16-bit components included)
+un-apply for real via the PNG codec's unfilter kernel.
 
 Layout model (the "parse" part): text is grouped into BT..ET blocks;
 show operators (Tj, ', ", TJ) append to the current line; the line
@@ -662,24 +664,23 @@ def _jbig2_to_png(dict_part: bytes, body: bytes,
 
 def _ccitt_to_png(dict_part: bytes, body: bytes) -> bytes:
     """/CCITTFaxDecode stream → PNG bytes via the fax codecs: K < 0 →
-    G4 (T.6), K = 0 → G3 1-D MH, K > 0 → G3 mixed (per-line tag bits).
-    /EncodedByteAlign raises (caller skips — quarantine-by-omission,
-    same as JBIG2/JPX)."""
+    G4 (T.6), K = 0 → G3 1-D MH, K > 0 → G3 mixed (per-line tag
+    bits); /EncodedByteAlign honored (byte-aligned row starts)."""
     def _iparm(name: bytes, default: int) -> int:
         mm = re.search(rb"/" + name + rb"\s+(-?\d+)", dict_part)
         return int(mm.group(1)) if mm else default
 
     k = _iparm(b"K", 0)
-    if re.search(rb"/EncodedByteAlign\s+true", dict_part):
-        raise NotImplementedError(
-            "CCITT EncodedByteAlign; plug a real fax library in")
+    balign = re.search(rb"/EncodedByteAlign\s+true",
+                       dict_part) is not None
     columns = _iparm(b"Columns", 1728)
     rows = _iparm(b"Rows", 0) or _iparm(b"Height", 0) or None
     black1 = re.search(rb"/BlackIs1\s+true", dict_part) is not None
     from ..synth.ccittcodec import ccitt_decode
     from ..synth.imgcodec import encode_png
 
-    return encode_png(ccitt_decode(body, k, columns, rows, black1))
+    return encode_png(
+        ccitt_decode(body, k, columns, rows, black1, balign))
 
 
 def ascii_hex_decode(body: bytes) -> bytes:

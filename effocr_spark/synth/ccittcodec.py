@@ -13,8 +13,10 @@ Implements pure two-dimensional coding: pass / horizontal / vertical
 modified-Huffman run-length tables (white + black terminating codes
 0-63, per-color makeup codes 64-1728, shared extended makeup codes
 1792-2560) used by horizontal mode. EOFB is honored when present and
-not required. 1-D (G3 /K >= 0) coding stays a declared seam — web-era
-scanners emit G4.
+not required. G3 (T.4) decodes too: pure 1-D MH lines (K = 0, EOLs
+optional with fill bits) and mixed mode (K > 0, per-line tag bits,
+2-D lines reusing the T.6 mode machinery); /EncodedByteAlign
+(byte-aligned row starts) is supported across G3 and G4.
 
 Correctness strategy (no external fax oracle in this container): the
 encoder and decoder are INDEPENDENT walks of the same published code
@@ -161,7 +163,8 @@ def _read_run(br: _BitReader, color: int) -> int:
 
 
 def g4_decode(data: bytes, columns: int, rows: int | None = None,
-              black_is_1: bool = False) -> np.ndarray:
+              black_is_1: bool = False,
+              byte_align: bool = False) -> np.ndarray:
     """G4 (T.6) bytes → uint8 grayscale (H, columns), ink black = 0,
     background white = 255 — the orientation the OCR branch reads.
     Stops after `rows` lines, at EOFB, or when the data runs out on a
@@ -172,6 +175,9 @@ def g4_decode(data: bytes, columns: int, rows: int | None = None,
     # reference changing elements; imaginary all-white line above row 0
     ref = [columns, columns]
     while rows is None or len(out) < rows:
+        if byte_align:
+            br.pos += -br.pos % 8  # /EncodedByteAlign: rows start on
+            # byte boundaries (pad bits are fill)
         if br.pos >= len(br.bits):
             break
         if br.peek_str(24) == _EOFB:
@@ -284,7 +290,8 @@ def _decode_row_1d(br: _BitReader, columns: int) -> list[int]:
 
 
 def g3_decode(data: bytes, columns: int, rows: int | None = None,
-              black_is_1: bool = False, k: int = 0) -> np.ndarray:
+              black_is_1: bool = False, k: int = 0,
+              byte_align: bool = False) -> np.ndarray:
     """CCITT Group 3 bytes → uint8 grayscale, same output contract as
     g4_decode. k = 0: pure one-dimensional MH lines (the PDF /K 0
     default — EOLs optional, tolerated with fill bits). k > 0: mixed
@@ -295,6 +302,8 @@ def g3_decode(data: bytes, columns: int, rows: int | None = None,
     out: list[np.ndarray] = []
     ref = [columns, columns]
     while rows is None or len(out) < rows:
+        if byte_align:
+            br.pos += -br.pos % 8
         if br.pos >= len(br.bits):
             break
         saw_eol = _try_skip_eol(br)
@@ -331,12 +340,14 @@ def g3_decode(data: bytes, columns: int, rows: int | None = None,
 
 def ccitt_decode(data: bytes, k: int, columns: int,
                  rows: int | None = None,
-                 black_is_1: bool = False) -> np.ndarray:
+                 black_is_1: bool = False,
+                 byte_align: bool = False) -> np.ndarray:
     """PDF /CCITTFaxDecode dispatch on /K: < 0 → G4 (T.6), 0 → G3
-    1-D, > 0 → G3 mixed."""
+    1-D, > 0 → G3 mixed; byte_align = /EncodedByteAlign (rows start
+    on byte boundaries)."""
     if k < 0:
-        return g4_decode(data, columns, rows, black_is_1)
-    return g3_decode(data, columns, rows, black_is_1, k)
+        return g4_decode(data, columns, rows, black_is_1, byte_align)
+    return g3_decode(data, columns, rows, black_is_1, k, byte_align)
 
 
 # ------------------------------------------------------------ encoder
@@ -382,7 +393,8 @@ def _row_runs_bits(row: np.ndarray, w: int) -> str:
 
 
 def g3_encode(img: np.ndarray, black_is_1: bool = False,
-              k: int = 0, eol: bool = False) -> bytes:
+              k: int = 0, eol: bool = False,
+              byte_align: bool = False) -> bytes:
     """G3 encoder matching g3_decode. k = 0: 1-D MH lines (EOL
     prefixes optional via eol=True); k > 0: mixed mode with an EOL +
     tag bit per line, alternating 1-D and 2-D lines (2-D lines reuse
@@ -394,8 +406,12 @@ def g3_encode(img: np.ndarray, black_is_1: bool = False,
         bitmap = 1 - bitmap
     h, w = bitmap.shape
     bits: list[str] = []
+    nbits = 0
     prev: np.ndarray | None = None
     for y in range(h):
+        if byte_align and nbits % 8:
+            pad = -nbits % 8
+            bits.append("0" * pad)
         if k > 0:
             use_2d = (y % 2 == 1)  # alternate; first line must be 1-D
             bits.append(_EOL + ("0" if use_2d else "1"))
@@ -408,6 +424,7 @@ def g3_encode(img: np.ndarray, black_is_1: bool = False,
                 bits.append(_EOL)
             bits.append(_row_runs_bits(bitmap[y], w))
         prev = bitmap[y]
+        nbits = sum(len(b) for b in bits)
     s = "".join(bits)
     s += "0" * (-len(s) % 8)
     return np.packbits(
@@ -451,7 +468,8 @@ def _encode_row_2d(row: np.ndarray, prev: np.ndarray | None,
     return "".join(bits)
 
 
-def g4_encode(img: np.ndarray, black_is_1: bool = False) -> bytes:
+def g4_encode(img: np.ndarray, black_is_1: bool = False,
+              byte_align: bool = False) -> bytes:
     """uint8 GRAYSCALE (ink black=0, threshold 128) → G4 bytes with a
     trailing EOFB. Inverse of g4_decode for any input (roundtrip-pinned
     in tests)."""
@@ -462,8 +480,13 @@ def g4_encode(img: np.ndarray, black_is_1: bool = False) -> bytes:
         bitmap = 1 - bitmap
     h, w = bitmap.shape
     bits: list[str] = []
+    nbits = 0
     ref = [w, w]
     for y in range(h):
+        if byte_align and nbits % 8:
+            pad = -nbits % 8
+            bits.append("0" * pad)
+            nbits += pad
         cur = _changes(bitmap[y]) + [w, w]
         a0, color = -1, 0
         ci = 0  # index of next coding change >= current position
@@ -495,6 +518,7 @@ def g4_encode(img: np.ndarray, black_is_1: bool = False) -> bytes:
             bits.append(_run_bits(a2 - a1, 1 - color))
             a0 = a2
         ref = _changes(bitmap[y]) + [w, w]
+        nbits = sum(len(b) for b in bits)
     bits.append(_EOFB)
     s = "".join(bits)
     s += "0" * (-len(s) % 8)

@@ -422,7 +422,8 @@ def make_fax_pdf(bitmaps: list["object"],
                  text_lines: list[list[str]] | None = None,
                  black_is_1: bool = False,
                  k: int = -1,
-                 omit_rows: bool = False) -> bytes:
+                 omit_rows: bool = False,
+                 byte_align: bool = False) -> bytes:
     """Scanned-document PDF with CCITT Group 4 fax image XObjects —
     what newspaper archives actually emit (G4, not DCT). bitmaps =
     list of 2-D uint8 grayscale arrays (ink black=0); each becomes one
@@ -446,12 +447,15 @@ def make_fax_pdf(bitmaps: list["object"],
         content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
         if lines:
             content += _content_stream(lines)
-        body = (g4_encode(img, black_is_1=black_is_1) if k < 0
+        body = (g4_encode(img, black_is_1=black_is_1,
+                          byte_align=byte_align) if k < 0
                 else g3_encode(img, black_is_1=black_is_1, k=k,
-                               eol=(k > 0)))
+                               eol=(k > 0), byte_align=byte_align))
         rows = "" if omit_rows else f" /Rows {h}"
         parms = (f"/DecodeParms << /K {k} /Columns {w}{rows}"
-                 f"{' /BlackIs1 true' if black_is_1 else ''} >>")
+                 f"{' /BlackIs1 true' if black_is_1 else ''}"
+                 f"{' /EncodedByteAlign true' if byte_align else ''}"
+                 f" >>")
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
             f"/Contents {4 + 3 * i} 0 R /Resources << /XObject "

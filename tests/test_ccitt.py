@@ -193,8 +193,29 @@ def test_g3_pdf_images_decode():
     for k in (0, 2):
         out = extract_pdf_images(make_fax_pdf([img], k=k))
         assert len(out) == 1 and np.array_equal(decode_png(out[0]), thr)
-    # EncodedByteAlign stays a named seam (skip, text layer flows)
-    pdf = make_fax_pdf([img], k=0).replace(
-        b"/DecodeParms << /K 0",
-        b"/DecodeParms << /EncodedByteAlign true /K 0")
-    assert extract_pdf_images(pdf) == []
+    # EncodedByteAlign decodes for real (byte-aligned row starts)
+    out_ba = extract_pdf_images(make_fax_pdf([img], k=0,
+                                             byte_align=True))
+    assert len(out_ba) == 1 and np.array_equal(decode_png(out_ba[0]),
+                                               thr)
+
+
+@pytest.mark.parametrize("mode", ["g4", "g3", "mixed"])
+def test_byte_align_roundtrip(mode):
+    """/EncodedByteAlign: every row starts on a byte boundary."""
+    from effocr_spark.synth.ccittcodec import (g3_decode, g3_encode,
+                                               g4_decode, g4_encode)
+
+    rng = np.random.RandomState(41)
+    for (h, w, p) in [(4, 40, 0.3), (7, 61, 0.5), (1, 9, 0.5)]:
+        img = np.where(rng.rand(h, w) < p, np.uint8(0), np.uint8(255))
+        if mode == "g4":
+            enc = g4_encode(img, byte_align=True)
+            dec = g4_decode(enc, w, h, byte_align=True)
+        elif mode == "g3":
+            enc = g3_encode(img, byte_align=True)
+            dec = g3_decode(enc, w, h, byte_align=True)
+        else:
+            enc = g3_encode(img, k=2, byte_align=True)
+            dec = g3_decode(enc, w, h, k=2, byte_align=True)
+        assert np.array_equal(dec, img), (mode, h, w)
