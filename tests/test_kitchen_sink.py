@@ -12,8 +12,10 @@ from effocr_spark.synth.font import render_line
 from effocr_spark.synth.imgcodec import encode_png
 from effocr_spark.synth.jpegcodec import (encode_jpeg,
                                           encode_jpeg_progressive)
-from effocr_spark.synth.pdfgen import (make_encrypted_pdf, make_pdf,
-                                       make_scanned_pdf)
+from effocr_spark.synth.pdfgen import (encrypt_pdf, make_cid_pdf,
+                                       make_encrypted_pdf,
+                                       make_fax_pdf, make_jbig2_pdf,
+                                       make_pdf, make_scanned_pdf)
 
 VOCAB = ["the", "quick", "brown", "fox", "county", "market", "price"]
 
@@ -53,10 +55,27 @@ def test_everything_in_one_call(spark):
         ("pdf://enc", make_encrypted_pdf([["Locked but readable page"]])),
         ("pdf://scan", make_scanned_pdf(
             [(encode_jpeg(scan_rgb), scan_rgb.shape[1], scan_rgb.shape[0])])),
-        # quarantine rows: truncated JPEG, image-filter PDF
+        # round-4 shapes: CID text, encrypted CID, ObjStm, AES-256,
+        # G4 fax scan, G3 scan, JBIG2 generic + symbol-coded scans
+        ("pdf://cid", make_cid_pdf([["Modern subset font text"]])),
+        ("pdf://enccid", encrypt_pdf(
+            make_cid_pdf([["Locked subset text"]]), r=4)),
+        ("pdf://objstm", make_cid_pdf([["Packed dictionary text"]],
+                                      objstm=True)),
+        ("pdf://r6", encrypt_pdf(make_pdf([["AES strength page"]]),
+                                 r=6)),
+        ("pdf://fax", make_fax_pdf(
+            [render_line("county herald edition 1901")[0]])),
+        ("pdf://g3", make_fax_pdf(
+            [render_line("older village line here")[0]], k=0)),
+        ("pdf://jbig2", make_jbig2_pdf(
+            [render_line("generic coded page")[0]])),
+        ("pdf://jbsym", make_jbig2_pdf(
+            [render_line("symbol coded page")[0]],
+            symbol_text="symbol coded page")),
+        # quarantine rows: truncated JPEG, CID-without-ToUnicode
         ("bad://jpg", b"\xff\xd8\xff\xe0truncated"),
-        ("bad://pdf", b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
-                      b"stream\nxx\nendstream"),
+        ("bad://pdf", make_cid_pdf([["opaque"]], tounicode=False)),
     ]
     df = spark.createDataFrame(
         [(u, None, bytearray(b), None, "en") for u, b in rows],
@@ -83,7 +102,22 @@ def test_everything_in_one_call(spark):
     assert out["pdf://enc"]["extracted_text"] == "Locked but readable page"
     assert out["pdf://scan"]["extracted_text"] == \
         "Scanned county market price"
+    assert out["pdf://cid"]["extracted_text"] == \
+        "Modern subset font text"
+    assert out["pdf://enccid"]["extracted_text"] == "Locked subset text"
+    assert out["pdf://objstm"]["extracted_text"] == \
+        "Packed dictionary text"
+    assert out["pdf://r6"]["extracted_text"] == "AES strength page"
+    assert out["pdf://fax"]["extracted_text"].lower() == \
+        "county herald edition 1901"
+    assert out["pdf://g3"]["extracted_text"].lower() == \
+        "older village line here"
+    assert out["pdf://jbig2"]["extracted_text"].lower() == \
+        "generic coded page"
+    assert out["pdf://jbsym"]["extracted_text"].lower() == \
+        "symbol coded page"
     assert not out["bad://jpg"]["ok"] and out["bad://jpg"]["error"]
-    assert not out["bad://pdf"]["ok"] and out["bad://pdf"]["error"]
+    assert not out["bad://pdf"]["ok"]
+    assert "ToUnicode" in out["bad://pdf"]["error"]
     # quarantines stayed row-local: everything else succeeded
     assert sum(1 for r in out.values() if r["ok"]) == len(rows) - 2
