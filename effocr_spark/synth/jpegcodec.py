@@ -14,9 +14,12 @@ Decoder: baseline sequential AND progressive (SOF2) DCT, 1- or
 4:2:2 / 4:2:0), restart markers, 0xFF00 byte stuffing. Progressive
 covers the full T.81 §G Huffman feature set real web JPEGs use:
 spectral selection, successive approximation (DC + AC first and
-refinement scans, EOB runs, ZRL-with-correction-bits). Arithmetic /
-12-bit / lossless / hierarchical streams raise NotImplementedError for
-a real library drop-in.
+refinement scans, EOB runs, ZRL-with-correction-bits). 12-bit
+precision decodes for grayscale sequential frames (SOF1, 16-bit DQT,
+2048 level shift — the scanned-archive shape), scaled to the 8-bit
+pipeline output. Arithmetic / lossless / hierarchical streams and
+12-bit color/progressive raise NotImplementedError for a real library
+drop-in.
 
 encode_jpeg_progressive mirrors libjpeg's default progression shape
 (DC at Al=1 + refinement; per-component AC band scans at Al=2 + two
@@ -409,14 +412,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                flat = np.frombuffer(body[off + 1: off + 65], np.uint8) \
-                    .astype(np.int64)
+                if pq:  # 16-bit entries (12-bit-precision frames)
+                    flat = np.frombuffer(
+                        body[off + 1: off + 129],
+                        ">u2").astype(np.int64)
+                    step = 129
+                else:
+                    flat = np.frombuffer(body[off + 1: off + 65],
+                                         np.uint8).astype(np.int64)
+                    step = 65
                 q = np.zeros(64, np.int64)
                 q[ZIGZAG] = flat
                 qtabs[tq] = q.reshape(8, 8)
-                off += 65
+                off += step
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -428,14 +436,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 off += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"precision {prec}")
+            if prec == 12 and (nc != 1 or marker == 0xC2):
+                # 12-bit support is GRAYSCALE sequential (the scanned-
+                # document shape); 12-bit color / progressive raise
+                raise NotImplementedError(
+                    "12-bit is supported for grayscale sequential only")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -524,7 +537,8 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                             k += 1
                         deq = np.zeros(64, np.float64)
                         deq[ZIGZAG] = blk * q.flatten()[ZIGZAG]
-                        pix = DCT_M.T @ deq.reshape(8, 8) @ DCT_M + 128.0
+                        pix = (DCT_M.T @ deq.reshape(8, 8) @ DCT_M
+                               + float(1 << (frame.get("prec", 8) - 1)))
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
@@ -536,7 +550,12 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        g = np.clip(full[0], 0, 255).round().astype(np.uint8)
+        prec = frame.get("prec", 8)
+        top = float((1 << prec) - 1)
+        g = np.clip(full[0], 0, top)
+        if prec > 8:  # pipeline output is 8-bit: scale down
+            g = g * (255.0 / top)
+        g = g.round().astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     return _ycbcr_to_rgb(np.stack(full, axis=-1))
 
@@ -976,4 +995,96 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool = False,
         wr.bw.flush()
         out += wr.bw.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_12bit(img12: np.ndarray) -> bytes:
+    """HxW uint16 (0-4095) grayscale → 12-bit-precision extended
+    sequential JFIF bytes (SOF1, 16-bit DQT, level shift 2048) — the
+    scanned-document archive shape. Decodes through decode_jpeg, which
+    scales the 12-bit plane to the pipeline's 8-bit output."""
+    if img12.ndim != 2 or img12.dtype != np.uint16:
+        raise ValueError("encode_jpeg_12bit wants HxW uint16")
+    if img12.max() > 4095:
+        raise ValueError("12-bit samples exceed 4095")
+    h, w = img12.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(img12, ((0, ph - h), (0, pw - w)), mode="edge")
+    q = (Q_LUMA.astype(np.int64) * 16).clip(1, 65535)  # scale for 12-bit
+
+    blocks = []
+    shifted = plane.astype(np.float64) - 2048.0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            f = DCT_M @ shifted[by:by + 8, bx:bx + 8] @ DCT_M.T
+            blocks.append(np.round(f / q).astype(np.int64)
+                          .flatten()[ZIGZAG])
+
+    dc_syms, ac_syms = [], []
+    prev = 0
+    for blk in blocks:
+        dc_syms.append(_category(int(blk[0]) - prev))
+        prev = int(blk[0])
+        run = 0
+        for v in blk[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.append(0xF0)
+                run -= 16
+            ac_syms.append((run << 4) | _category(int(v)))
+            run = 0
+        if run:
+            ac_syms.append(0x00)
+    dc_tab = _canonical_table(dc_syms or [0])
+    ac_tab = _canonical_table(ac_syms or [0])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    zz = q.flatten()[ZIGZAG].astype(">u2").tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10]) + zz
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for cls, (bits, syms, _) in ((0, dc_tab), (1, ac_tab)):
+        payload = bytes([cls << 4]) + bytes(bits[1:17]) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+        + b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    prev = 0
+    _, _, dc_codes = dc_tab
+    _, _, ac_codes = ac_tab
+    for blk in blocks:
+        diff = int(blk[0]) - prev
+        prev = int(blk[0])
+        cat = _category(diff)
+        code, L = dc_codes[cat]
+        bw.write(code, L)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bw.write(mag, cat)
+        run = 0
+        for v in blk[1:]:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, L = ac_codes[0xF0]
+                bw.write(code, L)
+                run -= 16
+            cat = _category(v)
+            code, L = ac_codes[(run << 4) | cat]
+            bw.write(code, L)
+            mag = v if v > 0 else v + (1 << cat) - 1
+            bw.write(mag, cat)
+            run = 0
+        if run:
+            code, L = ac_codes[0x00]
+            bw.write(code, L)
+    bw.flush()
+    out += bytes(bw.out) + b"\xff\xd9"
     return bytes(out)

@@ -249,3 +249,53 @@ def test_progressive_page_through_extraction(spark, protos_bc):
     out = extract_pages(df, protos_bc).collect()[0]
     assert out["branch"] == "ocr" and out["ok"]
     assert out["extracted_text"] == text
+
+
+def test_12bit_grayscale_roundtrip():
+    """12-bit-precision extended sequential (SOF1, 16-bit DQT, level
+    shift 2048) — the scanned-archive shape — decodes through the same
+    path, scaled to the pipeline's 8-bit output."""
+    import math
+
+    import numpy as np
+
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jpegcodec import (decode_jpeg,
+                                              encode_jpeg_12bit)
+
+    img8 = render_line("twelve bit precision line")[0]
+    img12 = (img8.astype(np.uint32) * 4095 // 255).astype(np.uint16)
+    d = decode_jpeg(encode_jpeg_12bit(img12))[:, :, 0].astype(float)
+    err = np.abs(d - img8.astype(float))
+    psnr = 10 * math.log10(255 ** 2 / max((err ** 2).mean(), 1e-9))
+    assert psnr > 30, psnr
+
+    # flat fields hit the endpoints exactly
+    for val, exp in ((0, 0), (4095, 255), (3000, 187)):
+        flat = np.full((8, 8), val, np.uint16)
+        got = decode_jpeg(encode_jpeg_12bit(flat))[0, 0, 0]
+        assert abs(int(got) - exp) <= 1, (val, got)
+
+    # a smooth 12-bit gradient survives with sub-8-bit error
+    grad = np.tile(np.linspace(0, 4095, 256).astype(np.uint16), (16, 1))
+    d2 = decode_jpeg(encode_jpeg_12bit(grad))[:, :, 0].astype(float)
+    exp2 = grad.astype(float) * 255 / 4095
+    assert np.abs(d2 - exp2).max() < 8
+
+
+def test_12bit_color_and_progressive_stay_seams():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from effocr_spark.synth.jpegcodec import (decode_jpeg,
+                                              encode_jpeg_12bit)
+
+    blob = encode_jpeg_12bit(np.full((8, 8), 100, np.uint16))
+    # rewrite SOF1 to claim 3 components → must raise, not garble
+    i = blob.find(b"\xff\xc1")
+    bad = bytearray(blob)
+    bad[i + 9] = 3
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg(bytes(bad))
