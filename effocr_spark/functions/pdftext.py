@@ -475,21 +475,23 @@ def _plain_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
     return out
 
 
-def extract_pdf_text(data: bytes) -> str:
+def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
     """PDF bytes → extracted text ('' when no text content found).
 
     Raises on undecodable containers (caller quarantines): not-a-PDF,
-    password-protected or AES-encrypted documents, image-filter
-    streams. Standard-handler RC4 encryption with an empty user
-    password (permissions-only locking) and Flate/LZW predictors
-    decode for real.
+    password-protected (when `password` doesn't unlock them) or
+    unsupported-cipher documents, image-filter streams.
+    Standard-handler RC4/AES encryption with an empty user password
+    (permissions-only locking) and Flate/LZW predictors decode for
+    real; `password` supplies a non-empty USER password (the freq_dict
+    config pattern — threaded through pdf_branch/extract_pages).
     """
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     if b"/Encrypt" in data:
-        # standard-handler decryption with the empty user password (the
-        # common permissions-only case); raises for true-password docs
-        streams = _decrypt_streams(data)
+        # standard-handler decryption with the supplied (default:
+        # empty) user password; raises for wrong-password docs
+        streams = _decrypt_streams(data, _norm_password(password))
     else:
         streams = _plain_streams(data)
     # font resources resolve over the PLAINTEXT object dicts (names and
@@ -506,6 +508,8 @@ def extract_pdf_text(data: bytes) -> str:
     for dict_part, body, _num in streams:
         if b"/Subtype" in dict_part and b"/Image" in dict_part:
             continue  # image XObject: no text; see extract_pdf_images
+        if _XREF_TYPE_RE.search(dict_part):
+            continue  # cross-reference stream: W-packed binary, no text
         body = _apply_filters(dict_part, body)
         lines.extend(_stream_text(body, fonts, strict))
     text = "\n".join(ln for ln in lines if ln.strip())
@@ -599,7 +603,8 @@ def _apply_one(name: bytes, body: bytes) -> bytes:
         f"plug a real PDF library in")
 
 
-def extract_pdf_images(data: bytes) -> list[bytes]:
+def extract_pdf_images(data: bytes,
+                       password: bytes | str = b"") -> list[bytes]:
     """Image XObjects → list of image byte strings the OCR branch can
     sniff-route: /DCTDecode images pass through as the embedded JPEG
     bytes; /CCITTFaxDecode Group 4 images (K < 0 — what scanned
@@ -613,8 +618,8 @@ def extract_pdf_images(data: bytes) -> list[bytes]:
     still extracts."""
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
-    streams = (_decrypt_streams(data) if b"/Encrypt" in data
-               else _plain_streams(data))
+    streams = (_decrypt_streams(data, _norm_password(password))
+               if b"/Encrypt" in data else _plain_streams(data))
     by_num = {num: (d, b) for d, b, num in streams if num >= 0}
     out: list[bytes] = []
     for dict_part, body, _num in streams:
@@ -902,11 +907,41 @@ def _object_key(key: bytes, num: int, gen: int,
     return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
 
 
-def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
-    """Standard-handler decryption with the EMPTY user password:
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+_METADATA_TYPE_RE = re.compile(rb"/Type\s*/Metadata\b")
+
+
+def _norm_password(password: bytes | str) -> bytes:
+    """UTF-8-encode and truncate to 127 bytes (ISO 32000-2 7.6.4.3.3's
+    SASLprep step is a no-op for the passwords a pipeline config
+    carries)."""
+    if isinstance(password, str):
+        password = password.encode("utf-8")
+    return password[:127]
+
+
+def _skip_decrypt(dict_part: bytes, encrypt_metadata: bool) -> bool:
+    """Streams the standard security handler leaves UNencrypted:
+    cross-reference streams always (ISO 32000-2 7.5.8.2 — they must be
+    readable before the key is known), and /Metadata streams when the
+    encryption dictionary says /EncryptMetadata false."""
+    if _XREF_TYPE_RE.search(dict_part):
+        return True
+    if not encrypt_metadata and _METADATA_TYPE_RE.search(dict_part):
+        return True
+    return False
+
+
+def _decrypt_streams(data: bytes,
+                     password: bytes = b"") -> list[tuple[bytes, bytes, int]]:
+    """Standard-handler decryption with the supplied (default: empty)
+    user password:
     → [(stream dict, decrypted body, object number)] for every stream,
     or raises NotImplementedError for truly password-protected /
-    unsupported-cipher documents."""
+    unsupported-cipher documents. Cross-reference streams (and
+    /Metadata when /EncryptMetadata false) pass through as the
+    plaintext they are; a single stream whose ciphertext is corrupt is
+    skipped, not document-fatal (the key was already validated)."""
     em = _ENCRYPT_REF_RE.search(data)
     if em is None:
         raise ValueError("no /Encrypt reference")
@@ -937,7 +972,8 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
                 f"crypt filter /{cfm.decode('latin-1')} (custom); "
                 f"plug a real PDF library in")
     elif v == 5:
-        return _decrypt_streams_v5(data, enc_dict, enc_num, objs, r)
+        return _decrypt_streams_v5(data, enc_dict, enc_num, objs, r,
+                                   password)
     elif v not in (1, 2):
         raise NotImplementedError(
             f"encryption V={v} (custom crypt filters); plug a real "
@@ -954,15 +990,22 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
     idm = _ID_RE.search(data)
     id0 = (bytes.fromhex(re.sub(rb"\s+", b"", idm.group(1)).decode())
            if idm else b"")
-    key = _std_key(b"", o, p, id0, r, key_len)
+    key = _std_key(password, o, p, id0, r, key_len)
     if not _check_user_password(key, u, id0, r):
         raise NotImplementedError(
+            "password-protected PDF (wrong user password); plug a "
+            "real PDF library in" if password else
             "password-protected PDF (non-empty user password); plug a "
             "real PDF library in")
+    encrypt_metadata = (re.search(rb"/EncryptMetadata\s+false",
+                                  enc_dict) is None)
     out = []
     for num, gen, body in objs:
         sm = _STREAM_RE.search(body)
         if sm is None or num == enc_num:
+            continue
+        if _skip_decrypt(sm.group(1), encrypt_metadata):
+            out.append((sm.group(1), sm.group(2), num))
             continue
         if cfm == b"AESV2":
             ok_key = _object_key(key, num, gen, aes=True)
@@ -972,10 +1015,13 @@ def _decrypt_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
             # misaligned (mirrors the Flate .strip retry)
             while (len(sbody) - 16) % 16 and sbody[-1:] in (b"\n", b"\r"):
                 sbody = sbody[:-1]
-            if len(sbody) < 16:
-                raise ValueError("AESV2 stream shorter than its IV")
             from .aescipher import cbc_decrypt
-            body_out = cbc_decrypt(ok_key, sbody[:16], sbody[16:])
+            try:
+                if len(sbody) < 16:
+                    raise ValueError("AESV2 stream shorter than its IV")
+                body_out = cbc_decrypt(ok_key, sbody[:16], sbody[16:])
+            except ValueError:
+                continue  # one corrupt stream ≠ a corrupt document
         else:
             body_out = _rc4(_object_key(key, num, gen), sm.group(2))
         out.append((sm.group(1), body_out, num))
@@ -1008,15 +1054,22 @@ def _hash_2b(pw: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
 
 
 def _decrypt_streams_v5(data: bytes, enc_dict: bytes, enc_num: int,
-                        objs: list[tuple[int, int, bytes]],
-                        r: int) -> list[tuple[bytes, bytes, int]]:
+                        objs: list[tuple[int, int, bytes]], r: int,
+                        password: bytes = b"",
+                        ) -> list[tuple[bytes, bytes, int]]:
     """AES-256 security handler (V5: R5 legacy / R6 = PDF 2.0 /AESV3)
-    with the EMPTY user password: validate against /U's validation
-    salt, unwrap the 32-byte file key from /UE with the key-salt hash,
-    then AES-256-CBC-decrypt every stream with the FILE key directly
-    (V5 has no per-object key derivation; the IV is the stream's first
-    16 bytes, padding is PKCS#7 — same framing as /AESV2)."""
-    from .aescipher import cbc_decrypt, cbc_decrypt_nopad
+    with the supplied (default: empty) USER password: unwrap the
+    32-byte file key from /UE with the key-salt hash and prove it via
+    the /Perms single-block check (ISO 32000-2 7.6.4.4.12 — one
+    Algorithm 2.B evaluation instead of two, which matters because R6's
+    hash costs ~0.2s in pure Python); fall back to the /U validation
+    hash when /Perms is absent. Streams AES-256-CBC-decrypt with the
+    FILE key directly (V5 has no per-object key derivation; the IV is
+    the stream's first 16 bytes, padding is PKCS#7 — same framing as
+    /AESV2). Cross-reference streams (and /Metadata under
+    /EncryptMetadata false) are spec-unencrypted and pass through; a
+    single corrupt stream is skipped, not document-fatal."""
+    from .aescipher import cbc_decrypt, cbc_decrypt_nopad, ecb_decrypt_block
 
     if r not in (5, 6):
         raise NotImplementedError(
@@ -1030,22 +1083,36 @@ def _decrypt_streams_v5(data: bytes, enc_dict: bytes, enc_num: int,
     ue = _pdf_string(enc_dict, rb"/UE")
     if u is None or ue is None or len(u) < 48 or len(ue) < 32:
         raise ValueError("malformed V5 encryption dictionary")
-    if _hash_2b(b"", u[32:40], b"", r) != u[:32]:
+    perms = _pdf_string(enc_dict, rb"/Perms")
+    inter = _hash_2b(password, u[40:48], b"", r)
+    file_key = cbc_decrypt_nopad(inter, b"\x00" * 16, ue[:32])
+    validated = (perms is not None and len(perms) >= 16
+                 and ecb_decrypt_block(file_key, perms[:16])[9:12]
+                 == b"adb")
+    if not validated and _hash_2b(password, u[32:40], b"", r) != u[:32]:
         raise NotImplementedError(
+            "password-protected PDF (wrong user password); plug a "
+            "real PDF library in" if password else
             "password-protected PDF (non-empty user password); plug a "
             "real PDF library in")
-    inter = _hash_2b(b"", u[40:48], b"", r)
-    file_key = cbc_decrypt_nopad(inter, b"\x00" * 16, ue[:32])
+    encrypt_metadata = (re.search(rb"/EncryptMetadata\s+false",
+                                  enc_dict) is None)
     out = []
     for num, gen, body in objs:
         sm = _STREAM_RE.search(body)
         if sm is None or num == enc_num:
             continue
+        if _skip_decrypt(sm.group(1), encrypt_metadata):
+            out.append((sm.group(1), sm.group(2), num))
+            continue
         sbody = sm.group(2)
         while (len(sbody) - 16) % 16 and sbody[-1:] in (b"\n", b"\r"):
             sbody = sbody[:-1]
-        if len(sbody) < 16:
-            raise ValueError("AESV3 stream shorter than its IV")
-        out.append((sm.group(1),
-                    cbc_decrypt(file_key, sbody[:16], sbody[16:]), num))
+        try:
+            if len(sbody) < 16:
+                raise ValueError("AESV3 stream shorter than its IV")
+            body_out = cbc_decrypt(file_key, sbody[:16], sbody[16:])
+        except ValueError:
+            continue  # one corrupt stream ≠ a corrupt document
+        out.append((sm.group(1), body_out, num))
     return out

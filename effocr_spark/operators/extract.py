@@ -517,7 +517,8 @@ def has_pdf_images(html_col):
             | F.contains(s, F.lit("/JBIG2Decode")))
 
 
-def pdf_image_rows(df: DataFrame) -> DataFrame:
+def pdf_image_rows(df: DataFrame,
+                   pdf_password: bytes | str = b"") -> DataFrame:
     """PDF pages → one row per embedded DCT image
     (url, img_idx, jpeg bytes, lang), ready for the standard OCR branch
     — the scanned-newspaper path (north star: 'embedded images/PDF
@@ -530,7 +531,8 @@ def pdf_image_rows(df: DataFrame) -> DataFrame:
             urls, idxs, blobs, langs = [], [], [], []
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 try:
-                    imgs = extract_pdf_images(bytes(html))
+                    imgs = extract_pdf_images(bytes(html),
+                                              password=pdf_password)
                 except Exception:
                     continue
                 for i, blob in enumerate(imgs):
@@ -545,11 +547,14 @@ def pdf_image_rows(df: DataFrame) -> DataFrame:
         explode_batches, EMBEDDED_SCHEMA)
 
 
-def pdf_branch(df: DataFrame) -> DataFrame:
+def pdf_branch(df: DataFrame,
+               pdf_password: bytes | str = b"") -> DataFrame:
     """(url, html=PDF bytes) pages → same output schema as the other
     branches. The extractor (functions/pdftext.py) handles uncompressed
     and FlateDecode content streams pure-stdlib; encrypted/exotic PDFs
-    quarantine into ok=False rows (never crash the job)."""
+    quarantine into ok=False rows (never crash the job). `pdf_password`
+    unlocks true-password documents (job-level config, the freq_dict
+    pattern — a corpus crawled from one provider shares one password)."""
     from ..functions.pdftext import extract_pdf_text
 
     def pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -557,7 +562,8 @@ def pdf_branch(df: DataFrame) -> DataFrame:
             urls, texts, oks, errs = [], [], [], []
             for url, data in zip(pdf["url"], pdf["html"]):
                 try:
-                    texts.append(extract_pdf_text(bytes(data)))
+                    texts.append(extract_pdf_text(bytes(data),
+                                                  password=pdf_password))
                     oks.append(True)
                     errs.append(None)
                 except Exception as e:

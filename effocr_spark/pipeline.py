@@ -68,6 +68,7 @@ def extract_pages(
     encoder_artifact: str | None = None,
     word_silver: float | None = None,
     freq_dict: str | None = None,
+    pdf_password: bytes | str = b"",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
     (url, extracted_text, n_chars, ok, error, branch).
@@ -93,7 +94,7 @@ def extract_pages(
                      encoder_artifact=encoder_artifact,
                      word_silver=word_silver, freq_dict=freq_dict)
     dom = dom_branch(dom_rows)
-    pdfs = pdf_branch(pdf_rows)
+    pdfs = pdf_branch(pdf_rows, pdf_password=pdf_password)
 
     if embedded_images:
         # the north star's "embedded images/PDF layouts": data-URI
@@ -115,7 +116,8 @@ def extract_pages(
         SEP = "\x01emb\x01"
         cand = dom_rows.filter(has_embedded_png(F.col("html")))
         emb = embedded_png_rows(cand).unionByName(
-            pdf_image_rows(pdf_rows.filter(has_pdf_images(F.col("html")))))
+            pdf_image_rows(pdf_rows.filter(has_pdf_images(F.col("html"))),
+                           pdf_password=pdf_password))
         if salt_partitions:
             emb = emb.repartition(
                 salt_partitions, F.xxhash64(F.col("url"), F.lit(0x5A17)))

@@ -108,10 +108,12 @@ def make_pdf(pages: list[list[str]], compress: bool = True,
 
 def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
                        owner_pw: bytes = b"owner-secret",
-                       permissions: int = -44) -> bytes:
-    """Standard-security-handler encrypted PDF with an EMPTY user
-    password — the permissions-only locking most "encrypted" web PDFs
-    use. r=2/3: RC4 (V 1/2); r=4: AES-128-CBC (V4 /AESV2, per-stream
+                       permissions: int = -44,
+                       user_pw: bytes = b"") -> bytes:
+    """Standard-security-handler encrypted PDF, by default with an
+    EMPTY user password — the permissions-only locking most
+    "encrypted" web PDFs use (user_pw makes a true-password document).
+    r=2/3: RC4 (V 1/2); r=4: AES-128-CBC (V4 /AESV2, per-stream
     IV prepended). Streams are Flate-encoded then encrypted with the
     per-object key, exactly the layering the spec prescribes."""
     import hashlib
@@ -124,7 +126,7 @@ def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
     id0 = hashlib.md5(repr(pages).encode()).digest()
 
     padded_owner = (owner_pw + _PDF_PAD)[:32]
-    padded_user = _PDF_PAD  # empty user password
+    padded_user = (user_pw + _PDF_PAD)[:32]
     if r == 2:
         o_key = hashlib.md5(padded_owner).digest()[:5]
         o_val = _rc4(o_key, padded_user)
@@ -138,7 +140,7 @@ def make_encrypted_pdf(pages: list[list[str]], r: int = 3,
             t = _rc4(bytes(b ^ i for b in o_key), t)
         o_val = t
 
-    key = _std_key(b"", o_val, permissions, id0, r, key_len)
+    key = _std_key(user_pw, o_val, permissions, id0, r, key_len)
     if r == 2:
         u_val = _rc4(key, _PDF_PAD)
     else:
@@ -488,25 +490,32 @@ def make_fax_pdf(bitmaps: list["object"],
 
 def make_aes256_pdf(pages: list[list[str]],
                     owner_pw: bytes = b"owner-secret",
-                    permissions: int = -44) -> bytes:
-    """AES-256 (V5/R6, PDF 2.0 /AESV3) encrypted PDF with an EMPTY
-    user password. /U carries hash-2.B(pw, validation salt) + the two
-    salts; /UE wraps the random file key under the key-salt hash;
-    streams are Flate-encoded then AES-256-CBC'd with the FILE key
-    (IV-prefixed, PKCS#7) — no per-object keys in V5."""
+                    permissions: int = -44,
+                    user_pw: bytes = b"",
+                    xref_stream: bool = False) -> bytes:
+    """AES-256 (V5/R6, PDF 2.0 /AESV3) encrypted PDF. /U carries
+    hash-2.B(user_pw, validation salt) + the two salts; /UE wraps the
+    random file key under the key-salt hash; streams are Flate-encoded
+    then AES-256-CBC'd with the FILE key (IV-prefixed, PKCS#7) — no
+    per-object keys in V5. user_pw != b"" makes a TRUE password
+    document (quarantines unless the password is supplied).
+    xref_stream=True emits a cross-reference STREAM instead of a
+    classic xref table — the modern-writer shape, and per spec the one
+    stream the security handler leaves unencrypted."""
     import hashlib
 
     from ..functions.aescipher import (cbc_encrypt, cbc_encrypt_nopad)
     from ..functions.pdftext import _hash_2b
 
     # deterministic "random" material for fixture stability
-    seed = hashlib.sha256(repr(pages).encode()).digest()
+    seed = hashlib.sha256(repr((pages, user_pw, xref_stream))
+                          .encode()).digest()
     vsalt, ksalt = seed[:8], seed[8:16]
     file_key = hashlib.sha256(seed + b"filekey").digest()  # 32 bytes
 
-    u_hash = _hash_2b(b"", vsalt, b"", 6)
+    u_hash = _hash_2b(user_pw, vsalt, b"", 6)
     u_val = u_hash + vsalt + ksalt  # 48 bytes
-    inter = _hash_2b(b"", ksalt, b"", 6)
+    inter = _hash_2b(user_pw, ksalt, b"", 6)
     ue_val = cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
 
     ovsalt, oksalt = seed[16:24], seed[24:32]
@@ -551,13 +560,38 @@ def make_aes256_pdf(pages: list[list[str]],
         offsets.append(len(out))
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
-            f"/Encrypt {enc_num} 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    if xref_stream:
+        # modern shape: the xref is itself a stream object (PNG
+        # predictor 12 over W [1 4 2] rows) and doubles as the trailer;
+        # per ISO 32000-2 7.5.8.2 it is NEVER encrypted — only Flated
+        xref_num = len(objs) + 1
+        size = xref_num + 1
+        rows = [b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+        for off in offsets[1:] + [xref_at]:
+            rows.append(b"\x01" + off.to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+        width = 7
+        raw = bytearray()
+        prev = bytes(width)
+        for row in rows:  # PNG Up (2) per-row filter
+            raw += b"\x02" + bytes((row[i] - prev[i]) & 0xFF
+                                   for i in range(width))
+            prev = row
+        body = zlib.compress(bytes(raw))
+        out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
+                f"/W [1 4 2] /Root 1 0 R /Encrypt {enc_num} 0 R "
+                f"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+                f"/Columns {width} >> /Length {len(body)} >>\nstream\n"
+                .encode() + body + b"\nendstream\nendobj\n")
+        out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    else:
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+                f"/Encrypt {enc_num} 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
 
 

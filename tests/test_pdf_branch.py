@@ -440,3 +440,90 @@ def test_cbc_nopad_roundtrip_all_key_sizes():
         iv = bytes(16)
         assert cbc_decrypt_nopad(key, iv,
                                  cbc_encrypt_nopad(key, iv, data)) == data
+
+
+def test_aes256_xref_stream_document_decrypts():
+    """ISO 32000-2 7.5.8.2: cross-reference streams are never
+    encrypted — a V5 document whose trailer is an xref STREAM must not
+    be AES-unpadded into a document-wide quarantine (the xref stream
+    passes through as plaintext and is excluded from text scan)."""
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import make_aes256_pdf
+
+    pdf = make_aes256_pdf([["Xref stream body text", "line two"]],
+                          xref_stream=True)
+    assert b"/Type /XRef" in pdf
+    assert extract_pdf_text(pdf) == "Xref stream body text\nline two"
+
+
+def test_aes256_corrupt_stream_degrades_not_document_fatal():
+    """One corrupt ciphertext stream skips (key already validated via
+    /Perms); the other page still extracts."""
+    from effocr_spark.functions.pdftext import (_STREAM_RE,
+                                                extract_pdf_text)
+    from effocr_spark.synth.pdfgen import make_aes256_pdf
+
+    pdf = make_aes256_pdf([["good page text"], ["other page text"]])
+    # flip bytes inside the SECOND content stream's ciphertext
+    spans = [m.span(2) for m in _STREAM_RE.finditer(pdf)]
+    s, e = spans[1]
+    bad = pdf[:e - 8] + bytes(8) + pdf[e:]
+    assert bad != pdf
+    out = extract_pdf_text(bad)
+    assert "good page text" in out and "other page text" not in out
+
+
+def test_true_password_seam_v5_and_classic():
+    """extract_pdf_text(data, password=...) unlocks true-password
+    documents across R2/R3/R4/R6; wrong password and no password
+    quarantine with named errors."""
+    import pytest
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import (make_aes256_pdf,
+                                           make_encrypted_pdf)
+
+    blobs = [make_encrypted_pdf([["Locked classic text"]], r=r,
+                                user_pw=b"pw123") for r in (2, 3, 4)]
+    blobs.append(make_aes256_pdf([["Locked classic text"]],
+                                 user_pw=b"pw123"))
+    for blob in blobs:
+        with pytest.raises(NotImplementedError,
+                           match="non-empty user password"):
+            extract_pdf_text(blob)
+        with pytest.raises(NotImplementedError,
+                           match="wrong user password"):
+            extract_pdf_text(blob, password=b"nope")
+        assert extract_pdf_text(blob, password=b"pw123") == \
+            "Locked classic text"
+        # str passwords UTF-8-encode
+        assert extract_pdf_text(blob, password="pw123") == \
+            "Locked classic text"
+
+
+def test_pdf_password_through_pipeline(spark, protos_bc):
+    """pdf_password threads through extract_pages config (the
+    freq_dict pattern): locked docs extract with it, quarantine
+    without."""
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.pdfgen import make_aes256_pdf
+
+    blob = make_aes256_pdf([["Config unlocked text"]],
+                           user_pw=b"corp-pw")
+    df = spark.createDataFrame(
+        [("pdf://locked/0", None, bytearray(blob), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = extract_pages(df, protos_bc, pdf_password=b"corp-pw").collect()
+    assert out[0]["ok"] and out[0]["extracted_text"] == \
+        "Config unlocked text"
+    quar = extract_pages(df, protos_bc).collect()
+    assert not quar[0]["ok"] and "password" in quar[0]["error"]
+
+
+def test_skip_decrypt_predicates():
+    from effocr_spark.functions.pdftext import _skip_decrypt
+
+    assert _skip_decrypt(b"<< /Type /XRef /W [1 4 2] >>", True)
+    assert _skip_decrypt(b"<< /Type /Metadata /Subtype /XML >>", False)
+    assert not _skip_decrypt(b"<< /Type /Metadata /Subtype /XML >>", True)
+    assert not _skip_decrypt(b"<< /Length 10 >>", False)
