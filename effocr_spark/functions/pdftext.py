@@ -60,6 +60,7 @@ _OP_RE = re.compile(
     rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"                # [..] TJ
     rb"|(?P<tstar>T\*)"                                   # T*
     rb"|(?P<tx>-?[\d.]+)\s+(?P<ty>-?[\d.]+)\s+(?:Td|TD)"  # x y Td/TD
+    rb"|(?P<tmnums>(?:-?[\d.]+\s+){6})Tm"                 # a b c d e f Tm
     rb"|/(?P<fname>[^\s/<>()\[\]]+)\s+-?[\d.]+\s+Tf",      # /F1 12 Tf
     re.S,
 )
@@ -158,8 +159,12 @@ def _stream_text(body: bytes, fonts: dict | None = None,
             # Differences, then the latin-1 base encoding.
             cmap = f.get("map") or {}
             diffs = f.get("diffs") or {}
+            # explicit membership, NOT `or`-chaining: a /ToUnicode
+            # entry legally maps a code to the EMPTY string (deleted /
+            # non-semantic glyph) and must not fall through to latin-1
             lines[-1].append("".join(
-                cmap.get(b_) or diffs.get(b_) or chr(b_)
+                cmap[b_] if b_ in cmap else
+                diffs[b_] if b_ in diffs else chr(b_)
                 for b_ in raw))
         else:
             lines[-1].append(raw.decode("latin-1"))
@@ -167,11 +172,24 @@ def _stream_text(body: bytes, fonts: dict | None = None,
     for block in _BT_RE.findall(body):
         if lines[-1]:
             lines.append([])
+        # Tm (set-text-matrix) line tracking: Skia/Chrome print-to-PDF,
+        # wkhtmltopdf and several word processors position EVERY text
+        # run with `a b c d e f Tm` and never emit Td. A Tm whose f
+        # (vertical translation) differs from the current known
+        # baseline starts a new line; same-f Tm is horizontal run
+        # positioning WITHIN the line (the wkhtmltopdf per-word shape)
+        # and must NOT break. BT resets the matrix, so the first Tm of
+        # a block is positioning, not a break; after a relative move
+        # (Td/TD/T*/'/") the absolute baseline is unknown again — the
+        # relative op already broke the line, so the next Tm
+        # repositions without a second break.
+        tm_f: float | None = None
         for m in _OP_RE.finditer(block):
             if m.group("s") is not None or m.group("hs") is not None:
                 op = m.group("op") or m.group("hop")
                 if op in (b"'", b'"'):  # defined as T* + show
                     lines.append([])
+                    tm_f = None
                 _show(_unescape(m.group("s"))
                       if m.group("s") is not None
                       else _hexstr_bytes(m.group("hs")))
@@ -185,11 +203,22 @@ def _stream_text(body: bytes, fonts: dict | None = None,
                         lines[-1].append(" ")
             elif m.group("tstar") is not None:
                 lines.append([])
+                tm_f = None
+            elif m.group("tmnums") is not None:
+                f_new = float(m.group("tmnums").split()[5])
+                # break on a changed baseline, AND on an unknown
+                # baseline when the current line already has content
+                # (Tm after Td-positioned text repositions somewhere)
+                if (abs(f_new - tm_f) > 1e-6 if tm_f is not None
+                        else bool(lines[-1])):
+                    lines.append([])
+                tm_f = f_new
             elif m.group("fname") is not None:
                 cur = m.group("fname").decode("latin-1")
             else:  # Td / TD
                 if float(m.group("ty")) != 0.0:
                     lines.append([])
+                    tm_f = None
     return ["".join(ln) for ln in lines]
 
 

@@ -34,6 +34,32 @@ def _content_stream(lines: list[str]) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
+def _content_stream_tm(lines: list[str]) -> bytes:
+    """Tm-positioned content stream — the Skia/Chrome print-to-PDF /
+    wkhtmltopdf shape: no Td/TD/T* at all, every text run positioned
+    with an absolute `a b c d e f Tm`. Lines advance by changing f;
+    multi-word lines are split into TWO same-f runs at a word boundary
+    (the first keeps its trailing space), exercising the
+    horizontal-run-within-a-line no-break path."""
+    ops = ["BT", "/F1 12 Tf"]
+    for i, line in enumerate(lines):
+        y = 720 - 14 * i
+        words = line.split(" ")
+        if len(words) > 1:
+            k = (len(words) + 1) // 2
+            first = " ".join(words[:k]) + " "
+            second = " ".join(words[k:])
+            ops.append(f"1 0 0 1 72 {y} Tm")
+            ops.append(f"({_escape(first)}) Tj")
+            ops.append(f"1 0 0 1 300 {y} Tm")
+            ops.append(f"({_escape(second)}) Tj")
+        else:
+            ops.append(f"1 0 0 1 72 {y} Tm")
+            ops.append(f"({_escape(line)}) Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
 def _encode_filters(content: bytes, chain: tuple[str, ...]) -> bytes:
     """Apply an ENCODE chain (reverse of the /Filter decode order)."""
     import base64
@@ -61,10 +87,13 @@ def _encode_filters(content: bytes, chain: tuple[str, ...]) -> bytes:
 
 
 def make_pdf(pages: list[list[str]], compress: bool = True,
-             filters: tuple[str, ...] | None = None) -> bytes:
+             filters: tuple[str, ...] | None = None,
+             tm_layout: bool = False) -> bytes:
     """pages = list of pages, each a list of text lines → PDF bytes.
     filters: explicit /Filter decode chain (e.g. ("ASCII85Decode",
-    "FlateDecode")); default keeps the compress flag's behavior."""
+    "FlateDecode")); default keeps the compress flag's behavior.
+    tm_layout=True positions every text run with Tm and never emits
+    Td/TD/T* — the Skia/Chrome print-to-PDF shape."""
     objs: list[bytes] = []
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -75,7 +104,8 @@ def make_pdf(pages: list[list[str]], compress: bool = True,
     if filters is None:
         filters = ("FlateDecode",) if compress else ()
     for i, lines in enumerate(pages):
-        content = _content_stream(lines)
+        content = (_content_stream_tm(lines) if tm_layout
+                   else _content_stream(lines))
         if filters:
             content = _encode_filters(content, filters)
             names = "".join(f" /{n}" for n in filters)
