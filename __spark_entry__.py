@@ -756,58 +756,26 @@ def q_extract_pdf(spark, sf_dir):
     """PDF layout-parse branch (north rule: 'HTML boilerplate strip,
     PDF/layout parse, DOM heuristics'): three-way routed extraction over
     a deterministic mixed fixture — the FULL standard filter set
-    (Flate, LZW, ASCIIHex, ASCII85, RunLength, chains) plus
-    uncompressed text PDFs, an image-filter PDF (quarantined — JBIG2
-    stays a library seam), and the usual PNG/HTML pages.
+    (Flate, LZW, ASCIIHex, ASCII85, RunLength, chains), uncompressed
+    text PDFs, an image-filter PDF (quarantined — raw JBIG2 bytes stay
+    a seam), RC4/AES-128/AES-256 encryption incl. an xref-stream
+    trailer and a TRUE-password document (quarantines), Identity-H CID
+    text (hex/literal/ObjStm/deleted-glyph/no-ToUnicode), a
+    Tm-positioned Chrome/Skia-shaped document, and the usual PNG/HTML
+    pages. The PDF blobs are COMMITTED files (data/pdf_fixtures/ —
+    regeneration byte-parity pinned by tests/test_pdf_fixture_files.py)
+    so the query pays file reads, not AES-256 encoder hashes.
     Golden-pinned."""
     from effocr_spark.pipeline import extract_pages
     from effocr_spark.synth.pages import pages_df
-    from effocr_spark.synth.pdfgen import make_pdf
+    from effocr_spark.synth.pdf_fixture_set import load_fixtures
 
-    pages, _ = pages_df(spark, 40, seed=42)
-    chains = [None, (), ("LZWDecode",), ("ASCIIHexDecode",),
-              ("ASCII85Decode",), ("RunLengthDecode",),
-              ("ASCII85Decode", "FlateDecode"),
-              ("ASCIIHexDecode", "LZWDecode")]
-    pdf_rows = []
-    for i in range(12):
-        lines = [f"Document {i} line {j} of synthetic text"
-                 for j in range(1 + i % 3)]
-        chain = chains[i % len(chains)]
-        blob = (make_pdf([lines], compress=False) if chain == ()
-                else make_pdf([lines], filters=chain))
-        pdf_rows.append((f"pdf://doc/{i:03d}", None, bytearray(blob),
-                         None, "en"))
-    from effocr_spark.synth.pdfgen import make_encrypted_pdf
-    for r in (2, 3, 4):  # RC4 (R2/R3) + AES-128 (R4) permissions-only
-        # encryption decrypts for real
-        pdf_rows.append((f"pdf://enc/r{r}", None,
-                         bytearray(make_encrypted_pdf(
-                             [[f"Encrypted rev {r} document text"]], r=r)),
-                         None, "en"))  # noqa: E501
-    from effocr_spark.synth.pdfgen import make_aes256_pdf
-    pdf_rows.append(("pdf://enc/r6", None, bytearray(make_aes256_pdf(
-        [["Encrypted rev 6 AES-256 text"]])), None, "en"))
-    pdf_rows.append(("pdf://bad/0", None,
-                     bytearray(b"%PDF-1.4\n<< /Filter /JBIG2Decode >>\n"
-                               b"stream\nxx\nendstream"), None, "en"))
-    from effocr_spark.synth.pdfgen import make_cid_pdf
-    # Type0/Identity-H CID text: hex TJ/Tj shows + a literal-CID show,
-    # both mapped through /ToUnicode; the no-ToUnicode document is
-    # unextractable by ANY engine and must quarantine (ok=False), not
-    # silently pass with missing text
-    pdf_rows.append(("pdf://cid/hex", None, bytearray(make_cid_pdf(
-        [["Modern digital document", "with subset fonts"]])),
-        None, "en"))
-    pdf_rows.append(("pdf://cid/lit", None, bytearray(make_cid_pdf(
-        [["literal cid string show"]], literal_show=True)), None, "en"))
-    pdf_rows.append(("pdf://cid/noto", None, bytearray(make_cid_pdf(
-        [["opaque"]], tounicode=False)), None, "en"))
-    # the realistic modern shape: AES-128-encrypted Identity-H CID
-    # document (ToUnicode CMap stream itself encrypted)
-    from effocr_spark.synth.pdfgen import encrypt_pdf
-    pdf_rows.append(("pdf://enc/cid", None, bytearray(encrypt_pdf(
-        make_cid_pdf([["Encrypted CID document"]]), r=4)), None, "en"))
+    # 12 PNG/HTML pages exercise the three-way routing; full-scale OCR
+    # coverage lives in extract_pages (300 rows) — this query's focus
+    # is the 26-document PDF fixture corpus
+    pages, _ = pages_df(spark, 12, seed=42)
+    pdf_rows = [(url, None, bytearray(blob), None, "en")
+                for url, blob in load_fixtures()]
     extra = spark.createDataFrame(
         pdf_rows,
         "url string, warc_ts timestamp, html binary, text string, lang string")

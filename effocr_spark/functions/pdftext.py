@@ -357,8 +357,14 @@ def _parse_tounicode(body: bytes) -> dict[int, str]:
     (explicit per-code dst array)."""
     cmap: dict[int, str] = {}
     for m in _BFCHAR_RE.finditer(body):
-        toks = [t[0] for t in _CMAP_HEX_RE.findall(m.group(1)) if t[0]]
+        # keep EMPTY hex tokens (`<>` = bfchar dst mapping to the empty
+        # string — legal for deleted glyphs); `is not None` drops only
+        # the bracket alternatives
+        toks = [mm.group(1) for mm in _CMAP_HEX_RE.finditer(m.group(1))
+                if mm.group(1) is not None]
         for src, dst in zip(toks[0::2], toks[1::2]):
+            if not re.sub(rb"\s+", b"", src):
+                continue  # malformed: empty src code
             cmap[int(re.sub(rb"\s+", b"", src), 16)] = _utf16be(dst)
     for m in _BFRANGE_RE.finditer(body):
         # tokens: hex strings (bytes) and array brackets (str markers)

@@ -310,6 +310,7 @@ def _cid_tounicode_cmap(chars: set[str]) -> bytes:
     other = sorted(c for c in chars if not ("a" <= c <= "z"))
     bfchars = [f"<{_cid_of(c):04X}> <{ord(c):04X}>" for c in other]
     bfchars.append("<0001> <00660069>")  # ligature: fi
+    bfchars.append("<0002> <>")  # deleted glyph: maps to EMPTY string
     parts = [
         "/CIDInit /ProcSet findresource begin",
         "12 dict begin",
@@ -336,12 +337,17 @@ def _cid_tounicode_cmap(chars: set[str]) -> bytes:
     return "\n".join(parts).encode("latin-1")
 
 
-def _cid_content_stream(lines: list[str], literal_show: bool) -> bytes:
+def _cid_content_stream(lines: list[str], literal_show: bool,
+                        deleted_glyph: bool = False) -> bytes:
     """Identity-H content stream: hex-string show operators, TJ arrays
     with word-gap kerning, and (optionally) a literal-string show whose
     bytes are the same 2-byte CIDs — all three spellings a real CID
-    writer emits."""
+    writer emits. deleted_glyph injects CID 0x0002 (ToUnicode-mapped
+    to the EMPTY string) before the first line — it must extract to
+    nothing, not U+FFFD or a latin-1 fallback."""
     ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    if deleted_glyph:
+        ops.append("<0002> Tj")
     for i, line in enumerate(lines):
         if i:
             ops.append("0 -14 Td")
@@ -365,7 +371,8 @@ def _cid_content_stream(lines: list[str], literal_show: bool) -> bytes:
 def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
                  compress: bool = True,
                  literal_show: bool = False,
-                 objstm: bool = False) -> bytes:
+                 objstm: bool = False,
+                 deleted_glyph: bool = False) -> bytes:
     """Identity-H Type0 (CID-keyed) text PDF — the shape nearly every
     modern born-digital PDF has (subset TrueType + Identity-H): hex
     2-byte-CID show strings, a /DescendantFonts CIDFontType2, and a
@@ -387,7 +394,8 @@ def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
     desc_num = font_num + 1
     touni_num = font_num + 2
     for i, lines in enumerate(pages):
-        content = _cid_content_stream(lines, literal_show)
+        content = _cid_content_stream(lines, literal_show,
+                                      deleted_glyph and i == 0)
         filt = ""
         if compress:
             content = zlib.compress(content)
