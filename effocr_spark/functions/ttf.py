@@ -120,6 +120,32 @@ def _parse_format4(sub: bytes) -> dict[int, int]:
     return out
 
 
+# group-format subtables (12/13) materialize every codepoint in each
+# range; a corrupt u32 group end (the length check bounds n_groups, not
+# range WIDTHS) would otherwise loop for billions of iterations inside
+# an executor UDF. Legit fonts never exceed the Unicode ceiling, and
+# total expansion is capped at one full Unicode space.
+_MAX_CODEPOINT = 0x10FFFF
+_MAX_EXPANDED = 0x110000
+
+
+def _check_group(fmt: int, g: int, start: int, end: int,
+                 total: int) -> int:
+    """→ new cumulative total; raises on structural corruption."""
+    if start > end:
+        raise ValueError(f"format {fmt} group {g}: start > end")
+    if end > _MAX_CODEPOINT:
+        raise ValueError(
+            f"format {fmt} group {g}: end U+{end:X} beyond the "
+            f"Unicode ceiling (corrupt group table)")
+    total += end - start + 1
+    if total > _MAX_EXPANDED:
+        raise ValueError(
+            f"format {fmt}: groups expand to >{_MAX_EXPANDED} "
+            f"codepoints (corrupt group table)")
+    return total
+
+
 def _parse_format12(sub: bytes) -> dict[int, int]:
     if len(sub) < 16:
         raise ValueError("truncated cmap format 12 header")
@@ -127,11 +153,11 @@ def _parse_format12(sub: bytes) -> dict[int, int]:
     if 16 + 12 * n_groups > len(sub):
         raise ValueError("truncated cmap format 12 groups")
     out: dict[int, int] = {}
+    total = 0
     for g in range(n_groups):
         off = 16 + 12 * g
         start, end, start_gid = struct.unpack_from(">III", sub, off)
-        if start > end:
-            raise ValueError(f"format 12 group {g}: start > end")
+        total = _check_group(12, g, start, end, total)
         for c in range(start, end + 1):
             out[c] = start_gid + (c - start)
     return out
@@ -161,11 +187,11 @@ def _parse_format13(sub: bytes) -> dict[int, int]:
     if 16 + 12 * n_groups > len(sub):
         raise ValueError("truncated cmap format 13 groups")
     out: dict[int, int] = {}
+    total = 0
     for g in range(n_groups):
         off = 16 + 12 * g
         start, end, gid = struct.unpack_from(">III", sub, off)
-        if start > end:
-            raise ValueError(f"format 13 group {g}: start > end")
+        total = _check_group(13, g, start, end, total)
         for c in range(start, end + 1):
             out[c] = gid
     return out

@@ -200,27 +200,34 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     on dense-id tables, so existing oracles are unchanged).
 
     refine > 0 runs that many data-parallel Lloyd rounds: broadcast
-    centroids → map-side argmax assign → groupBy(cell) avg(vec) — one
-    shuffle of n_vectors rows per round, same loop shape as
+    centroids → map-side argmax assign → posexplode + groupBy(cell,
+    pos) avg — ONE shuffle of n_vectors×dim exploded rows per round
+    (the centroid_knn_join spelling: a fixed 3-column aggregate, not a
+    per-dimension F.avg fan-out that would put 768 aggregate
+    expressions in the plan at production dims), same loop shape as
     dedup.connected_components. Empty cells keep their previous
-    centroid (the standard k-means convention)."""
+    centroid (the standard k-means convention). No driver-side action
+    anywhere in the build — an empty input yields an empty centroid
+    table in the refined path too."""
     cents = (df.select(F.col(id_col).alias("cell"),
                        F.col(vec_col).alias("centroid"))
              .orderBy("cell").limit(n_cells))
-    if refine > 0:
-        dim = len(df.select(vec_col).first()[0])
-        for _ in range(refine):
-            assigned = _assign_to(df, vec_col, id_col, cents)
-            means = (df.select(id_col, vec_col)
-                     .join(assigned.select(id_col, "cell"), id_col)
-                     .groupBy("cell")
-                     .agg(F.array(*[
-                         F.avg(F.col(vec_col)[i]).alias(f"c{i}")
-                         for i in range(dim)]).alias("new_centroid")))
-            cents = (cents.join(means, "cell", "left")
-                     .select("cell",
-                             F.coalesce("new_centroid", "centroid")
-                             .alias("centroid")))
+    for _ in range(refine):
+        assigned = _assign_to(df, vec_col, id_col, cents)
+        dims = (df.select(id_col, vec_col)
+                .join(assigned.select(id_col, "cell"), id_col)
+                .select("cell", F.posexplode(F.col(vec_col))
+                        .alias("pos", "v")))
+        means = (dims.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "m"))).alias("pm"))
+                 .select("cell", F.expr("transform(pm, x -> x.m)")
+                         .alias("new_centroid")))
+        cents = (cents.join(means, "cell", "left")
+                 .select("cell",
+                         F.coalesce("new_centroid", "centroid")
+                         .alias("centroid")))
     return cents
 
 

@@ -291,3 +291,16 @@ def test_ivf_materialized_partition_pruning(spark, tmp_path):
     assert "cell IN" in plan.replace("#", " ").split(
         "PartitionFilters")[1][:200] or "cell" in plan.split(
         "PartitionFilters")[1][:120]
+
+
+def test_ivf_centroids_refine_empty_and_plan(spark):
+    """refine>0 on an EMPTY table returns an empty centroid table
+    (round-4 ADVICE: the old dim probe raised TypeError on None), and
+    the refined build contains no driver-side action — the plan is a
+    single lazy DataFrame."""
+    from effocr_spark.operators.similarity import ivf_centroids
+
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    out = ivf_centroids(empty, "vec", "id", n_cells=4, refine=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["cell", "centroid"]

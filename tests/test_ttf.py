@@ -184,3 +184,34 @@ def test_format13_many_to_one():
     bad = sub[:16] + struct.pack(">III", 5, 2, 1) + sub[28:]
     with pytest.raises(ValueError, match="start > end"):
         _parse_format13(bad)
+
+
+def test_group_format_corruption_guards():
+    """A corrupt u32 group end (e.g. 0xFFFFFFFF) must raise, not loop
+    for billions of iterations inside an executor UDF; legit
+    whole-Unicode groups still parse."""
+    import struct
+
+    import pytest
+    from effocr_spark.functions.ttf import (_parse_format12,
+                                            _parse_format13)
+
+    def sub(fmt, groups):
+        head = struct.pack(">HHIII", fmt, 0, 16 + 12 * len(groups), 0,
+                           len(groups))
+        return head + b"".join(struct.pack(">III", *g) for g in groups)
+
+    # end beyond the Unicode ceiling → structural corruption
+    for parser, fmt in ((_parse_format12, 12), (_parse_format13, 13)):
+        with pytest.raises(ValueError, match="Unicode ceiling"):
+            parser(sub(fmt, [(0x40, 0xFFFFFFFF, 1)]))
+        # cumulative expansion cap: two half-Unicode-sized groups pass,
+        # three raise
+        half = 0x88000
+        ok = [(0, half - 1, 1), (half, 2 * half - 1, 1)]
+        assert len(parser(sub(fmt, ok))) == 2 * half
+        with pytest.raises(ValueError, match="expand"):
+            parser(sub(fmt, ok + [(0, half - 1, 1)]))
+    # boundary: a group ending exactly at U+10FFFF is legal
+    assert _parse_format13(sub(13, [(0x10FFF0, 0x10FFFF, 9)])) \
+        == {c: 9 for c in range(0x10FFF0, 0x110000)}
