@@ -439,33 +439,22 @@ def _font_registry(data: bytes,
                    ) -> dict[str, dict]:
     """Document-wide font-resource map: name → {cid, map}.
 
-    Binds every /Font <<...>> resource-dict entry (name → indirect font
-    object) across the whole document — a global last-wins map rather
-    than per-page resource scoping (documented approximation: per-page
-    name collisions with DIFFERENT font objects are vanishingly rare in
-    real writers, which emit unique /F<n>/T<n> names per font). Inline
-    (direct) font dicts inside /Font are not bound — a show under such
-    a font falls back to the unresolved-font path, which RAISES in a
-    /Type0 document rather than extracting wrong."""
+    Binds every /Font <<...>> resource-dict entry across the whole
+    document: indirect references (name → font object) AND inline
+    direct font dicts (/F1 << /Subtype /Type1 ... >> — so a show under
+    an inline simple font decodes instead of hitting the
+    unresolved-font path, which raises in strict /Type0 documents).
+    Name scoping stays document-global, but a name REBOUND to a
+    DIFFERENT font object raises (caller quarantines): two pages
+    reusing /F1 for different fonts would otherwise silently decode
+    one page's text through the wrong cmap — fail closed, never
+    silently wrong."""
     objects = {int(m.group(1)): m.group(3)
                for m in _OBJ_RE.finditer(data)}
     if extra_objects:
         objects.update(extra_objects)
-    # /Font resource dicts can live in the raw object space OR inside
-    # an expanded object stream — scan both
-    scan_spaces = [data] + list((extra_objects or {}).values())
-    fonts: dict[str, dict] = {}
-    bindings: list[tuple[bytes, int]] = []
-    for space in scan_spaces:
-        for fm in re.finditer(rb"/Font\s*<<", space):
-            seg = _balanced_dict(space, fm.end() - 2)
-            bindings.extend((bm.group(1), int(bm.group(2)))
-                            for bm in _FONT_BIND_RE.finditer(seg))
-    for bname, num in bindings:
-        name = bname.decode("latin-1")
-        body = objects.get(num)
-        if body is None:
-            continue
+
+    def entry(body: bytes) -> dict:
         cid = _TYPE0_RE.search(body) is not None
         cmap = None
         tm = _TOUNI_REF_RE.search(body)
@@ -488,7 +477,48 @@ def _font_registry(data: bytes,
                 if erm is not None and int(erm.group(1)) in objects:
                     diffs = _parse_differences(
                         objects[int(erm.group(1))])
-        fonts[name] = {"cid": cid, "map": cmap, "diffs": diffs}
+        return {"cid": cid, "map": cmap, "diffs": diffs}
+
+    # /Font resource dicts can live in the raw object space OR inside
+    # an expanded object stream — scan both
+    scan_spaces = [data] + list((extra_objects or {}).values())
+    # binding key: object number for indirect refs, the dict bytes for
+    # inline dicts — same name + same key (e.g. shared resource dict
+    # seen from two scan spaces) is fine, different keys quarantine
+    bound: dict[str, object] = {}
+    fonts: dict[str, dict] = {}
+    for space in scan_spaces:
+        for fm in re.finditer(rb"/Font\s*<<", space):
+            seg = _balanced_dict(space, fm.end() - 2)
+            inner = seg[2:-2]
+            for bm in _FONT_BIND_RE.finditer(inner):
+                name = bm.group(1).decode("latin-1")
+                num = int(bm.group(2))
+                if name in bound and bound[name] != num:
+                    raise ValueError(
+                        f"font name /{name} rebound to a different "
+                        f"font object; per-page resource scoping "
+                        f"required — refusing to decode through the "
+                        f"wrong cmap")
+                body = objects.get(num)
+                if body is None:
+                    continue
+                bound[name] = num
+                fonts[name] = entry(body)
+            for im in re.finditer(
+                    rb"/([^\s/<>()\[\]]+)\s*<<", inner):
+                name = im.group(1).decode("latin-1")
+                body = _balanced_dict(inner, im.end() - 2)
+                if b"/Subtype" not in body and b"/BaseFont" not in body:
+                    continue  # not a font dict (e.g. nested values)
+                if name in bound and bound[name] != body:
+                    raise ValueError(
+                        f"font name /{name} rebound to a different "
+                        f"font object; per-page resource scoping "
+                        f"required — refusing to decode through the "
+                        f"wrong cmap")
+                bound[name] = body
+                fonts[name] = entry(body)
     return fonts
 
 

@@ -215,3 +215,53 @@ def test_encryption_cross_feature_matrix():
             out = extract_pdf_images(encrypt_pdf(mk([img]), r=r))
             assert len(out) == 1
             assert np.array_equal(decode_png(out[0]), thr)
+
+
+def test_inline_simple_font_decodes_in_type0_document():
+    """A direct (inline) /Font resource dict used to be unbound —
+    strict /Type0 mode then quarantined the whole mixed document.
+    Inline simple fonts now bind and decode (round-4 ADVICE)."""
+    from effocr_spark.functions.pdftext import extract_pdf_text
+
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /Font /Subtype /Type0 "
+        b"/Encoding /Identity-H >>\nendobj\n"
+        b"2 0 obj\n<< /Resources << /Font << /FS << /Subtype /Type1 "
+        b"/BaseFont /Helvetica >> >> >> >>\nendobj\n"
+        b"3 0 obj\n<< /Length 44 >>\nstream\n"
+        b"BT /FS 12 Tf (inline simple font text) Tj ET\n"
+        b"endstream\nendobj\n")
+    assert extract_pdf_text(pdf) == "inline simple font text"
+
+
+def test_conflicting_font_rebind_quarantines():
+    """Two resource dicts binding /F1 to DIFFERENT font objects would
+    silently decode one page through the wrong cmap under global
+    last-wins — must fail closed instead (round-4 ADVICE)."""
+    import pytest
+    from effocr_spark.functions.pdftext import extract_pdf_text
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Font /Subtype /Type1 "
+        b"/BaseFont /Helvetica >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+        b"/Encoding << /Differences [65 /zero] >> >>\nendobj\n"
+        b"3 0 obj\n<< /Font << /F1 1 0 R >> >>\nendobj\n"
+        b"4 0 obj\n<< /Font << /F1 2 0 R >> >>\nendobj\n"
+        b"5 0 obj\n<< /Length 30 >>\nstream\n"
+        b"BT /F1 12 Tf (AB) Tj ET\nendstream\nendobj\n")
+    with pytest.raises(ValueError, match="rebound"):
+        extract_pdf_text(pdf)
+
+    # the SAME binding seen twice (shared resource dict) is fine
+    ok = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Font /Subtype /Type1 "
+        b"/BaseFont /Helvetica >>\nendobj\n"
+        b"3 0 obj\n<< /Font << /F1 1 0 R >> >>\nendobj\n"
+        b"4 0 obj\n<< /Font << /F1 1 0 R >> >>\nendobj\n"
+        b"5 0 obj\n<< /Length 30 >>\nstream\n"
+        b"BT /F1 12 Tf (AB) Tj ET\nendstream\nendobj\n")
+    assert extract_pdf_text(ok) == "AB"
