@@ -195,38 +195,63 @@ def main() -> None:
     log(f"cold first query (pricing_summary, fresh JVM): {cold_first}s")
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     qs["pricing_summary"](spark, SF_DIR).count()
+    # host probe ADJACENT to the query block, so per-query latencies can
+    # be host-normalized (cross-round query tables otherwise alias host
+    # drift — every r4 query "regressed" ~1.35x while the host probe
+    # said the machine was FASTER)
+    log("host CPU probe (pre-queries, for per-query normalization)...")
+    control_pre = host_cpu_control()
+    log(f"host control (pre): {control_pre}")
     for name in HEADLINE:
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         results_q[name] = round(time.time() - t0, 3)
         log(f"query {name}: {results_q[name]}s ({n} rows)")
+    host_factor = control_pre[CPUS]["effective_cores"] / CPUS
+    results_q_norm = {k: round(v * host_factor, 3)
+                      for k, v in results_q.items()}
 
     log(f"materializing {N_PAGES} synthetic pages...")
     materialize_pages(spark, N_PAGES)
     spark.stop()
 
-    # scaling evidence: same input at widths 2 / 8 / CPUS; the short
-    # high-width passes repeat (best-of) to ride out host noise
-    walls = {}
-    for width, repeats in ((SCALE_LOW, 1), (SCALE_HIGH, 2), (CPUS, 3)):
-        t, n = bench_at(width, repeats=repeats)
-        walls[width] = (t, n)
-        log(f"extraction @local[{width}]: {t:.1f}s → {n / t:.0f} docs/s")
+    # scaling evidence: same input at widths 2 / 8 / CPUS, measured in
+    # INTERLEAVED cycles (A/B/A/B, best-of per width) rather than
+    # sequential per-width blocks — host drift between blocks otherwise
+    # aliases directly into the N → 4N ratio (round 4's criterion pairs
+    # swapped which one cleared 0.8 across same-day runs of identical
+    # code; interleaving makes every width sample every host phase)
+    wall_samples: dict[int, list[float]] = {
+        SCALE_LOW: [], SCALE_HIGH: [], CPUS: []}
+    n_rows = 0
+    for cycle in range(2):
+        for width in (SCALE_LOW, SCALE_HIGH, CPUS):
+            t, n_rows = bench_at(width,
+                                 repeats=2 if width == CPUS else 1)
+            wall_samples[width].append(round(t, 3))
+            log(f"extraction @local[{width}] cycle {cycle}: {t:.1f}s "
+                f"→ {n_rows / t:.0f} docs/s")
+    walls = {w: (min(s), n_rows) for w, s in wall_samples.items()}
     dps = {w: n / t for w, (t, n) in walls.items()}
     eff_2_8 = dps[SCALE_HIGH] / ((SCALE_HIGH / SCALE_LOW) * dps[SCALE_LOW])
     eff_8_32 = dps[CPUS] / ((CPUS / SCALE_HIGH) * dps[SCALE_HIGH])
     results_q["extract_pages_e2e"] = round(walls[CPUS][0], 3)
 
-    log(f"real-tensor-size pass (224/768) over {N_PAGES_REAL} pages...")
-    real = {}
-    # width 1 and 4 give the cleanest N -> 4N pair on this shared host
-    # (low widths sit inside its linear region for cores AND cache/bus)
-    for width in (1, SCALE_LOW, 4, SCALE_HIGH, CPUS):
-        r = bench_real_tensors(width, N_PAGES_REAL)
-        if r:
-            real[width] = r
-            log(f"real tensors @local[{width}]: {r['wall']}s → "
-                f"{r['docs_per_sec']} docs/s")
+    log(f"real-tensor-size passes (224/768) over {N_PAGES_REAL} pages, "
+        f"interleaved...")
+    # same interleaving for the real-tensor criterion pairs: two cycles
+    # over all widths (one timed pass each) instead of per-width blocks
+    # with internal repeats; best docs/s per width across cycles
+    real_samples: dict[int, list[dict]] = {}
+    for cycle in range(2):
+        for width in (1, SCALE_LOW, 4, SCALE_HIGH, CPUS):
+            r = bench_real_tensors(width, N_PAGES_REAL, repeats=1)
+            if r:
+                real_samples.setdefault(width, []).append(r)
+                log(f"real tensors @local[{width}] cycle {cycle}: "
+                    f"{r['wall']}s → {r['docs_per_sec']} docs/s")
+    real = {w: max(rs, key=lambda d: d["docs_per_sec"])
+            for w, rs in real_samples.items()}
     real_eff_1_4 = (round(real[4]["docs_per_sec"]
                           / (4 * real[1]["docs_per_sec"]), 3)
                     if 1 in real and 4 in real else None)
@@ -262,11 +287,16 @@ the Zipf host skew), identical input parquet for every run; prototype
 build + worker warmup excluded (per-executor one-time costs). Sandbox
 stand-in for N vs 4N executor clusters per BASELINE.md.
 
-| parallelism | wall (s) | docs/sec |
-|---|---|---|
-| local[{SCALE_LOW}] | {walls[SCALE_LOW][0]:.1f} | {dps[SCALE_LOW]:.0f} |
-| local[{SCALE_HIGH}] | {walls[SCALE_HIGH][0]:.1f} | {dps[SCALE_HIGH]:.0f} |
-| local[{CPUS}] | {walls[CPUS][0]:.1f} | {dps[CPUS]:.0f} |
+PROTOCOL (since r5): widths are measured in INTERLEAVED cycles
+(2/8/{CPUS}, 2/8/{CPUS}; best-of per width) so host drift between
+measurements cancels out of the N → 4N ratios instead of aliasing into
+them. All raw wall samples are recorded below.
+
+| parallelism | wall (s, best) | docs/sec | raw wall samples (s) |
+|---|---|---|---|
+| local[{SCALE_LOW}] | {walls[SCALE_LOW][0]:.1f} | {dps[SCALE_LOW]:.0f} | {wall_samples[SCALE_LOW]} |
+| local[{SCALE_HIGH}] | {walls[SCALE_HIGH][0]:.1f} | {dps[SCALE_HIGH]:.0f} | {wall_samples[SCALE_HIGH]} |
+| local[{CPUS}] | {walls[CPUS][0]:.1f} | {dps[CPUS]:.0f} | {wall_samples[CPUS]} |
 
 **Scaling efficiency, N=2 → 4N=8 cores: {eff_2_8:.2f}** (target ≥ 0.8)
 
@@ -277,23 +307,28 @@ recognizer moves ~588x more tensor data per crop. The same pipeline at
 the reference geometry ({N_PAGES_REAL} pages, identical code path,
 sizes set via EFFOCR_CROP_SIZE/EFFOCR_EMBED_DIM):
 
-| parallelism | wall (s) | docs/sec |
-|---|---|---|
+Interleaved protocol here too (two cycles over all widths, one timed
+pass each; best docs/s per width; raw samples in the last column):
+
+| parallelism | wall (s, best) | docs/sec | raw docs/s samples |
+|---|---|---|---|
 """ + "".join(
-            f"| local[{w_}] | {d['wall']} | {d['docs_per_sec']} |\n"
+            f"| local[{w_}] | {d['wall']} | {d['docs_per_sec']} | "
+            + str([s['docs_per_sec']
+                   for s in real_samples.get(w_, [])]) + " |\n"
             for w_, d in real.items()) + f"""
 **N → 4N scaling efficiency at real tensor sizes (two
 independent criterion pairs, target ≥ 0.8): 1 → 4 = {real_eff_1_4},
-2 → 8 = {real_eff}**; 8 → 32: {real_eff_8_32}. Both pairs measure the
-same property on a host whose CPU grant swings 1.5-2x run to run (see
-variance note below) — read the BETTER pair of the run against the
-control probe: a single below-bar pair whose endpoints moved with the
-host (e.g. an unusually FAST width-1 wall inflating the 1 → 4
-denominator) is host noise when the other pair and the kernel-scaling
-line are above bar; a run where BOTH pairs fall below bar with a clean
-control probe would be a pipeline regression. The reference's
-single-node CPU path at these sizes is ~0.5-2 pages/s per thread
-(infer_effocr_onnx_multi.py runtime prints, no committed numbers).
+2 → 8 = {real_eff}**; 8 → 32: {real_eff_8_32}. The pairs are computed
+from interleaved best-of samples (protocol above), so between-block
+host drift — which made round-4's two pairs SWAP which one cleared 0.8
+across same-day runs of identical code — cancels instead of aliasing
+into the ratio. Decision rule: with the interleaved protocol, a pair
+below bar alongside a clean control probe and an at-bar kernel-scaling
+line points at the pipeline stage, not the host — profile it. The
+reference's single-node CPU path at these sizes is ~0.5-2 pages/s per
+thread (infer_effocr_onnx_multi.py runtime prints, no committed
+numbers).
 
 ### 224/768 kernel roofline (measured, not asserted)
 
@@ -359,11 +394,17 @@ first query on a fresh JVM measured {cold_first}s (pricing_summary) vs
 the warm pricing_summary row below — subtract mentally before reading
 cross-round speedups on the first query.
 
-| query | sec |
-|---|---|
+The host-normalized column multiplies each latency by
+(effective cores at width {CPUS} per the ADJACENT pre-query host
+probe) / {CPUS} = {host_factor:.3f} — cross-round comparisons should
+read THAT column, so host drift stops aliasing into per-query deltas.
+
+| query | sec | host-normalized sec |
+|---|---|---|
 """)
         for k, v in results_q.items():
-            f.write(f"| {k} | {v} |\n")
+            f.write(f"| {k} | {v} | "
+                    f"{results_q_norm.get(k, '—')} |\n")
         f.write(f"""
 ## Run-to-run variance
 
@@ -391,17 +432,26 @@ path at equal width and scaling with cores up to the host's ceiling.
         "value": round(dps[CPUS], 1),
         "unit": "docs/sec",
         "queries": results_q,
+        "queries_host_normalized": results_q_norm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extraction": {
             "n_pages": N_PAGES,
+            "protocol": "interleaved widths, best-of per width (r5)",
             "docs_per_sec": {str(w_): round(v, 1) for w_, v in dps.items()},
+            "wall_samples": {str(w_): s
+                             for w_, s in wall_samples.items()},
             "scaling_efficiency_2_to_8": round(eff_2_8, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
             "host_effective_cores": {str(w_): d["effective_cores"]
                                      for w_, d in control.items()},
+            "host_effective_cores_pre": {
+                str(w_): d["effective_cores"]
+                for w_, d in control_pre.items()},
             "real_tensor_224_768": {
                 str(w_): {"wall": d["wall"],
-                          "docs_per_sec": d["docs_per_sec"]}
+                          "docs_per_sec": d["docs_per_sec"],
+                          "samples": [s["docs_per_sec"]
+                                      for s in real_samples.get(w_, [])]}
                 for w_, d in real.items()},
             "real_tensor_scaling_1_to_4": real_eff_1_4,
             "real_tensor_scaling_2_to_8": real_eff,
