@@ -854,6 +854,14 @@ def q_extract_pdf_scanned(spark, sf_dir):
     rows.append(("pdf://jbig2/sym", None, bytearray(
         make_jbig2_pdf([render_line(symtxt)[0]],
                        symbol_text=symtxt)), None, "en"))
+    # HUFFMAN-coded symbol/text JBIG2 (SDHUFF collective bitmaps,
+    # SBHUFF runcode symbol IDs, custom type-53 code tables — T.88's
+    # low-memory variant, the remaining real-world JBIG2 mode)
+    hufftxt = _en_ocr_line(_rng(999200, 0), 4)
+    rows.append(("pdf://jbig2/huff", None, bytearray(
+        make_jbig2_pdf([render_line(hufftxt)[0]],
+                       symbol_text=hufftxt, symbol_huffman=True)),
+        None, "en"))
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, "
               "lang string")

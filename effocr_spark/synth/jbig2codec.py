@@ -326,6 +326,7 @@ _SEG_INTERMEDIATE_GENERIC = 36
 _SEG_END_OF_PAGE = 49
 _SEG_END_OF_STRIPE = 50
 _SEG_END_OF_FILE = 51
+_SEG_TABLES = 53  # custom huffman code-table segment (spec 7.4.13)
 _HARMLESS = {_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE, _SEG_END_OF_FILE}
 
 
@@ -386,15 +387,21 @@ def jbig2_decode_embedded(data: bytes,
     Symbols accumulate across dictionary segments in order (the
     referred-segment graph is not consulted — a documented
     approximation exact for the single-dict streams PDF encoders
-    emit). Huffman-coded variants, refinement, and halftone segments
-    raise NotImplementedError — the caller quarantines (skip, text
-    layer still flows)."""
+    emit). HUFFMAN-coded symbol dictionaries and text regions decode
+    too (SDHUFF collective bitmaps, SBHUFF runcode symbol-ID tables,
+    custom type-53 code tables — synth/jbig2huff.py); refinement and
+    halftone segments raise NotImplementedError — the caller
+    quarantines (skip, text layer still flows)."""
     segs = parse_segments(data)
     if globals_data:
         segs = parse_segments(globals_data) + segs
     page_w = page_h = None
     page: np.ndarray | None = None
     symbols: list[np.ndarray] = []  # exported by dicts, in order
+    # custom code tables accumulate in stream order; huffman consumers
+    # take them in selection-slot order (order-of-reference
+    # approximation, same discipline as the symbol accumulation above)
+    custom_tables: list = []
     for stype, _pg, payload in segs:
         if stype == _SEG_PAGE_INFO:
             if len(payload) < 19:
@@ -438,11 +445,27 @@ def jbig2_decode_embedded(data: bytes,
                 grown[: page.shape[0]] = page
                 page = grown
             page[ry:ry + rh, rx:rx + rw] |= bm
+        elif stype == _SEG_TABLES:
+            from .jbig2huff import parse_code_table
+            custom_tables.append(parse_code_table(payload))
         elif stype == _SEG_SYMBOL_DICT:
-            symbols.extend(_decode_symbol_dict(payload))
+            if (len(payload) >= 2
+                    and struct.unpack_from(">H", payload, 0)[0] & 1):
+                from .jbig2huff import decode_huffman_symbol_dict
+                symbols.extend(decode_huffman_symbol_dict(
+                    payload, custom_tables))
+            else:
+                symbols.extend(_decode_symbol_dict(payload))
         elif stype in (_SEG_IMM_TEXT, _SEG_IMM_LOSSLESS_TEXT,
                        _SEG_INTERMEDIATE_TEXT):
-            rx, ry, rw, rh, bm = _decode_text_region(payload, symbols)
+            if (len(payload) >= 19
+                    and struct.unpack_from(">H", payload, 17)[0] & 1):
+                from .jbig2huff import decode_huffman_text_region
+                rx, ry, rw, rh, bm = decode_huffman_text_region(
+                    payload, symbols, custom_tables)
+            else:
+                rx, ry, rw, rh, bm = _decode_text_region(payload,
+                                                         symbols)
             if page is None:
                 page_w, page_h = rx + rw, ry + rh
                 page = np.zeros((page_h, page_w), np.uint8)
@@ -455,8 +478,8 @@ def jbig2_decode_embedded(data: bytes,
             continue
         else:
             raise NotImplementedError(
-                f"JBIG2 segment type {stype} (halftone/refinement/"
-                f"huffman tables); plug a real JBIG2 library in")
+                f"JBIG2 segment type {stype} (halftone/refinement); "
+                f"plug a real JBIG2 library in")
     if page is None or page.size == 0:
         raise ValueError("JBIG2 stream with no decodable page")
     return np.where(page == 1, np.uint8(0), np.uint8(255))

@@ -1,0 +1,667 @@
+"""JBIG2 Huffman-coded segments — ITU-T T.88 Annex B tables + the
+SDHUFF symbol-dictionary and SBHUFF text-region paths (6.5.9 / 6.4.5),
+from scratch. Complements the arithmetic (MQ) paths in jbig2codec.py:
+real archive encoders overwhelmingly emit arithmetic coding, but the
+huffman mode is the remaining REAL-WORLD variant (T.88 ships it for
+low-memory decoders, and some fax-bridge encoders use it).
+
+Implemented:
+- Annex B prefix-code machinery: canonical code assignment over table
+  lines (normal / lower-range / upper-range / OOB), MSB-first bit IO.
+- Standard tables B.1-B.6 (the symbol-dict selections B.1-B.5 plus the
+  text-region first-S table B.6).
+- CUSTOM code-table segments (type 53, spec B.2/7.4.13) — fully
+  self-describing tables carried in the stream; the fixture encoder
+  uses them for the DS/DT selections.
+- Symbol-ID code table via runcodes (7.4.3.1.7).
+- SDHUFF symbol dictionaries with per-height-class COLLECTIVE bitmaps
+  (BMSIZE=0 uncompressed rows, or MMR via the T.6 codec).
+- SBHUFF text regions (non-transposed, non-refined; CURT as raw
+  log2(SBSTRIPS) bits).
+
+Named seams (raise NotImplementedError): standard-table selections
+B.7-B.15 (this decoder takes custom tables or B.1-B.6 — the tables
+most encoders select), refinement, transposed text.
+
+Reference parity target: dell-research-harvard/effocr consumes scanned
+archives whose JBIG2 layers a real pipeline must decode
+(/root/reference README data pipeline; the engine itself has no codec
+— this is capability the reference lacks).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jbig2codec import OOB
+
+
+# ---------------------------------------------------------- bit I/O
+
+class BitReader:
+    """MSB-first bit reader over bytes."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0) -> None:
+        self.data = data
+        self.pos = byte_pos * 8
+
+    def read_bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("JBIG2 huffman bitstream exhausted")
+        bit = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    @property
+    def byte_pos(self) -> int:
+        if self.pos & 7:
+            raise ValueError("byte_pos read on unaligned bit position")
+        return self.pos >> 3
+
+    def skip_bytes(self, n: int) -> None:
+        if self.pos & 7:
+            raise ValueError("skip_bytes on unaligned bit position")
+        self.pos += 8 * n
+
+
+class BitWriter:
+    """MSB-first bit writer."""
+
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+
+    def byte_align(self) -> None:
+        while len(self._bits) & 7:
+            self._bits.append(0)
+
+    def write_bytes(self, data: bytes) -> None:
+        if len(self._bits) & 7:
+            raise ValueError("write_bytes on unaligned bit position")
+        for b in data:
+            self.write(b, 8)
+
+    def getvalue(self) -> bytes:
+        self.byte_align()
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            v = 0
+            for bit in self._bits[i:i + 8]:
+                v = (v << 1) | bit
+            out.append(v)
+        return bytes(out)
+
+
+# ------------------------------------------------- Annex B tables
+
+NORMAL, LOWER, UPPER, OOB_LINE = 0, 1, 2, 3
+
+
+class HuffLine:
+    __slots__ = ("preflen", "rangelen", "rangelow", "kind",
+                 "code", "codelen")
+
+    def __init__(self, preflen: int, rangelen: int, rangelow: int,
+                 kind: int = NORMAL) -> None:
+        self.preflen = preflen
+        self.rangelen = rangelen
+        self.rangelow = rangelow
+        self.kind = kind
+        self.code = self.codelen = None
+
+
+class HuffTable:
+    """Assigns canonical prefix codes per Annex B.3: increasing code
+    length, ties broken by line listing order; PREFLEN 0 = line unused.
+    decode/encode handle normal, lower-range (value = low - offset,
+    32-bit offset), upper-range (value = low + offset) and OOB lines."""
+
+    def __init__(self, lines: list[HuffLine]) -> None:
+        self.lines = lines
+        used = [ln for ln in lines if ln.preflen > 0]
+        used_sorted = sorted(used, key=lambda ln: ln.preflen)
+        code = 0
+        prev_len = 0
+        for ln in used_sorted:
+            code <<= (ln.preflen - prev_len)
+            ln.code = code
+            ln.codelen = ln.preflen
+            code += 1
+            prev_len = ln.preflen
+        if used and code > (1 << prev_len):
+            raise ValueError("JBIG2 huffman table overfull (Kraft)")
+        self._by_code = {(ln.codelen, ln.code): ln for ln in used}
+
+    def decode(self, r: BitReader):
+        code = 0
+        length = 0
+        for _ in range(32):
+            code = (code << 1) | r.read_bit()
+            length += 1
+            ln = self._by_code.get((length, code))
+            if ln is not None:
+                if ln.kind == OOB_LINE:
+                    return OOB
+                if ln.kind == LOWER:
+                    return ln.rangelow - r.read(32)
+                if ln.kind == UPPER:
+                    return ln.rangelow + r.read(32)
+                return ln.rangelow + r.read(ln.rangelen)
+        raise ValueError("JBIG2 huffman code not found (corrupt table)")
+
+    def encode(self, w: BitWriter, value) -> None:
+        if value is OOB:
+            for ln in self.lines:
+                if ln.kind == OOB_LINE and ln.preflen:
+                    w.write(ln.code, ln.codelen)
+                    return
+            raise ValueError("table has no OOB line")
+        for ln in self.lines:
+            if ln.kind == NORMAL and ln.preflen and \
+                    ln.rangelow <= value < ln.rangelow + (1 << ln.rangelen):
+                w.write(ln.code, ln.codelen)
+                w.write(value - ln.rangelow, ln.rangelen)
+                return
+        for ln in self.lines:
+            if ln.kind == LOWER and ln.preflen and value <= ln.rangelow:
+                w.write(ln.code, ln.codelen)
+                w.write(ln.rangelow - value, 32)
+                return
+            if ln.kind == UPPER and ln.preflen and value >= ln.rangelow:
+                w.write(ln.code, ln.codelen)
+                w.write(value - ln.rangelow, 32)
+                return
+        raise ValueError(f"value {value} outside table range")
+
+
+def _std(lines) -> HuffTable:
+    return HuffTable([HuffLine(*ln) for ln in lines])
+
+
+# T.88 Annex B standard tables (line order = the spec's listing order,
+# which fixes canonical code assignment)
+_STANDARD: dict[int, HuffTable] = {}
+
+
+def standard_table(n: int) -> HuffTable:
+    if n in _STANDARD:
+        return _STANDARD[n]
+    if n == 1:
+        t = _std([(1, 4, 0), (2, 8, 16), (3, 16, 272),
+                  (3, 32, 65808, UPPER)])
+    elif n == 2:
+        t = _std([(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+                  (5, 6, 11), (6, 32, 75, UPPER), (6, 0, 0, OOB_LINE)])
+    elif n == 3:
+        t = _std([(8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2),
+                  (4, 3, 3), (5, 6, 11), (8, 32, -257, LOWER),
+                  (7, 32, 75, UPPER), (6, 0, 0, OOB_LINE)])
+    elif n == 4:
+        t = _std([(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+                  (5, 6, 12), (5, 32, 76, UPPER)])
+    elif n == 5:
+        t = _std([(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3),
+                  (4, 3, 4), (5, 6, 12), (7, 32, -256, LOWER),
+                  (6, 32, 76, UPPER)])
+    elif n == 6:
+        t = _std([(5, 10, -2048), (4, 9, -1024), (4, 8, -512),
+                  (4, 7, -256), (5, 6, -128), (5, 5, -64), (4, 5, -32),
+                  (2, 7, 0), (3, 7, 128), (3, 8, 256), (4, 9, 512),
+                  (4, 10, 1024), (6, 32, -2049, LOWER),
+                  (6, 32, 2048, UPPER)])
+    else:
+        raise NotImplementedError(
+            f"JBIG2 standard huffman table B.{n}; supply a custom "
+            f"code-table segment or plug a real JBIG2 library in")
+    _STANDARD[n] = t
+    return t
+
+
+# ------------------------------------- custom table segments (type 53)
+
+def parse_code_table(payload: bytes) -> HuffTable:
+    """Type-53 code-table segment → HuffTable (spec B.2/7.4.13):
+    1 flags byte (bit0 HTOOB, bits1-3 HTPS-1, bits4-6 HTRS-1),
+    HTLOW/HTHIGH int32, then bit-packed (PREFLEN, RANGELEN) pairs
+    covering [HTLOW, HTHIGH), then lower/upper (and OOB) PREFLENs."""
+    if len(payload) < 9:
+        raise ValueError("short JBIG2 code-table segment")
+    flags = payload[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", payload, 1)
+    if htlow >= hthigh:
+        raise ValueError("JBIG2 code table: HTLOW >= HTHIGH")
+    r = BitReader(payload, 9)
+    lines: list[HuffLine] = []
+    cur = htlow
+    while cur < hthigh:
+        preflen = r.read(htps)
+        rangelen = r.read(htrs)
+        if rangelen > 32:
+            raise ValueError("JBIG2 code table: RANGELEN > 32")
+        lines.append(HuffLine(preflen, rangelen, cur))
+        cur += 1 << rangelen
+    lines.append(HuffLine(r.read(htps), 32, htlow - 1, LOWER))
+    lines.append(HuffLine(r.read(htps), 32, hthigh, UPPER))
+    if htoob:
+        lines.append(HuffLine(r.read(htps), 0, 0, OOB_LINE))
+    return HuffTable(lines)
+
+
+def encode_code_table(lines: list[tuple[int, int]], htlow: int,
+                      lower_preflen: int = 0, upper_preflen: int = 0,
+                      oob_preflen: int | None = None) -> bytes:
+    """Fixture-side type-53 payload. lines = [(preflen, rangelen)]
+    covering [htlow, ...) contiguously; oob_preflen None = HTOOB 0."""
+    max_pref = max([p for p, _ in lines]
+                   + [lower_preflen, upper_preflen, oob_preflen or 0])
+    max_range = max(rl for _, rl in lines)
+    htps = max(max_pref.bit_length(), 1)
+    htrs = max(max_range.bit_length(), 1)
+    hthigh = htlow + sum(1 << rl for _, rl in lines)
+    flags = ((1 if oob_preflen is not None else 0)
+             | ((htps - 1) << 1) | ((htrs - 1) << 4))
+    w = BitWriter()
+    for preflen, rangelen in lines:
+        w.write(preflen, htps)
+        w.write(rangelen, htrs)
+    w.write(lower_preflen, htps)
+    w.write(upper_preflen, htps)
+    if oob_preflen is not None:
+        w.write(oob_preflen, htps)
+    return (struct.pack(">Bii", flags, htlow, hthigh) + w.getvalue())
+
+
+# ------------------------------ symbol-ID code table (7.4.3.1.7)
+
+def decode_symbol_id_table(r: BitReader, nsyms: int) -> HuffTable:
+    """35 5-bit runcode lengths → runcode prefix table → per-symbol
+    code lengths (runcode <32 literal; 32 repeats previous 3+2bit;
+    33/34 repeat zero 3+3bit / 11+7bit) → canonical symbol-ID table.
+    Ends byte-aligned (the instance data that follows starts on a
+    byte boundary)."""
+    runlens = [r.read(5) for _ in range(35)]
+    runtab = HuffTable([HuffLine(plen, 0, i)
+                        for i, plen in enumerate(runlens)])
+    lens: list[int] = []
+    prev = 0
+    while len(lens) < nsyms:
+        c = runtab.decode(r)
+        if c < 32:
+            lens.append(c)
+            prev = c
+        elif c == 32:
+            lens.extend([prev] * (r.read(2) + 3))
+        elif c == 33:
+            lens.extend([0] * (r.read(3) + 3))
+        else:
+            lens.extend([0] * (r.read(7) + 11))
+    if len(lens) > nsyms:
+        raise ValueError("symbol-ID runcode overrun")
+    r.byte_align()
+    return HuffTable([HuffLine(plen, 0, sid)
+                      for sid, plen in enumerate(lens)])
+
+
+def encode_symbol_id_table(w: BitWriter, nsyms: int) -> HuffTable:
+    """Fixture-side: equal-length canonical symbol codes (length
+    ceil(log2(nsyms)), min 1), lengths emitted as literal runcodes.
+    Returns the table for encoding instances. Leaves w byte-aligned."""
+    symlen = max(1, (nsyms - 1).bit_length())
+    # one runcode is used (the value `symlen`); its own prefix length 1
+    runlens = [0] * 35
+    runlens[symlen] = 1
+    for plen in runlens:
+        w.write(plen, 5)
+    runtab = HuffTable([HuffLine(plen, 0, i)
+                        for i, plen in enumerate(runlens)])
+    for _ in range(nsyms):
+        runtab.encode(w, symlen)
+    w.byte_align()
+    return HuffTable([HuffLine(symlen, 0, sid)
+                      for sid in range(nsyms)])
+
+
+# ----------------------------------- SDHUFF symbol dictionary (6.5.9)
+
+def _select(sel: int, std_a: int, std_b: int | None,
+            custom: list[HuffTable], cursor: list[int],
+            what: str) -> HuffTable:
+    if sel == 0:
+        return standard_table(std_a)
+    if sel == 1 and std_b is not None:
+        return standard_table(std_b)
+    if sel == 3:
+        if cursor[0] >= len(custom):
+            raise ValueError(
+                f"JBIG2 {what}: custom table selected but no "
+                f"code-table segment left")
+        t = custom[cursor[0]]
+        cursor[0] += 1
+        return t
+    raise NotImplementedError(
+        f"JBIG2 {what} standard-table selection {sel}; plug a real "
+        f"JBIG2 library in")
+
+
+def decode_huffman_symbol_dict(payload: bytes,
+                               custom: list[HuffTable]
+                               ) -> list[np.ndarray]:
+    """SDHUFF=1 symbol dictionary → exported symbol bitmaps. Height
+    classes carry COLLECTIVE bitmaps: widths via the DW table, then
+    BMSIZE (0 = uncompressed byte-aligned rows, else MMR via the T.6
+    codec), split by widths. Export runs via Table B.1."""
+    flags = struct.unpack_from(">H", payload, 0)[0]
+    if (flags >> 1) & 1:
+        raise NotImplementedError(
+            "JBIG2 huffman symbol dictionary with SDREFAGG; plug a "
+            "real JBIG2 library in")
+    cursor = [0]
+    dh_tab = _select((flags >> 2) & 3, 4, 5, custom, cursor, "SDHUFFDH")
+    dw_tab = _select((flags >> 4) & 3, 2, 3, custom, cursor, "SDHUFFDW")
+    bmsize_tab = (standard_table(1) if not (flags >> 6) & 1
+                  else _select(3, 1, None, custom, cursor,
+                               "SDHUFFBMSIZE"))
+    # AGGINST table ((flags >> 7) & 1) is only read when SDREFAGG=1
+    n_ex, n_new = struct.unpack_from(">II", payload, 2)
+    r = BitReader(payload, 10)
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = dh_tab.decode(r)
+        if dh is OOB:
+            raise ValueError("OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0:
+            raise ValueError("non-positive height class")
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = dw_tab.decode(r)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0:
+                raise ValueError("non-positive symbol width")
+            widths.append(symwidth)
+            if len(new_syms) + len(widths) > n_new:
+                raise ValueError("more symbols than declared")
+        if not widths:
+            continue
+        bmsize = bmsize_tab.decode(r)
+        r.byte_align()
+        totwidth = sum(widths)
+        if bmsize == 0:
+            stride = (totwidth + 7) // 8
+            need = stride * hcheight
+            start = r.byte_pos
+            if start + need > len(payload):
+                raise ValueError("truncated collective bitmap")
+            rows = np.frombuffer(payload, np.uint8, need, start)
+            coll = np.unpackbits(rows.reshape(hcheight, stride),
+                                 axis=1)[:, :totwidth]
+            r.skip_bytes(need)
+        else:
+            from .ccittcodec import g4_decode
+            start = r.byte_pos
+            gray = g4_decode(payload[start:start + bmsize],
+                             totwidth, hcheight)
+            coll = (gray == 0).astype(np.uint8)
+            r.skip_bytes(bmsize)
+        x = 0
+        for wdt in widths:
+            new_syms.append(coll[:, x:x + wdt].copy())
+            x += wdt
+    ex_tab = standard_table(1)
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = False
+    while i < len(new_syms) and len(exported) < n_ex:
+        run = ex_tab.decode(r)
+        if run is OOB or run < 0:
+            raise ValueError("bad export run")
+        if exflag:
+            exported.extend(new_syms[i:i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise ValueError("export count mismatch")
+    return exported
+
+
+# ------------------------------------- SBHUFF text region (6.4.5)
+
+def decode_huffman_text_region(payload: bytes,
+                               symbols: list[np.ndarray],
+                               custom: list[HuffTable]
+                               ) -> tuple[int, int, int, int,
+                                          np.ndarray]:
+    """SBHUFF=1 text region → (x, y, w, h, bitmap). Non-transposed,
+    non-refined; CURT read as raw LOGSBSTRIPS bits; symbol IDs via the
+    runcode-built table."""
+    rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    refine = (flags >> 1) & 1
+    logsbstrips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sbdefpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    if refine or transposed:
+        raise NotImplementedError(
+            "JBIG2 huffman text region with REFINE/TRANSPOSED; plug a "
+            "real JBIG2 library in")
+    hflags = struct.unpack_from(">H", payload, 19)[0]
+    cursor = [0]
+    fs_tab = _select(hflags & 3, 6, None, custom, cursor, "SBHUFFFS")
+    ds_tab = _select((hflags >> 2) & 3, 8, None, custom, cursor,
+                     "SBHUFFDS") if ((hflags >> 2) & 3) != 0 else None
+    if ds_tab is None:
+        raise NotImplementedError(
+            "JBIG2 SBHUFFDS standard table B.8; supply a custom "
+            "code-table segment or plug a real JBIG2 library in")
+    dt_tab = _select((hflags >> 4) & 3, 11, None, custom, cursor,
+                     "SBHUFFDT") if ((hflags >> 4) & 3) != 0 else None
+    if dt_tab is None:
+        raise NotImplementedError(
+            "JBIG2 SBHUFFDT standard table B.11; supply a custom "
+            "code-table segment or plug a real JBIG2 library in")
+    sbstrips = 1 << logsbstrips
+    n_inst = struct.unpack_from(">I", payload, 21)[0]
+    if not symbols:
+        raise ValueError("text region without symbol dictionary")
+    r = BitReader(payload, 25)
+    sym_tab = decode_symbol_id_table(r, len(symbols))
+    bm = np.full((rh, rw), sbdefpixel, np.uint8)
+    stript = -(dt_tab.decode(r)) * sbstrips
+    firsts = 0
+    ninst = 0
+    while ninst < n_inst:
+        dt = dt_tab.decode(r)
+        if dt is OOB:
+            raise ValueError("OOB strip delta")
+        stript += dt * sbstrips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = fs_tab.decode(r)
+                if dfs is OOB:
+                    raise ValueError("OOB first-S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = ds_tab.decode(r)
+                if ids is OOB:
+                    break
+                curs += ids + dsoffset
+            curt = r.read(logsbstrips) if sbstrips > 1 else 0
+            tt = stript + curt
+            sid = sym_tab.decode(r)
+            if sid is OOB or not 0 <= sid < len(symbols):
+                raise ValueError("symbol id out of range")
+            sym = symbols[sid]
+            hs, ws = sym.shape
+            x0 = curs
+            y0 = tt if refcorner in (1, 3) else tt - hs + 1
+            xx0, yy0 = max(x0, 0), max(y0, 0)
+            xx1, yy1 = min(x0 + ws, rw), min(y0 + hs, rh)
+            if xx0 < xx1 and yy0 < yy1:
+                bm[yy0:yy1, xx0:xx1] |= sym[yy0 - y0:yy1 - y0,
+                                            xx0 - x0:xx1 - x0]
+            curs += ws - 1
+            ninst += 1
+            if ninst > n_inst:
+                raise ValueError("more instances than declared")
+    return rx, ry, rw, rh, bm
+
+
+# ------------------------------------------- fixture-side encoders
+
+def encode_huffman_symbol_dict(symbols: list[np.ndarray]) -> bytes:
+    """Height-class-sorted {0,1} symbols → SDHUFF=1 payload with
+    standard tables (DH=B.4, DW=B.2, BMSIZE=B.1) and UNCOMPRESSED
+    collective bitmaps. All symbols exported."""
+    dh_tab, dw_tab, b1 = (standard_table(4), standard_table(2),
+                          standard_table(1))
+    n = len(symbols)
+    w = BitWriter()
+    i = 0
+    hcheight = 0
+    while i < n:
+        h = symbols[i].shape[0]
+        dh_tab.encode(w, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        cls = []
+        while i < n and symbols[i].shape[0] == h:
+            wd = symbols[i].shape[1]
+            dw_tab.encode(w, wd - symwidth)
+            symwidth = wd
+            cls.append(symbols[i])
+            i += 1
+        dw_tab.encode(w, OOB)
+        b1.encode(w, 0)  # BMSIZE 0: uncompressed collective bitmap
+        w.byte_align()
+        coll = np.concatenate(cls, axis=1)
+        w.write_bytes(np.packbits(coll, axis=1).tobytes())
+    b1.encode(w, 0)
+    b1.encode(w, n)
+    flags = 1  # SDHUFF=1, all selections 0 (standard), no refagg
+    return (struct.pack(">H", flags) + struct.pack(">II", n, n)
+            + w.getvalue())
+
+
+def encode_huffman_text_region(w_px: int, h_px: int,
+                               instances: list[tuple[int, int, int]],
+                               symbols: list[np.ndarray]
+                               ) -> tuple[bytes, list[bytes]]:
+    """instances = [(x, y, sym_id)] placed TOPLEFT, SBSTRIPS=1 →
+    (SBHUFF=1 type-7 payload, [custom table segment payloads]).
+    FS = standard B.6; DS and DT = CUSTOM tables (type-53 segments,
+    emitted in that consumption order)."""
+    by_t: dict[int, list[tuple[int, int]]] = {}
+    for x, y, sid in instances:
+        by_t.setdefault(y, []).append((x, sid))
+    ts = sorted(by_t)
+    max_dt = max((b - a for a, b in zip(ts, ts[1:])), default=0)
+    max_dt = max(max_dt, ts[0] if ts else 0, 1)
+    max_ds = 1
+    for t in ts:
+        row = sorted(by_t[t])
+        curs = None
+        for x, sid in row:
+            if curs is not None:
+                max_ds = max(max_ds, x - curs)
+            curs = x + symbols[sid].shape[1] - 1
+    # custom DS table: one line covering [0, 2^k), OOB ends strips
+    ds_bits = max(max_ds.bit_length(), 1)
+    ds_payload = encode_code_table([(1, ds_bits)], 0, oob_preflen=1)
+    ds_tab = parse_code_table(ds_payload)
+    # custom DT table: one line covering [0, 2^k), no OOB
+    dt_bits = max(max_dt.bit_length(), 1)
+    dt_payload = encode_code_table([(1, dt_bits)], 0)
+    dt_tab = parse_code_table(dt_payload)
+    fs_tab = standard_table(6)
+
+    w = BitWriter()
+    sym_tab = encode_symbol_id_table(w, len(symbols))
+    dt_tab.encode(w, 0)  # STRIPT init (-0)
+    stript = 0
+    firsts = 0
+    for t in ts:
+        dt_tab.encode(w, t - stript)
+        stript = t
+        row = sorted(by_t[t])
+        first = True
+        curs = 0
+        for x, sid in row:
+            if first:
+                fs_tab.encode(w, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                ds_tab.encode(w, x - curs)
+                curs = x
+            sym_tab.encode(w, sid)
+            curs += symbols[sid].shape[1] - 1
+        ds_tab.encode(w, OOB)
+    flags = 1 | (1 << 4)  # SBHUFF=1, REFCORNER=TOPLEFT, SBSTRIPS=1
+    hflags = (0       # FS: standard B.6
+              | (3 << 2)   # DS: custom
+              | (3 << 4))  # DT: custom
+    payload = (struct.pack(">IIII", w_px, h_px, 0, 0) + b"\x00"
+               + struct.pack(">HH", flags, hflags)
+               + struct.pack(">I", len(instances)) + w.getvalue())
+    return payload, [ds_payload, dt_payload]
+
+
+def jbig2_encode_text_huffman(img_shape: tuple[int, int],
+                              symbols: list[np.ndarray],
+                              instances: list[tuple[int, int, int]]
+                              ) -> bytes:
+    """Embedded-organization HUFFMAN symbol/text JBIG2: page info +
+    SDHUFF symbol dictionary + custom code tables + SBHUFF text region
+    + end of page (table segments precede their consumer, matching the
+    order-of-reference consumption)."""
+    from .jbig2codec import (_SEG_END_OF_PAGE, _SEG_IMM_LOSSLESS_TEXT,
+                             _SEG_PAGE_INFO, _SEG_SYMBOL_DICT,
+                             _SEG_TABLES, _segment_header)
+
+    h, w = img_shape
+    page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01"
+                 + b"\x00\x00")
+    sd = encode_huffman_symbol_dict(symbols)
+    tr, tables = encode_huffman_text_region(w, h, instances, symbols)
+    out = (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+           + page_info
+           + _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sd)) + sd)
+    segnum = 2
+    for tpay in tables:
+        out += _segment_header(segnum, _SEG_TABLES, 1, len(tpay)) + tpay
+        segnum += 1
+    out += (_segment_header(segnum, _SEG_IMM_LOSSLESS_TEXT, 1, len(tr))
+            + tr
+            + _segment_header(segnum + 1, _SEG_END_OF_PAGE, 1, 0))
+    return out

@@ -638,7 +638,8 @@ def make_jbig2_pdf(bitmaps: list["object"],
                    template: int = 0, tpgdon: bool = False,
                    mmr: bool = False,
                    use_globals: bool = False,
-                   symbol_text: str | None = None) -> bytes:
+                   symbol_text: str | None = None,
+                   symbol_huffman: bool = False) -> bytes:
     """Scanned-document PDF with JBIG2 image XObjects (the OTHER
     encoding newspaper archives emit beside G4 fax). bitmaps = 2-D
     uint8 grayscale arrays (ink black = 0); each becomes one full-page
@@ -672,8 +673,12 @@ def make_jbig2_pdf(bitmaps: list["object"],
         if symbol_text is not None:
             from .jbig2codec import jbig2_encode_text, symbols_from_text
             shape, syms, insts, _page = symbols_from_text(symbol_text)
-            body = jbig2_encode_text(shape, syms, insts,
-                                     template=template)
+            if symbol_huffman:
+                from .jbig2huff import jbig2_encode_text_huffman
+                body = jbig2_encode_text_huffman(shape, syms, insts)
+            else:
+                body = jbig2_encode_text(shape, syms, insts,
+                                         template=template)
         else:
             body = jbig2_encode_embedded(img, template=template,
                                          tpgdon=tpgdon, mmr=mmr)

@@ -228,3 +228,82 @@ def test_symbol_text_unsupported_variants_raise():
                + _s.pack(">H", 1) + _s.pack(">I", 0))
     with pytest.raises(NotImplementedError, match="SBHUFF"):
         _decode_text_region(payload, [np.ones((2, 2), np.uint8)])
+
+
+def test_huffman_standard_tables_roundtrip_and_known_codes():
+    """Annex B standard tables B.1-B.6: canonical code assignment
+    (B.2's value-0 code is '0', its OOB code '111111') and
+    encode→decode roundtrips across normal/lower/upper ranges."""
+    from effocr_spark.synth.jbig2codec import OOB
+    from effocr_spark.synth.jbig2huff import (BitReader, BitWriter,
+                                              standard_table)
+
+    w = BitWriter()
+    t2 = standard_table(2)
+    t2.encode(w, 0)
+    t2.encode(w, OOB)
+    data = w.getvalue()
+    # '0' + '111111' packed MSB-first = 0b01111110
+    assert data[0] == 0b01111110
+    cases = {
+        1: [0, 15, 16, 271, 272, 65807, 65808, 10 ** 6],
+        2: [0, 1, 2, 10, 11, 74, 75, 200],
+        3: [-256, -1, 0, 74, 75, -257, -5000, 200],
+        4: [1, 2, 3, 11, 12, 75, 76, 500],
+        5: [-255, 1, 12, 75, 76, -256, -9999, 500],
+        6: [-2048, -1, 0, 127, 2047, 2048, -2049, -10 ** 5, 99999],
+    }
+    for n, vals in cases.items():
+        t = standard_table(n)
+        w = BitWriter()
+        for v in vals:
+            t.encode(w, v)
+        r = BitReader(w.getvalue())
+        assert [t.decode(r) for _ in vals] == vals, n
+
+
+def test_huffman_custom_code_table_roundtrip():
+    from effocr_spark.synth.jbig2codec import OOB
+    from effocr_spark.synth.jbig2huff import (BitReader, BitWriter,
+                                              encode_code_table,
+                                              parse_code_table)
+
+    pay = encode_code_table([(1, 5)], -3, oob_preflen=1)
+    t = parse_code_table(pay)
+    w = BitWriter()
+    for v in (-3, 0, 28):
+        t.encode(w, v)
+    t.encode(w, OOB)
+    r = BitReader(w.getvalue())
+    assert [t.decode(r) for _ in range(4)] == [-3, 0, 28, OOB]
+
+
+def test_huffman_symbol_text_roundtrip_exact():
+    """SDHUFF symbol dictionary (collective bitmaps) + SBHUFF text
+    region (runcode symbol IDs, custom DS/DT tables) reproduce the
+    rendered page bit-exactly."""
+    import numpy as np
+    from effocr_spark.synth.jbig2codec import (jbig2_decode_embedded,
+                                               symbols_from_text)
+    from effocr_spark.synth.jbig2huff import jbig2_encode_text_huffman
+
+    shape, symbols, instances, page = symbols_from_text(
+        "huffman coded jbig2 text")
+    blob = jbig2_encode_text_huffman(shape, symbols, instances)
+    out = jbig2_decode_embedded(blob)
+    expect = np.where(page == 1, 0, 255).astype(np.uint8)
+    assert (out == expect).all()
+
+
+def test_huffman_jbig2_pdf_ocr_end_to_end():
+    """A huffman symbol-coded JBIG2 PDF extracts through the OCR
+    fusion branch with the exact rendered text."""
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.pdfgen import make_jbig2_pdf
+
+    txt = "huffman jbig2 page"
+    blob = make_jbig2_pdf([render_line(txt)[0]], symbol_text=txt,
+                          symbol_huffman=True)
+    from effocr_spark.functions.pdftext import extract_pdf_images
+    imgs = extract_pdf_images(blob)
+    assert len(imgs) == 1 and imgs[0][:8] == b"\x89PNG\r\n\x1a\n"
