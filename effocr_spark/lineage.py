@@ -80,8 +80,20 @@ def run_extraction(
     fail_after_chunk: int | None = None,
     **extract_kwargs,
 ) -> None:
-    """Chunked, checkpointed extraction run. `fail_after_chunk` injects a
-    crash for the kill/resume test."""
+    """Chunked, checkpointed extraction run.
+
+    Normal operation (fail_after_chunk=None) processes ALL remaining
+    chunks in a SINGLE extraction pass — the Iceberg-snapshot shape:
+    filter out committed chunks (the processed/ manifest's distinct
+    chunk ids — a broadcast-anti-join-sized set), extract once, write
+    once partitioned by chunk_id, commit lineage once. One Spark job
+    graph instead of n_chunks sequential driver-looped jobs, which at
+    production chunk counts (thousands) is the difference between one
+    scan of the input and a scheduling-bound crawl.
+
+    `fail_after_chunk` switches to the sequential per-chunk loop so the
+    kill/resume tests can inject a crash at a chunk boundary — the
+    fault-injection harness, not the production path."""
     results_path = f"{out_dir}/results"
     processed_path = f"{out_dir}/processed"
     metrics_path = f"{out_dir}/metrics"
@@ -98,6 +110,53 @@ def run_extraction(
             r["chunk_id"]
             for r in done.select("chunk_id").distinct().collect()
         }
+
+    if fail_after_chunk is None:
+        remaining = sorted(set(range(n_chunks)) - done_chunks)
+        if not remaining:
+            return
+        t0 = time.time()
+        subset = pages.filter(F.col("_chunk").isin(remaining)) \
+                      .drop("_chunk")
+        result = extract_pages(subset, protos_bc, **extract_kwargs)
+        result = (result
+                  .withColumn("chunk_id",
+                              F.pmod(F.xxhash64(F.col("url")),
+                                     F.lit(n_chunks)).cast("int"))
+                  .withColumn("run_id", F.lit(run_id))
+                  .withColumn("partition_id", F.spark_partition_id()))
+        # ONE persisted extraction pass feeds results, both metric
+        # tables, and lineage (same no-reread rationale as the loop)
+        result = result.persist()
+        result.write.mode("append").partitionBy("chunk_id") \
+            .parquet(results_path)
+        stats = result.groupBy("chunk_id").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("ok").cast("int")).alias("n_ok"),
+        ).collect()
+        result.groupBy("run_id", "chunk_id", "partition_id", "branch") \
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("ok").cast("long")).alias("n_ok")) \
+            .write.mode("append").parquet(f"{out_dir}/partition_metrics")
+        # lineage commit AFTER results (crash between the two re-runs
+        # those chunks; read_results de-duplicates the re-appends)
+        result.select("url", "chunk_id").distinct() \
+            .withColumn("run_id", F.lit(run_id)) \
+            .write.mode("append").parquet(processed_path)
+        result.unpersist()
+        wall_ms = int((time.time() - t0) * 1000)
+        by_chunk = {r["chunk_id"]: r for r in stats}
+        spark.createDataFrame(
+            [(run_id, c,
+              int(by_chunk[c]["n_rows"]) if c in by_chunk else 0,
+              int(by_chunk[c]["n_ok"] or 0) if c in by_chunk else 0,
+              (int(by_chunk[c]["n_rows"])
+               - int(by_chunk[c]["n_ok"] or 0)) if c in by_chunk else 0,
+              wall_ms) for c in remaining],
+            "run_id string, chunk_id int, n_rows long, n_ok long, "
+            "n_err long, wall_ms long",
+        ).write.mode("append").parquet(metrics_path)
+        return
 
     for chunk in range(n_chunks):
         if chunk in done_chunks:
