@@ -603,7 +603,9 @@ def _unpredict(dict_part: bytes, body: bytes) -> bytes:
     horizontal differencing, ≥10 = PNG row filters (per-row filter
     byte, exactly PNG's — reuses the PNG codec's unfilter kernel).
     Single /DecodeParms per stream (the real-world object/xref-stream
-    shape); 8-bit components only, like the PNG codec."""
+    shape). TIFF differencing handles 8-bit, 16-bit (big-endian) AND
+    packed sub-byte samples (TIFF 6.0 §14: 1/2/4-bit differencing is
+    sample-wise mod 2^bpc, not byte-wise)."""
     pm = _PREDICTOR_RE.search(dict_part)
     if not pm or int(pm.group(1)) <= 1:
         return body
@@ -619,20 +621,44 @@ def _unpredict(dict_part: bytes, body: bytes) -> bytes:
     if bpc not in (1, 2, 4, 8, 16):
         raise ValueError(f"illegal BitsPerComponent {bpc}")
     if pred == 2:  # TIFF horizontal differencing
-        if bpc != 8:
-            # sub-byte TIFF differencing operates on packed sub-byte
-            # SAMPLES, not bytes — vanishingly rare in the wild
-            raise NotImplementedError(
-                "TIFF predictor with BitsPerComponent != 8; plug a "
-                "real PDF library in")
-        stride = columns * colors
-        bpp = colors
+        if bpc == 8:
+            stride = columns * colors
+            if len(body) % stride:
+                raise ValueError("TIFF-predictor data not row-aligned")
+            rows = np.frombuffer(body, np.uint8) \
+                .reshape(-1, stride).copy()
+            for x in range(colors, stride):
+                rows[:, x] = (rows[:, x] + rows[:, x - colors]) & 0xFF
+            return rows.tobytes()
+        if bpc == 16:  # big-endian 16-bit samples
+            stride = columns * colors * 2
+            if len(body) % stride:
+                raise ValueError("TIFF-predictor data not row-aligned")
+            rows = np.frombuffer(body, ">u2") \
+                .reshape(-1, columns * colors).astype(np.uint32)
+            for x in range(colors, columns * colors):
+                rows[:, x] = (rows[:, x] + rows[:, x - colors]) & 0xFFFF
+            return rows.astype(">u2").tobytes()
+        # sub-byte (1/2/4-bit): differencing operates on packed
+        # sub-byte SAMPLES, not bytes (TIFF 6.0 §14) — unpack each
+        # byte-aligned row to samples, cumulative-sum per color channel
+        # mod 2^bpc, repack
+        stride = (columns * colors * bpc + 7) // 8
         if len(body) % stride:
             raise ValueError("TIFF-predictor data not row-aligned")
-        rows = np.frombuffer(body, np.uint8).reshape(-1, stride).copy()
-        for x in range(bpp, stride):
-            rows[:, x] = (rows[:, x] + rows[:, x - bpp]) & 0xFF
-        return rows.tobytes()
+        raw = np.frombuffer(body, np.uint8).reshape(-1, stride)
+        bits = np.unpackbits(raw, axis=1)[:, : columns * colors * bpc]
+        weights = 1 << np.arange(bpc - 1, -1, -1)
+        samples = (bits.reshape(bits.shape[0], -1, bpc)
+                   * weights).sum(axis=2).astype(np.uint32)
+        mask = (1 << bpc) - 1
+        for x in range(colors, columns * colors):
+            samples[:, x] = (samples[:, x] + samples[:, x - colors]) \
+                & mask
+        out_bits = ((samples[:, :, None]
+                     >> np.arange(bpc - 1, -1, -1)) & 1) \
+            .reshape(samples.shape[0], -1).astype(np.uint8)
+        return np.packbits(out_bits, axis=1).tobytes()
     if pred >= 10:  # PNG row filters — BYTE-oriented whatever bpc is
         # (PNG spec: sub-byte pixels filter with bpp rounded up to 1
         # byte; 16-bit components use bpp = 2·colors)

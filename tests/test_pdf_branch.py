@@ -579,3 +579,42 @@ def test_tounicode_empty_string_mapping_not_latin1():
     # and an empty CID mapping likewise suppresses, not U+FFFD
     fonts = {"F2": {"cid": True, "map": {1: "", 2: "ok"}}}
     assert _stream_text(b"BT /F2 12 Tf <00010002> Tj ET", fonts) == ["ok"]
+
+
+def test_tiff_predictor_sub_byte_and_16bit():
+    """TIFF 6.0 §14 horizontal differencing on packed sub-byte SAMPLES
+    (1/2/4-bit) and big-endian 16-bit samples inverts exactly —
+    previously a NotImplementedError seam for bpc != 8."""
+    import numpy as np
+    from effocr_spark.functions.pdftext import _unpredict
+
+    rng = np.random.default_rng(7)
+    for bpc, colors, columns in ((1, 1, 16), (2, 1, 12), (4, 3, 10),
+                                 (16, 2, 7), (4, 1, 5)):
+        rows = 4
+        samples = rng.integers(0, 1 << min(bpc, 16),
+                               size=(rows, columns * colors),
+                               dtype=np.uint32)
+        diff = samples.copy()
+        for x in range(columns * colors - 1, colors - 1, -1):
+            diff[:, x] = (samples[:, x] - samples[:, x - colors]) \
+                & ((1 << bpc) - 1)
+        if bpc == 16:
+            body = diff.astype(">u2").tobytes()
+        else:
+            bits = ((diff[:, :, None]
+                     >> np.arange(bpc - 1, -1, -1)) & 1) \
+                .reshape(rows, -1).astype(np.uint8)
+            body = np.packbits(bits, axis=1).tobytes()
+        d = (f"<< /Predictor 2 /Columns {columns} /Colors {colors} "
+             f"/BitsPerComponent {bpc} >>").encode()
+        out = _unpredict(d, body)
+        if bpc == 16:
+            got = np.frombuffer(out, ">u2").reshape(rows, -1)
+        else:
+            stride = (columns * colors * bpc + 7) // 8
+            raw = np.frombuffer(out, np.uint8).reshape(rows, stride)
+            bits = np.unpackbits(raw, axis=1)[:, :columns * colors * bpc]
+            got = (bits.reshape(rows, -1, bpc)
+                   * (1 << np.arange(bpc - 1, -1, -1))).sum(axis=2)
+        assert (got == samples).all(), (bpc, colors)
