@@ -933,10 +933,20 @@ def q_jpeg_features(spark, sf_dir):
         rows.append((i, bytearray(encode_jpeg_progressive(
             rgb, subsample=i % 2 == 0, restart_interval=(i % 3) * 4))))
     # 12-bit extended-sequential grayscale (SOF1 + 16-bit DQT)
-    from effocr_spark.synth.jpegcodec import encode_jpeg_12bit
+    from effocr_spark.synth.jpegcodec import (encode_jpeg_12bit,
+                                              encode_jpeg_12bit_ext)
     img, _, _ = render_line(_en_ocr_line(_rng(777, 14), 3))
     img12 = (img.astype(np.uint32) * 4095 // 255).astype(np.uint16)
     rows.append((14, bytearray(encode_jpeg_12bit(img12))))
+    # 12-bit COLOR sequential + 12-bit progressive (gray and color)
+    img, _, _ = render_line(_en_ocr_line(_rng(777, 15), 3))
+    rgb12 = (np.repeat(img[:, :, None], 3, axis=2)
+             .astype(np.uint32) * 4095 // 255).astype(np.uint16)
+    rows.append((15, bytearray(encode_jpeg_12bit_ext(rgb12))))
+    rows.append((16, bytearray(encode_jpeg_12bit_ext(
+        rgb12, progressive=True))))
+    rows.append((17, bytearray(encode_jpeg_12bit_ext(
+        img12, progressive=True))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
     df = spark.createDataFrame(rows, "id long, media binary")
     out = media_features(df)

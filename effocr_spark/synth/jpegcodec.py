@@ -15,11 +15,11 @@ Decoder: baseline sequential AND progressive (SOF2) DCT, 1- or
 covers the full T.81 §G Huffman feature set real web JPEGs use:
 spectral selection, successive approximation (DC + AC first and
 refinement scans, EOB runs, ZRL-with-correction-bits). 12-bit
-precision decodes for grayscale sequential frames (SOF1, 16-bit DQT,
-2048 level shift — the scanned-archive shape), scaled to the 8-bit
-pipeline output. Arithmetic / lossless / hierarchical streams and
-12-bit color/progressive raise NotImplementedError for a real library
-drop-in.
+precision decodes for grayscale AND color, sequential AND progressive
+frames (SOF1/SOF2, 16-bit DQT, 2048 level shift / chroma center — the
+scanned-archive shapes), scaled to the 8-bit pipeline output.
+Arithmetic / lossless / hierarchical streams raise
+NotImplementedError for a real library drop-in.
 
 encode_jpeg_progressive mirrors libjpeg's default progression shape
 (DC at Al=1 + refinement; per-component AC band scans at Al=2 + two
@@ -80,13 +80,20 @@ def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+def _ycbcr_to_rgb(ycc: np.ndarray, prec: int = 8) -> np.ndarray:
+    """YCbCr planes (at the frame's precision: chroma centered at
+    2^(prec-1)) → 8-bit RGB; >8-bit frames scale down to the
+    pipeline's 8-bit output after conversion."""
+    center = float(1 << (prec - 1))
+    top = float((1 << prec) - 1)
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - center, ycc[..., 2] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255) \
-        .round().astype(np.uint8)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, top)
+    if prec > 8:
+        rgb = rgb * (255.0 / top)
+    return rgb.round().astype(np.uint8)
 
 
 # ---------------------------------------------------------------- encoder
@@ -438,11 +445,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec not in (8, 12):
                 raise NotImplementedError(f"precision {prec}")
-            if prec == 12 and (nc != 1 or marker == 0xC2):
-                # 12-bit support is GRAYSCALE sequential (the scanned-
-                # document shape); 12-bit color / progressive raise
-                raise NotImplementedError(
-                    "12-bit is supported for grayscale sequential only")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
@@ -557,7 +559,8 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
             g = g * (255.0 / top)
         g = g.round().astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    return _ycbcr_to_rgb(np.stack(full, axis=-1))
+    return _ycbcr_to_rgb(np.stack(full, axis=-1),
+                         frame.get("prec", 8))
 
 
 # ------------------------------------------------- progressive decoder
@@ -739,6 +742,8 @@ def _reconstruct_progressive(frame, coefs, qtabs) -> np.ndarray:
     progressive stream reconstructs BITWISE identically to its baseline
     counterpart."""
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    shift = float(1 << (prec - 1))
     hmax, vmax, _, _ = _geometry(frame)
     full = []
     for c, blocks in zip(frame["comps"], coefs):
@@ -751,15 +756,19 @@ def _reconstruct_progressive(frame, coefs, qtabs) -> np.ndarray:
                 deq = np.zeros(64, np.float64)
                 deq[ZIGZAG] = blocks[r_, c_].astype(np.float64) * qzz
                 plane[r_ * 8:r_ * 8 + 8, c_ * 8:c_ * 8 + 8] = \
-                    DCT_M.T @ deq.reshape(8, 8) @ DCT_M + 128.0
+                    DCT_M.T @ deq.reshape(8, 8) @ DCT_M + shift
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        g = np.clip(full[0], 0, 255).round().astype(np.uint8)
+        top = float((1 << prec) - 1)
+        g = np.clip(full[0], 0, top)
+        if prec > 8:  # pipeline output is 8-bit: scale down
+            g = g * (255.0 / top)
+        g = g.round().astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    return _ycbcr_to_rgb(np.stack(full, axis=-1))
+    return _ycbcr_to_rgb(np.stack(full, axis=-1), prec)
 
 
 # ------------------------------------------------- progressive encoder
@@ -1087,4 +1096,192 @@ def encode_jpeg_12bit(img12: np.ndarray) -> bytes:
             bw.write(code, L)
     bw.flush()
     out += bytes(bw.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+def _blocks_12bit(plane: np.ndarray, q: np.ndarray) -> list[np.ndarray]:
+    """12-bit-precision component plane (float, 0-4095, padded to 8) →
+    zigzagged quantized coefficient blocks in raster order."""
+    ph, pw = plane.shape
+    shifted = plane.astype(np.float64) - 2048.0
+    blocks = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            f = DCT_M @ shifted[by:by + 8, bx:bx + 8] @ DCT_M.T
+            blocks.append(np.round(f / q).astype(np.int64)
+                          .flatten()[ZIGZAG])
+    return blocks
+
+
+def _write_dc(bw, dc_codes, diff: int) -> None:
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+
+def _write_acs(bw, ac_codes, blk) -> None:
+    run = 0
+    for v in blk[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        cat = _category(v)
+        code, length = ac_codes[(run << 4) | cat]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+
+
+def encode_jpeg_12bit_ext(img12: np.ndarray,
+                          progressive: bool = False) -> bytes:
+    """12-bit-precision JFIF: HxW uint16 grayscale or HxWx3 uint16 RGB
+    (0-4095), sequential (SOF1) or progressive (SOF2: one interleaved
+    DC scan + per-component full-spectral AC scans with EOB0 per block
+    — eobrun=1, no successive approximation). Color converts to YCbCr
+    with chroma centered at 2048 and no subsampling; Y uses the 16x
+    luma table, chroma the 16x chroma table. A fully-coded progressive
+    stream reconstructs the SAME quantized coefficients as its
+    sequential counterpart, so their decodes are bitwise identical."""
+    if img12.dtype != np.uint16:
+        raise ValueError("encode_jpeg_12bit_ext wants uint16 samples")
+    if img12.max() > 4095:
+        raise ValueError("12-bit samples exceed 4095")
+    color = img12.ndim == 3
+    if color and img12.shape[2] != 3:
+        raise ValueError("color input must be HxWx3")
+    h, w = img12.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if color:
+        r, g, b = [img12[..., i].astype(np.float64) for i in range(3)]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    else:
+        planes = [img12.astype(np.float64)]
+        qids = [0]
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+              for p in planes]
+    q0 = (Q_LUMA.astype(np.int64) * 16).clip(1, 65535)
+    q1 = (Q_CHROMA.astype(np.int64) * 16).clip(1, 65535)
+    qtabs = [q0, q1]
+    comp_blocks = [_blocks_12bit(p, qtabs[qi])
+                   for p, qi in zip(planes, qids)]
+    nbx = pw // 8
+
+    # symbol statistics (DC shared across comps, AC shared)
+    dc_syms, ac_syms = [], []
+    for blocks in comp_blocks:
+        prev = 0
+        for blk in blocks:
+            dc_syms.append(_category(int(blk[0]) - prev))
+            prev = int(blk[0])
+            run = 0
+            for v in blk[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.append(0xF0)
+                    run -= 16
+                ac_syms.append((run << 4) | _category(int(v)))
+                run = 0
+            if run:
+                ac_syms.append(0x00)
+    dc_tab = _canonical_table(dc_syms or [0])
+    ac_tab = _canonical_table(ac_syms or [0])
+    _, _, dc_codes = dc_tab
+    _, _, ac_codes = ac_tab
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for qi in sorted(set(qids)):
+        zz = qtabs[qi].flatten()[ZIGZAG].astype(">u2").tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 131) \
+            + bytes([0x10 | qi]) + zz
+    nc = len(planes)
+    sof = 0xC2 if progressive else 0xC1
+    out += bytes([0xFF, sof]) \
+        + struct.pack(">HBHHB", 8 + 3 * nc, 12, h, w, nc)
+    for ci, qi in enumerate(qids):
+        out += bytes([ci + 1, 0x11, qi])
+    for cls, (bits, syms, _) in ((0, dc_tab), (1, ac_tab)):
+        payload = bytes([cls << 4]) + bytes(bits[1:17]) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    if not progressive:
+        # single interleaved sequential scan
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for ci in range(nc):
+            out += bytes([ci + 1, 0x00])
+        out += b"\x00\x3f\x00"
+        bw = _BitWriter()
+        preds = [0] * nc
+        n_mcu = len(comp_blocks[0])
+        for m in range(n_mcu):
+            for ci in range(nc):
+                blk = comp_blocks[ci][m]
+                diff = int(blk[0]) - preds[ci]
+                preds[ci] = int(blk[0])
+                _write_dc(bw, dc_codes, diff)
+                _write_acs(bw, ac_codes, blk)
+        bw.flush()
+        out += bytes(bw.out) + b"\xff\xd9"
+        return bytes(out)
+
+    # progressive: interleaved DC scan (Ss=Se=0), then one
+    # full-spectral AC scan per component (Ss=1, Se=63, Ah=Al=0;
+    # EOB0 after each block = eobrun of 1)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += b"\x00\x00\x00"
+    bw = _BitWriter()
+    preds = [0] * nc
+    for m in range(len(comp_blocks[0])):
+        for ci in range(nc):
+            blk = comp_blocks[ci][m]
+            diff = int(blk[0]) - preds[ci]
+            preds[ci] = int(blk[0])
+            _write_dc(bw, dc_codes, diff)
+    bw.flush()
+    out += bytes(bw.out)
+    for ci in range(nc):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes([ci + 1, 0x00]) + b"\x01\x3f\x00"
+        bw = _BitWriter()
+        for blk in comp_blocks[ci]:
+            run = 0
+            for v in blk[1:]:
+                v = int(v)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                cat = _category(v)
+                code, length = ac_codes[(run << 4) | cat]
+                bw.write(code, length)
+                bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            # end of block → EOB run of 1 (symbol 0x00, no bits)
+            code, length = ac_codes[0x00]
+            bw.write(code, length)
+        bw.flush()
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
     return bytes(out)

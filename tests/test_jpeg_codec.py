@@ -299,3 +299,37 @@ def test_12bit_color_and_progressive_stay_seams():
     bad[i + 9] = 3
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_jpeg(bytes(bad))
+
+
+def test_12bit_color_sequential_and_progressive():
+    """12-bit color (SOF1, 3 components, chroma centered at 2048) and
+    12-bit progressive (SOF2: interleaved DC scan + per-component
+    full-spectral AC scans) decode; fully-coded progressive output is
+    BITWISE equal to the sequential encode of the same image."""
+    import numpy as np
+    from effocr_spark.synth.jpegcodec import (decode_jpeg,
+                                              encode_jpeg_12bit,
+                                              encode_jpeg_12bit_ext)
+
+    x = np.linspace(0, 4095, 40)[None, :] + np.linspace(0, 500, 24)[:, None]
+    img = np.clip(np.stack([x, 4095 - x, x * 0.5 + 1000], axis=-1),
+                  0, 4095).astype(np.uint16)
+    seq = encode_jpeg_12bit_ext(img)
+    assert b"\xff\xc1" in seq  # SOF1
+    out_seq = decode_jpeg(seq)
+    assert out_seq.shape == (24, 40, 3) and out_seq.dtype == np.uint8
+    exp = img.astype(np.float64) * (255.0 / 4095.0)
+    mse = ((out_seq.astype(np.float64) - exp) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 30
+
+    prog = encode_jpeg_12bit_ext(img, progressive=True)
+    assert b"\xff\xc2" in prog  # SOF2
+    assert (decode_jpeg(prog) == out_seq).all()
+
+    g = (x * np.linspace(1, 0.3, 24)[:, None]).astype(np.uint16)
+    assert (decode_jpeg(encode_jpeg_12bit_ext(g))
+            == decode_jpeg(encode_jpeg_12bit_ext(g, progressive=True))
+            ).all()
+    # the legacy grayscale-sequential encoder decodes identically
+    assert (decode_jpeg(encode_jpeg_12bit(g))
+            == decode_jpeg(encode_jpeg_12bit_ext(g))).all()
