@@ -862,6 +862,18 @@ def q_extract_pdf_scanned(spark, sf_dir):
         make_jbig2_pdf([render_line(hufftxt)[0]],
                        symbol_text=hufftxt, symbol_huffman=True)),
         None, "en"))
+    # refinement-coded JBIG2: degraded generic base + a refinement
+    # region restoring the clean page (the lossy-then-residual layering)
+    from effocr_spark.synth.jbig2codec import jbig2_encode_refined
+    reftxt = _en_ocr_line(_rng(999300, 0), 4)
+    refimg = render_line(reftxt)[0]
+    noisy = refimg.copy()
+    flip = _rng(999301, 0).random(refimg.shape) < 0.01
+    noisy[flip] = 255 - noisy[flip]
+    rows.append(("pdf://jbig2/refine", None, bytearray(
+        make_jbig2_pdf([refimg],
+                       raw_stream=jbig2_encode_refined(noisy, refimg))),
+        None, "en"))
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, "
               "lang string")

@@ -313,6 +313,90 @@ def generic_region_encode(bm: np.ndarray, template: int = 0,
     return enc.flush()
 
 
+# ------------------------ generic REFINEMENT region (spec 6.3)
+
+# context pixel layouts (coding = current bitmap, reference = the
+# bitmap being refined against); GRTEMPLATE 0 additionally appends
+# AT1 to the coding list and AT2 to the reference list. Context label
+# = coding bits then reference bits, MSB-first in listing order.
+_REF_CODING = [
+    [(0, -1), (1, -1), (-1, 0)],
+    [(-1, -1), (0, -1), (1, -1), (-1, 0)],
+]
+_REF_REFERENCE = [
+    [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1),
+     (1, 1)],
+    [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)],
+]
+_REF_NOMINAL_AT = [(-1, -1), (-1, -1)]
+
+
+def _ref_ctx_fn(template: int, at: list[tuple[int, int]]):
+    coding = list(_REF_CODING[template])
+    reference = list(_REF_REFERENCE[template])
+    if template == 0:
+        coding.append(tuple(at[0]))
+        reference.append(tuple(at[1]))
+
+    def ctx(bm: np.ndarray, ref: np.ndarray, x: int, y: int,
+            dx: int, dy: int) -> int:
+        h, w = bm.shape
+        rh, rw = ref.shape
+        cx = 0
+        for tx, ty in coding:
+            xx, yy = x + tx, y + ty
+            cx = (cx << 1) | (int(bm[yy, xx])
+                              if 0 <= xx < w and 0 <= yy < h else 0)
+        for tx, ty in reference:
+            xx, yy = x - dx + tx, y - dy + ty
+            cx = (cx << 1) | (int(ref[yy, xx])
+                              if 0 <= xx < rw and 0 <= yy < rh else 0)
+        return cx
+
+    n_bits = len(coding) + len(reference)
+    return ctx, n_bits
+
+
+def refinement_region_decode(data: bytes, w: int, h: int,
+                             ref: np.ndarray, template: int = 0,
+                             dx: int = 0, dy: int = 0,
+                             at: list[tuple[int, int]] | None = None
+                             ) -> np.ndarray:
+    """MQ-coded generic refinement region → {0,1} bitmap, decoded
+    against a reference bitmap (spec 6.3.5: per-pixel path, TPGRON=0)."""
+    at = at or _REF_NOMINAL_AT
+    ctx, n_bits = _ref_ctx_fn(template, at)
+    icx = np.zeros(1 << n_bits, np.int64)
+    mps = np.zeros(1 << n_bits, np.int64)
+    dec = MQDecoder(data)
+    bm = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            bm[y, x] = dec.decode(icx, mps, ctx(bm, ref, x, y, dx, dy))
+    return bm
+
+
+def refinement_region_encode(bm: np.ndarray, ref: np.ndarray,
+                             template: int = 0, dx: int = 0,
+                             dy: int = 0,
+                             at: list[tuple[int, int]] | None = None
+                             ) -> bytes:
+    """Inverse of refinement_region_decode (shared context builder ⇒
+    roundtrip by construction). Compression is high exactly when bm is
+    mostly equal to ref — the refinement use case."""
+    at = at or _REF_NOMINAL_AT
+    ctx, n_bits = _ref_ctx_fn(template, at)
+    icx = np.zeros(1 << n_bits, np.int64)
+    mps = np.zeros(1 << n_bits, np.int64)
+    enc = MQEncoder()
+    h, w = bm.shape
+    for y in range(h):
+        for x in range(w):
+            enc.encode(icx, mps, ctx(bm, ref, x, y, dx, dy),
+                       int(bm[y, x]))
+    return enc.flush()
+
+
 # --------------------------- embedded-stream segments (spec 7.2-7.4)
 
 _SEG_PAGE_INFO = 48
@@ -327,6 +411,9 @@ _SEG_END_OF_PAGE = 49
 _SEG_END_OF_STRIPE = 50
 _SEG_END_OF_FILE = 51
 _SEG_TABLES = 53  # custom huffman code-table segment (spec 7.4.13)
+_SEG_INTERMEDIATE_REFINE = 40
+_SEG_IMM_REFINE = 42
+_SEG_IMM_LOSSLESS_REFINE = 43
 _HARMLESS = {_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE, _SEG_END_OF_FILE}
 
 
@@ -445,6 +532,35 @@ def jbig2_decode_embedded(data: bytes,
                 grown[: page.shape[0]] = page
                 page = grown
             page[ry:ry + rh, rx:rx + rw] |= bm
+        elif stype in (_SEG_IMM_REFINE, _SEG_IMM_LOSSLESS_REFINE,
+                       _SEG_INTERMEDIATE_REFINE):
+            # generic refinement region (spec 7.4.7): refines against
+            # the page's current content at the region, REPLACE comb
+            if len(payload) < 18:
+                raise ValueError("short refinement region segment")
+            rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+            rflags = payload[17]
+            rtemplate = rflags & 1
+            if rflags & 2:
+                raise NotImplementedError(
+                    "JBIG2 refinement region with TPGRON; plug a real "
+                    "JBIG2 library in")
+            pos = 18
+            rat = None
+            if rtemplate == 0:
+                rat = []
+                for _ in range(2):
+                    adx, ady = struct.unpack_from(">bb", payload, pos)
+                    rat.append((adx, ady))
+                    pos += 2
+            if page is None or page.shape[0] < ry + rh \
+                    or page.shape[1] < rx + rw:
+                raise ValueError(
+                    "refinement region outside the decoded page")
+            ref = page[ry:ry + rh, rx:rx + rw]
+            bm = refinement_region_decode(payload[pos:], rw, rh, ref,
+                                          rtemplate, at=rat)
+            page[ry:ry + rh, rx:rx + rw] = bm
         elif stype == _SEG_TABLES:
             from .jbig2huff import parse_code_table
             custom_tables.append(parse_code_table(payload))
@@ -524,6 +640,40 @@ def jbig2_encode_embedded(img: np.ndarray, template: int = 0,
                              len(region)) + region
            + _segment_header(2, _SEG_END_OF_PAGE, 1, 0))
     return out
+
+
+def jbig2_encode_refined(base: np.ndarray, target: np.ndarray,
+                         template: int = 0) -> bytes:
+    """Two-stage embedded stream: page info + generic region coding
+    `base` + a generic REFINEMENT region re-coding the same area into
+    `target` against the decoded base (the lossy-then-residual layering
+    real refinement encoders emit). Both uint8 grayscale (ink black =
+    0); shapes must match."""
+    if base.shape != target.shape:
+        raise ValueError("base/target shape mismatch")
+    base_bm = (base < 128).astype(np.uint8)
+    tgt_bm = (target < 128).astype(np.uint8)
+    h, w = base_bm.shape
+    gbody = generic_region_encode(base_bm, 0, False, None)
+    gflags = 0
+    gat = b"".join(struct.pack(">bb", dx, dy)
+                   for dx, dy in _NOMINAL_AT[0])
+    rbody = refinement_region_encode(tgt_bm, base_bm, template)
+    rat = (b"".join(struct.pack(">bb", dx, dy)
+                    for dx, dy in _REF_NOMINAL_AT)
+           if template == 0 else b"")
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
+    gregion = (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+               + struct.pack(">B", gflags) + gat + gbody)
+    rregion = (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+               + struct.pack(">B", template & 1) + rat + rbody)
+    return (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+            + page_info
+            + _segment_header(1, _SEG_IMM_LOSSLESS_GENERIC, 1,
+                              len(gregion)) + gregion
+            + _segment_header(2, _SEG_IMM_LOSSLESS_REFINE, 1,
+                              len(rregion)) + rregion
+            + _segment_header(3, _SEG_END_OF_PAGE, 1, 0))
 
 
 # ----------------- integer arithmetic decoding procedures (Annex A)

@@ -639,7 +639,8 @@ def make_jbig2_pdf(bitmaps: list["object"],
                    mmr: bool = False,
                    use_globals: bool = False,
                    symbol_text: str | None = None,
-                   symbol_huffman: bool = False) -> bytes:
+                   symbol_huffman: bool = False,
+                   raw_stream: bytes | None = None) -> bytes:
     """Scanned-document PDF with JBIG2 image XObjects (the OTHER
     encoding newspaper archives emit beside G4 fax). bitmaps = 2-D
     uint8 grayscale arrays (ink black = 0); each becomes one full-page
@@ -670,7 +671,11 @@ def make_jbig2_pdf(bitmaps: list["object"],
         content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
         if lines:
             content += _content_stream(lines)
-        if symbol_text is not None:
+        if raw_stream is not None:
+            # caller-supplied embedded JBIG2 stream (e.g. a
+            # refinement-layered encode); bitmaps give dimensions only
+            body = raw_stream
+        elif symbol_text is not None:
             from .jbig2codec import jbig2_encode_text, symbols_from_text
             shape, syms, insts, _page = symbols_from_text(symbol_text)
             if symbol_huffman:

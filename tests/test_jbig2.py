@@ -307,3 +307,51 @@ def test_huffman_jbig2_pdf_ocr_end_to_end():
     from effocr_spark.functions.pdftext import extract_pdf_images
     imgs = extract_pdf_images(blob)
     assert len(imgs) == 1 and imgs[0][:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_refinement_region_roundtrip_both_templates():
+    """Generic refinement region (spec 6.3): a degraded generic-coded
+    base refined into the clean target reproduces the target exactly,
+    GRTEMPLATE 0 (with AT pixels) and 1."""
+    import numpy as np
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jbig2codec import (jbig2_decode_embedded,
+                                               jbig2_encode_refined)
+
+    img, _, _ = render_line("refinement coded page")
+    rng = np.random.default_rng(5)
+    noisy = img.copy()
+    flip = rng.random(img.shape) < 0.01
+    noisy[flip] = 255 - noisy[flip]
+    expect = np.where(img < 128, 0, 255).astype(np.uint8)
+    for tmpl in (0, 1):
+        blob = jbig2_encode_refined(noisy, img, template=tmpl)
+        assert (jbig2_decode_embedded(blob) == expect).all()
+
+    # refinement pays when target ≈ reference: the residual body is a
+    # fraction of coding the page from scratch
+    from effocr_spark.synth.jbig2codec import jbig2_encode_embedded
+    full = jbig2_encode_embedded(img)
+    refined = jbig2_encode_refined(img, img)
+    assert len(refined) < 2 * len(full)
+
+
+def test_refinement_tpgron_stays_a_seam():
+    import struct
+
+    import numpy as np
+    import pytest
+    from effocr_spark.synth.jbig2codec import (_SEG_IMM_LOSSLESS_REFINE,
+                                               _SEG_PAGE_INFO,
+                                               _segment_header,
+                                               jbig2_decode_embedded)
+
+    page_info = struct.pack(">IIII", 8, 8, 0, 0) + b"\x01\x00\x00"
+    rregion = (struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
+               + bytes([0x03]) + b"\x00" * 4)  # TPGRON set
+    blob = (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+            + page_info
+            + _segment_header(1, _SEG_IMM_LOSSLESS_REFINE, 1,
+                              len(rregion)) + rregion)
+    with pytest.raises(NotImplementedError, match="TPGRON"):
+        jbig2_decode_embedded(blob)
