@@ -874,6 +874,13 @@ def q_extract_pdf_scanned(spark, sf_dir):
         make_jbig2_pdf([refimg],
                        raw_stream=jbig2_encode_refined(noisy, refimg))),
         None, "en"))
+    # JPEG2000 (/JPXDecode) scan — the Internet-Archive digitization
+    # shape, decoded by the from-scratch T.800 codec (losslessly, so
+    # OCR sees the exact rendered page)
+    from effocr_spark.synth.pdfgen import make_jpx_pdf
+    jpxtxt = _en_ocr_line(_rng(999400, 0), 4)
+    rows.append(("pdf://jpx/0", None, bytearray(
+        make_jpx_pdf([render_line(jpxtxt)[0]])), None, "en"))
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, "
               "lang string")

@@ -700,13 +700,15 @@ def extract_pdf_images(data: bytes,
     sniff-route: /DCTDecode images pass through as the embedded JPEG
     bytes; /CCITTFaxDecode Group 4 images (K < 0 — what scanned
     newspapers actually carry) are DECODED by the from-scratch T.6
-    codec (synth/ccittcodec.py) and re-emitted as PNG. Outer transport
-    filters (ASCII85, Flate, ...) are applied first; standard-handler
-    decryption applies when the document is encrypted. This feeds the
-    scanned-PDF OCR fusion — the north star's 'embedded images/PDF
-    layouts' input. Remaining image shapes (raw samplers, G3 fax,
-    JBIG2, JPX) are skipped: quarantine-by-omission, the text layer
-    still extracts."""
+    codec (synth/ccittcodec.py) and re-emitted as PNG; /JBIG2Decode via
+    the T.88 codec (synth/jbig2codec.py); /JPXDecode (JPEG2000) via
+    the T.800 codec (synth/jp2codec.py), both re-emitted as PNG. Outer
+    transport filters (ASCII85, Flate, ...) are applied first;
+    standard-handler decryption applies when the document is
+    encrypted. This feeds the scanned-PDF OCR fusion — the north
+    star's 'embedded images/PDF layouts' input. Remaining image shapes
+    (raw samplers, unsupported codec modes) are skipped:
+    quarantine-by-omission, the text layer still extracts."""
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
     streams = (_decrypt_streams(data, _norm_password(password))
@@ -722,7 +724,8 @@ def extract_pdf_images(data: bytes,
         names = _NAME_RE.findall(m.group(1))
         if not names or names[-1] not in (b"DCTDecode",
                                           b"CCITTFaxDecode",
-                                          b"JBIG2Decode"):
+                                          b"JBIG2Decode",
+                                          b"JPXDecode"):
             continue
         try:
             for name in names[:-1]:
@@ -731,10 +734,23 @@ def extract_pdf_images(data: bytes,
                 body = _ccitt_to_png(dict_part, body)
             elif names[-1] == b"JBIG2Decode":
                 body = _jbig2_to_png(dict_part, body, by_num)
+            elif names[-1] == b"JPXDecode":
+                body = _jpx_to_png(body)
         except (ValueError, NotImplementedError):
             continue
         out.append(body)
     return out
+
+
+def _jpx_to_png(body: bytes) -> bytes:
+    """/JPXDecode stream (JP2 container or raw codestream) → PNG bytes
+    via the from-scratch T.800 codec (synth/jp2codec.py). Unsupported
+    JPEG2000 feature sets raise (caller skips —
+    quarantine-by-omission)."""
+    from ..synth.imgcodec import encode_png
+    from ..synth.jp2codec import decode_jp2
+
+    return encode_png(decode_jp2(body))
 
 
 _JBIG2_GLOBALS_RE = re.compile(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R")

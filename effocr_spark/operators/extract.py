@@ -514,7 +514,8 @@ def has_pdf_images(html_col):
     s = html_col.cast("string")
     return (F.contains(s, F.lit("/DCTDecode"))
             | F.contains(s, F.lit("/CCITTFaxDecode"))
-            | F.contains(s, F.lit("/JBIG2Decode")))
+            | F.contains(s, F.lit("/JBIG2Decode"))
+            | F.contains(s, F.lit("/JPXDecode")))
 
 
 def pdf_image_rows(df: DataFrame,

@@ -849,3 +849,59 @@ def encrypt_pdf(pdf: bytes, r: int = 4,
             f"/Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
             f" >>\nstartxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_jpx_pdf(images: list["object"],
+                 text_lines: list[list[str]] | None = None,
+                 levels: int = 2,
+                 jp2_container: bool = True) -> bytes:
+    """Scanned-document PDF with JPEG2000 image XObjects (/JPXDecode —
+    the Internet-Archive-era digitization shape). images = HxW or
+    HxWx3 uint8 arrays; each becomes one full-page losslessly-coded
+    JP2 (or raw codestream) image."""
+    from .jp2codec import encode_jp2
+
+    n_pages = len(images)
+    if text_lines is None:
+        text_lines = [[] for _ in range(n_pages)]
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 3 * n_pages
+    for i, (img, lines) in enumerate(zip(images, text_lines)):
+        h, w = img.shape[:2]
+        content = (b"q %d 0 0 %d 0 0 cm /Im0 Do Q\n" % (w, h))
+        if lines:
+            content += _content_stream(lines)
+        body = encode_jp2(img, levels=levels,
+                          jp2_container=jp2_container)
+        cs = "/DeviceRGB" if img.ndim == 3 else "/DeviceGray"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Contents {4 + 3 * i} 0 R /Resources << /XObject "
+            f"<< /Im0 {5 + 3 * i} 0 R >> /Font << /F1 {font_num} 0 R >> "
+            f">> >>".encode())
+        objs.append(f"<< /Length {len(content)} >>\nstream\n".encode()
+                    + content + b"\nendstream")
+        objs.append(
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace {cs} /BitsPerComponent 8 "
+            f"/Filter /JPXDecode /Length {len(body)} >>\nstream\n"
+            .encode() + body + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
