@@ -966,6 +966,9 @@ def q_jpeg_features(spark, sf_dir):
         rgb12, progressive=True))))
     rows.append((17, bytearray(encode_jpeg_12bit_ext(
         img12, progressive=True))))
+    # SOF3 huffman lossless (bit-exact decode, predictor 4)
+    from effocr_spark.synth.jpegcodec import encode_jpeg_lossless
+    rows.append((18, bytearray(encode_jpeg_lossless(img, predictor=4))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
     df = spark.createDataFrame(rows, "id long, media binary")
     out = media_features(df)

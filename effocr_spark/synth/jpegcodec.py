@@ -18,7 +18,9 @@ refinement scans, EOB runs, ZRL-with-correction-bits). 12-bit
 precision decodes for grayscale AND color, sequential AND progressive
 frames (SOF1/SOF2, 16-bit DQT, 2048 level shift / chroma center — the
 scanned-archive shapes), scaled to the 8-bit pipeline output.
-Arithmetic / lossless / hierarchical streams raise
+Huffman LOSSLESS (SOF3, all seven T.81 H.1 predictors, mod-2^16
+differences, direct-RGB 3-component) decodes bit-exactly.
+Arithmetic / differential / hierarchical streams raise
 NotImplementedError for a real library drop-in.
 
 encode_jpeg_progressive mirrors libjpeg's default progression shape
@@ -452,11 +454,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3: huffman lossless
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), \
+                body[5]
+            if not 2 <= prec <= 16:
+                raise NotImplementedError(f"lossless precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG components")
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "progressive": False, "lossless": True}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "arithmetic/lossless/hierarchical JPEG; plug a real "
-                "image library in")
+                "arithmetic/differential/hierarchical JPEG; plug a "
+                "real image library in")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS → entropy-coded data follows
@@ -470,6 +486,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     (j, c) for j, c in enumerate(frame["comps"])
                     if c["id"] == cs)
                 scan.append((ci, comp, tt >> 4, tt & 0xF))
+            if frame.get("lossless"):
+                predictor = body[1 + 2 * ns]  # Ss carries the selector
+                pt = body[3 + 2 * ns] & 0xF   # Al carries Pt
+                return _decode_lossless(
+                    data, pos + seglen, frame,
+                    [(c, td) for _, c, td, _ in scan], htabs,
+                    predictor, pt, restart_interval)
             if not frame["progressive"]:
                 return _decode_scan(data, pos + seglen, frame,
                                     [(c, td, ta) for _, c, td, ta in scan],
@@ -1284,4 +1307,130 @@ def encode_jpeg_12bit_ext(img12: np.ndarray,
         bw.flush()
         out += bytes(bw.out)
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- lossless (SOF3)
+
+def _predict(plane: np.ndarray, x: int, y: int, sel: int,
+             default: int) -> int:
+    """T.81 H.1 predictors; first sample → the level-shift default,
+    first row → Ra after the first sample, first column → Rb."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra, rb, rc = (int(plane[y, x - 1]), int(plane[y - 1, x]),
+                  int(plane[y - 1, x - 1]))
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor {sel}")
+
+
+def _decode_lossless(data, pos, frame, scan, htabs, predictor, pt,
+                     restart_interval):
+    """SOF3 huffman lossless scan: per-sample DC-style differences,
+    sample-interleaved across components (all sampling factors 1),
+    modulo-2^16 arithmetic. Output scaled to the 8-bit pipeline
+    output. 3-component lossless is stored as direct RGB (no YCbCr
+    transform, per common practice)."""
+    if pt:
+        raise NotImplementedError("lossless point transform Pt > 0")
+    if restart_interval:
+        raise NotImplementedError("lossless restart intervals")
+    h, w = frame["h"], frame["w"]
+    prec = frame["prec"]
+    default = 1 << (prec - 1)
+    planes = [np.zeros((h, w), np.int64) for _ in scan]
+    tabs = [htabs[(0, td)] for _, td in scan]
+    br = _BitReader(data, pos)
+    for y in range(h):
+        for x in range(w):
+            for pi, (plane, tab) in enumerate(zip(planes, tabs)):
+                cat = tab.decode(br)
+                if cat == 16:
+                    diff = 32768
+                elif cat:
+                    diff = _extend(br.read(cat), cat)
+                else:
+                    diff = 0
+                plane[y, x] = (_predict(plane, x, y, predictor,
+                                        default) + diff) & 0xFFFF
+    top = float((1 << prec) - 1)
+    outs = []
+    for plane in planes:
+        p = np.clip(plane.astype(np.float64), 0, top)
+        if prec > 8:
+            p = p * (255.0 / top)
+        outs.append(p.round().astype(np.uint8))
+    if len(outs) == 1:
+        return np.repeat(outs[0][:, :, None], 3, axis=2)
+    if len(outs) == 3:
+        return np.stack(outs, axis=-1)
+    raise NotImplementedError(f"{len(outs)}-component lossless JPEG")
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1) -> bytes:
+    """uint8 HxW grayscale or HxWx3 RGB → SOF3 huffman lossless JPEG
+    (decode_jpeg(encode_jpeg_lossless(img)) == img exactly; 3-comp is
+    direct RGB)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_lossless wants uint8")
+    color = img.ndim == 3
+    planes = ([img[..., i].astype(np.int64) for i in range(3)]
+              if color else [img.astype(np.int64)])
+    h, w = img.shape[:2]
+    prec = 8
+    default = 1 << (prec - 1)
+    # differences, raster order, sample-interleaved
+    diffs_per_comp: list[list[int]] = [[] for _ in planes]
+    syms: list[int] = []
+    for ci, plane in enumerate(planes):
+        for y in range(h):
+            for x in range(w):
+                d = (int(plane[y, x])
+                     - _predict(plane, x, y, predictor, default))
+                d = ((d + 32768) & 0xFFFF) - 32768  # mod-2^16 window
+                diffs_per_comp[ci].append(d)
+                syms.append(16 if d == 32768 else _category(d))
+    tab = _canonical_table(syms or [0])
+    bits, symlist, codes = tab
+
+    out = bytearray(b"\xff\xd8")
+    nc = len(planes)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w,
+                                     nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    payload = bytes([0x00]) + bytes(bits[1:17]) + bytes(symlist)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    bw = _BitWriter()
+    idx = [0] * nc
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                d = diffs_per_comp[ci][y * w + x]
+                cat = 16 if d == 32768 else _category(d)
+                code, length = codes[cat]
+                bw.write(code, length)
+                if cat and cat != 16:
+                    bw.write(d if d > 0 else d + (1 << cat) - 1, cat)
+    bw.flush()
+    out += bytes(bw.out) + b"\xff\xd9"
     return bytes(out)

@@ -333,3 +333,20 @@ def test_12bit_color_sequential_and_progressive():
     # the legacy grayscale-sequential encoder decodes identically
     assert (decode_jpeg(encode_jpeg_12bit(g))
             == decode_jpeg(encode_jpeg_12bit_ext(g))).all()
+
+
+def test_lossless_sof3_roundtrip_all_predictors():
+    """SOF3 huffman lossless: bit-exact roundtrip for every T.81 H.1
+    predictor, grayscale and direct-RGB color."""
+    import numpy as np
+    from effocr_spark.synth.jpegcodec import (decode_jpeg,
+                                              encode_jpeg_lossless)
+
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, (24, 37), dtype=np.uint8)
+    for pred in range(1, 8):
+        blob = encode_jpeg_lossless(g, predictor=pred)
+        assert b"\xff\xc3" in blob
+        assert (decode_jpeg(blob)[:, :, 0] == g).all(), pred
+    c = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_lossless(c, predictor=4)) == c).all()
