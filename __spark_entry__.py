@@ -881,6 +881,16 @@ def q_extract_pdf_scanned(spark, sf_dir):
     jpxtxt = _en_ocr_line(_rng(999400, 0), 4)
     rows.append(("pdf://jpx/0", None, bytearray(
         make_jpx_pdf([render_line(jpxtxt)[0]])), None, "en"))
+    # halftone-coded JBIG2 (pattern dict + halftone region; at cell=1 /
+    # 2 levels the pattern composite IS the binarized page, so OCR
+    # reads it exactly)
+    from effocr_spark.synth.jbig2codec import jbig2_encode_halftone
+    httxt = _en_ocr_line(_rng(999500, 0), 4)
+    htimg = render_line(httxt)[0]
+    rows.append(("pdf://jbig2/halftone", None, bytearray(
+        make_jbig2_pdf([htimg],
+                       raw_stream=jbig2_encode_halftone(
+                           htimg, n_levels=2, cell=1))), None, "en"))
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, "
               "lang string")

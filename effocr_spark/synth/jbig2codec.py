@@ -397,6 +397,216 @@ def refinement_region_encode(bm: np.ndarray, ref: np.ndarray,
     return enc.flush()
 
 
+# ------------------------ halftone regions (spec 6.6) + pattern dicts
+
+def _halftone_pattern_at(hdpw: int) -> list[tuple[int, int]]:
+    # nominal AT for pattern-dictionary collective bitmaps (6.7.5)
+    return [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+
+
+def _halftone_gray_at(template: int) -> list[tuple[int, int]]:
+    # nominal AT for halftone grayscale planes (6.6.5.1)
+    return [(3 if template <= 1 else 2, -1), (-3, -1), (2, -2),
+            (-2, -2)]
+
+
+def decode_pattern_dict(payload: bytes) -> list[np.ndarray]:
+    """Type-16 pattern dictionary → list of HDPH×HDPW {0,1} patterns
+    (one collective generic-coded bitmap, split at HDPW strides)."""
+    if len(payload) < 7:
+        raise ValueError("short pattern dictionary segment")
+    flags, hdpw, hdph = payload[0], payload[1], payload[2]
+    graymax = struct.unpack_from(">I", payload, 3)[0]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    if graymax > 255:
+        raise ValueError("implausible GRAYMAX")
+    cw = (graymax + 1) * hdpw
+    if mmr:
+        from .ccittcodec import g4_decode
+        gray = g4_decode(payload[7:], cw, hdph)
+        coll = (gray == 0).astype(np.uint8)
+    else:
+        coll = generic_region_decode(payload[7:], cw, hdph, template,
+                                     False, _halftone_pattern_at(hdpw))
+    return [coll[:, i * hdpw:(i + 1) * hdpw].copy()
+            for i in range(graymax + 1)]
+
+
+def encode_pattern_dict(patterns: list[np.ndarray],
+                        template: int = 0) -> bytes:
+    """Inverse of decode_pattern_dict ({0,1} patterns, equal shape)."""
+    hdph, hdpw = patterns[0].shape
+    coll = np.concatenate(patterns, axis=1)
+    body = generic_region_encode(coll, template, False,
+                                 _halftone_pattern_at(hdpw))
+    return (bytes([(template & 3) << 1, hdpw, hdph])
+            + struct.pack(">I", len(patterns) - 1) + body)
+
+
+def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
+                           ) -> tuple[int, int, int, int, np.ndarray]:
+    """Type 20/22/23 halftone region → (x, y, w, h, bitmap): Gray-coded
+    bitplanes of the grayscale image decode through ONE arithmetic
+    decoder (shared generic contexts), each value selects a pattern
+    placed on the (possibly skewed) fixed-point grid per 6.6.5.2."""
+    if len(payload) < 38:
+        raise ValueError("short halftone region segment")
+    rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+    flags = payload[17]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    enableskip = (flags >> 3) & 1
+    defpixel = (flags >> 7) & 1
+    if mmr:
+        raise NotImplementedError(
+            "JBIG2 MMR halftone grayscale; plug a real JBIG2 library "
+            "in")
+    if enableskip:
+        raise NotImplementedError(
+            "JBIG2 halftone HENABLESKIP; plug a real JBIG2 library in")
+    hgw, hgh = struct.unpack_from(">II", payload, 18)
+    hgx, hgy = struct.unpack_from(">ii", payload, 26)
+    hrx, hry = struct.unpack_from(">HH", payload, 34)
+    if not patterns:
+        raise ValueError("halftone region without pattern dictionary")
+    hph, hpw = patterns[0].shape
+    n_bits = max((len(patterns) - 1).bit_length(), 1)
+    at = _halftone_gray_at(template)
+    ctx = _ctx_fn(template, at)
+    n_ctx = 1 << _CTX_BITS[template]
+    icx = np.zeros(n_ctx, np.int64)
+    mps = np.zeros(n_ctx, np.int64)
+    dec = MQDecoder(payload[38:])
+    gray = np.zeros((hgh, hgw), np.int64)
+    prev = np.zeros((hgh, hgw), np.int64)
+    for j in range(n_bits - 1, -1, -1):  # MSB first, Gray-decoded
+        plane = np.zeros((hgh, hgw), np.uint8)
+        for y in range(hgh):
+            for x in range(hgw):
+                plane[y, x] = dec.decode(icx, mps, ctx(plane, x, y))
+        bit = plane ^ prev  # Gray code: b_j = plane_j XOR b_{j+1}
+        gray |= bit.astype(np.int64) << j
+        prev = bit
+    gray = np.minimum(gray, len(patterns) - 1)
+    bm = np.full((rh, rw), defpixel, np.uint8)
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            pat = patterns[int(gray[mg, ng])]
+            xx0, yy0 = max(x, 0), max(y, 0)
+            xx1, yy1 = min(x + hpw, rw), min(y + hph, rh)
+            if xx0 < xx1 and yy0 < yy1:
+                bm[yy0:yy1, xx0:xx1] |= pat[yy0 - y:yy1 - y,
+                                            xx0 - x:xx1 - x]
+    return rx, ry, rw, rh, bm
+
+
+def encode_halftone_region(w: int, h: int, gray: np.ndarray,
+                           patterns: list[np.ndarray],
+                           template: int = 0) -> bytes:
+    """Inverse of decode_halftone_region: axis-aligned grid with
+    spacing = pattern width (the standard halftoning layout), gray
+    values in [0, len(patterns))."""
+    hph, hpw = patterns[0].shape
+    hgh, hgw = gray.shape
+    n_bits = max((len(patterns) - 1).bit_length(), 1)
+    at = _halftone_gray_at(template)
+    ctx = _ctx_fn(template, at)
+    n_ctx = 1 << _CTX_BITS[template]
+    icx = np.zeros(n_ctx, np.int64)
+    mps = np.zeros(n_ctx, np.int64)
+    enc = MQEncoder()
+    prev = np.zeros((hgh, hgw), np.int64)
+    for j in range(n_bits - 1, -1, -1):
+        bit = (gray.astype(np.int64) >> j) & 1
+        plane = (bit ^ prev).astype(np.uint8)
+        for y in range(hgh):
+            for x in range(hgw):
+                enc.encode(icx, mps, ctx(plane, x, y),
+                           int(plane[y, x]))
+        prev = bit
+    body = enc.flush()
+    flags = (template & 3) << 1
+    return (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+            + bytes([flags])
+            + struct.pack(">II", hgw, hgh)
+            + struct.pack(">ii", 0, 0)
+            + struct.pack(">HH", hpw << 8, 0)
+            + body)
+
+
+def jbig2_encode_halftone(img: np.ndarray, n_levels: int = 8,
+                          cell: int = 4) -> bytes:
+    """uint8 grayscale page → halftone-coded embedded JBIG2: a pattern
+    dictionary of ordered-dither dot cells + a halftone region whose
+    grayscale image is the cell-downsampled, n_levels-quantized page.
+    Lossy by construction (that's what halftoning is); the companion
+    expected_halftone() renders the decoder-exact composite for
+    tests."""
+    patterns = make_dither_patterns(n_levels, cell)
+    gray = quantize_cells(img, n_levels, cell)
+    h = gray.shape[0] * cell
+    w = gray.shape[1] * cell
+    pd = encode_pattern_dict(patterns)
+    ht = encode_halftone_region(w, h, gray, patterns)
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
+    return (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+            + page_info
+            + _segment_header(1, _SEG_PATTERN_DICT, 1, len(pd)) + pd
+            + _segment_header(2, _SEG_IMM_LOSSLESS_HALFTONE, 1,
+                              len(ht)) + ht
+            + _segment_header(3, _SEG_END_OF_PAGE, 1, 0))
+
+
+def make_dither_patterns(n_levels: int, cell: int) -> list[np.ndarray]:
+    """Ordered-dither dot patterns: level k has k of cell² pixels set,
+    filled center-out (deterministic)."""
+    order = sorted(
+        ((yy - (cell - 1) / 2) ** 2 + (xx - (cell - 1) / 2) ** 2,
+         yy, xx)
+        for yy in range(cell) for xx in range(cell))
+    pats = []
+    per = cell * cell / (n_levels - 1)
+    for k in range(n_levels):
+        pat = np.zeros((cell, cell), np.uint8)
+        n_on = min(cell * cell, int(round(k * per)))
+        for _, yy, xx in order[:n_on]:
+            pat[yy, xx] = 1
+        pats.append(pat)
+    return pats
+
+
+def quantize_cells(img: np.ndarray, n_levels: int,
+                   cell: int) -> np.ndarray:
+    """Page → per-cell darkness level in [0, n_levels): mean luminance
+    of each cell×cell block, inverted (ink black = high level)."""
+    h = img.shape[0] // cell * cell
+    w = img.shape[1] // cell * cell
+    blocks = img[:h, :w].reshape(h // cell, cell, w // cell,
+                                 cell).mean(axis=(1, 3))
+    dark = 255.0 - blocks
+    return np.clip((dark / 255.0 * (n_levels - 1)).round(), 0,
+                   n_levels - 1).astype(np.int64)
+
+
+def expected_halftone(img: np.ndarray, n_levels: int = 8,
+                      cell: int = 4) -> np.ndarray:
+    """The exact composite the decoder must produce for
+    jbig2_encode_halftone(img): patterns placed on the axis-aligned
+    grid."""
+    patterns = make_dither_patterns(n_levels, cell)
+    gray = quantize_cells(img, n_levels, cell)
+    out = np.zeros((gray.shape[0] * cell, gray.shape[1] * cell),
+                   np.uint8)
+    for mg in range(gray.shape[0]):
+        for ng in range(gray.shape[1]):
+            out[mg * cell:(mg + 1) * cell,
+                ng * cell:(ng + 1) * cell] = patterns[int(gray[mg, ng])]
+    return np.where(out == 1, np.uint8(0), np.uint8(255))
+
+
 # --------------------------- embedded-stream segments (spec 7.2-7.4)
 
 _SEG_PAGE_INFO = 48
@@ -414,6 +624,10 @@ _SEG_TABLES = 53  # custom huffman code-table segment (spec 7.4.13)
 _SEG_INTERMEDIATE_REFINE = 40
 _SEG_IMM_REFINE = 42
 _SEG_IMM_LOSSLESS_REFINE = 43
+_SEG_PATTERN_DICT = 16
+_SEG_INTERMEDIATE_HALFTONE = 20
+_SEG_IMM_HALFTONE = 22
+_SEG_IMM_LOSSLESS_HALFTONE = 23
 _HARMLESS = {_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE, _SEG_END_OF_FILE}
 
 
@@ -485,6 +699,7 @@ def jbig2_decode_embedded(data: bytes,
     page_w = page_h = None
     page: np.ndarray | None = None
     symbols: list[np.ndarray] = []  # exported by dicts, in order
+    patterns: list[np.ndarray] = []  # last pattern dictionary
     # custom code tables accumulate in stream order; huffman consumers
     # take them in selection-slot order (order-of-reference
     # approximation, same discipline as the symbol accumulation above)
@@ -561,6 +776,20 @@ def jbig2_decode_embedded(data: bytes,
             bm = refinement_region_decode(payload[pos:], rw, rh, ref,
                                           rtemplate, at=rat)
             page[ry:ry + rh, rx:rx + rw] = bm
+        elif stype == _SEG_PATTERN_DICT:
+            patterns = decode_pattern_dict(payload)
+        elif stype in (_SEG_IMM_HALFTONE, _SEG_IMM_LOSSLESS_HALFTONE,
+                       _SEG_INTERMEDIATE_HALFTONE):
+            rx, ry, rw, rh, bm = decode_halftone_region(payload,
+                                                        patterns)
+            if page is None:
+                page_w, page_h = rx + rw, ry + rh
+                page = np.zeros((page_h, page_w), np.uint8)
+            if page.shape[0] < ry + rh:
+                grown = np.zeros((ry + rh, page.shape[1]), np.uint8)
+                grown[: page.shape[0]] = page
+                page = grown
+            page[ry:ry + rh, rx:rx + rw] |= bm
         elif stype == _SEG_TABLES:
             from .jbig2huff import parse_code_table
             custom_tables.append(parse_code_table(payload))

@@ -99,9 +99,10 @@ def test_segment_parse_and_seams():
     data = jbig2_encode_embedded(img)
     segs = parse_segments(data)
     assert [t for t, _p, _b in segs] == [48, 39, 49]
-    # unsupported segment type (halftone region = 22) raises a seam
-    bad = data[:4] + bytes([(data[4] & 0xC0) | 22]) + data[5:]
-    with pytest.raises(NotImplementedError, match="segment type 22"):
+    # an unassigned segment type raises a named seam (halftone — the
+    # old example here — now decodes for real)
+    bad = data[:4] + bytes([(data[4] & 0xC0) | 37]) + data[5:]
+    with pytest.raises(NotImplementedError, match="segment type 37"):
         jbig2_decode_embedded(bad)
     with pytest.raises(ValueError, match="truncated"):
         parse_segments(data[:5])
@@ -354,4 +355,53 @@ def test_refinement_tpgron_stays_a_seam():
             + _segment_header(1, _SEG_IMM_LOSSLESS_REFINE, 1,
                               len(rregion)) + rregion)
     with pytest.raises(NotImplementedError, match="TPGRON"):
+        jbig2_decode_embedded(blob)
+
+
+def test_halftone_region_roundtrip_exact():
+    """Pattern dictionary + halftone region (spec 6.6/6.7): ordered-
+    dither halftoning of a grayscale page decodes to the exact
+    pattern composite (Gray-coded bitplanes through one shared-context
+    arithmetic decoder; fixed-point grid placement)."""
+    import numpy as np
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jbig2codec import (expected_halftone,
+                                               jbig2_decode_embedded,
+                                               jbig2_encode_halftone)
+
+    img, _, _ = render_line("halftone coded page content")
+    blob = jbig2_encode_halftone(img, n_levels=8, cell=4)
+    assert (jbig2_decode_embedded(blob)
+            == expected_halftone(img, 8, 4)).all()
+
+    # a gradient exercises every gray level and multi-bit Gray coding
+    grad = np.tile(np.linspace(0, 255, 64).astype(np.uint8), (32, 1))
+    blob = jbig2_encode_halftone(grad, n_levels=16, cell=8)
+    assert (jbig2_decode_embedded(blob)
+            == expected_halftone(grad, 16, 8)).all()
+
+
+def test_halftone_seams_named():
+    import struct
+
+    import pytest
+    from effocr_spark.synth.jbig2codec import (_SEG_IMM_HALFTONE,
+                                               _SEG_PAGE_INFO,
+                                               _SEG_PATTERN_DICT,
+                                               _segment_header,
+                                               encode_pattern_dict,
+                                               jbig2_decode_embedded,
+                                               make_dither_patterns)
+
+    pd = encode_pattern_dict(make_dither_patterns(4, 4))
+    page_info = struct.pack(">IIII", 16, 16, 0, 0) + b"\x01\x00\x00"
+    # HENABLESKIP flag set → named seam
+    ht = (struct.pack(">IIII", 16, 16, 0, 0) + b"\x00"
+          + bytes([0x08]) + struct.pack(">II", 4, 4)
+          + struct.pack(">ii", 0, 0) + struct.pack(">HH", 4 << 8, 0))
+    blob = (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
+            + page_info
+            + _segment_header(1, _SEG_PATTERN_DICT, 1, len(pd)) + pd
+            + _segment_header(2, _SEG_IMM_HALFTONE, 1, len(ht)) + ht)
+    with pytest.raises(NotImplementedError, match="HENABLESKIP"):
         jbig2_decode_embedded(blob)
