@@ -881,6 +881,14 @@ def q_extract_pdf_scanned(spark, sf_dir):
     jpxtxt = _en_ocr_line(_rng(999400, 0), 4)
     rows.append(("pdf://jpx/0", None, bytearray(
         make_jpx_pdf([render_line(jpxtxt)[0]])), None, "en"))
+    # INLINE image (BI/ID/EI in the content stream — the simple-
+    # generator shape); the binary payload must not alias as text ops
+    from effocr_spark.synth.pdfgen import make_inline_image_pdf
+    iitxt = _en_ocr_line(_rng(999600, 0), 4)
+    rows.append(("pdf://inline/dct", None, bytearray(
+        make_inline_image_pdf([render_line(iitxt)[0]], mode="dct",
+                              text_lines=[["Inline layer line"]])),
+        None, "en"))
     # halftone-coded JBIG2 (pattern dict + halftone region; at cell=1 /
     # 2 levels the pattern composite IS the binarized page, so OCR
     # reads it exactly)

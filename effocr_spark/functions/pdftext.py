@@ -576,6 +576,11 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
         if _XREF_TYPE_RE.search(dict_part):
             continue  # cross-reference stream: W-packed binary, no text
         body = _apply_filters(dict_part, body)
+        if b"BI" in body and b"ID" in body:
+            # inline images (BI ... ID <binary> EI) carry arbitrary
+            # bytes that would otherwise alias as text operators —
+            # excise them before the operator scan
+            body = _INLINE_IMG_RE.sub(b" ", body)
         lines.extend(_stream_text(body, fonts, strict))
     text = "\n".join(ln for ln in lines if ln.strip())
     return text
@@ -717,6 +722,15 @@ def extract_pdf_images(data: bytes,
     out: list[bytes] = []
     for dict_part, body, _num in streams:
         if b"/Subtype" not in dict_part or b"/Image" not in dict_part:
+            # content streams may carry INLINE images (BI ... ID ... EI)
+            if b"/Font" in dict_part or _XREF_TYPE_RE.search(dict_part):
+                continue
+            try:
+                decoded = _apply_filters(dict_part, body)
+            except (ValueError, NotImplementedError, zlib.error):
+                continue
+            if b"BI" in decoded and b"ID" in decoded:
+                out.extend(_inline_images(decoded))
             continue
         m = _FILTER_RE.search(dict_part)
         if m is None:
@@ -739,6 +753,101 @@ def extract_pdf_images(data: bytes,
         except (ValueError, NotImplementedError):
             continue
         out.append(body)
+    return out
+
+
+_INLINE_IMG_RE = re.compile(
+    rb"\bBI\b(?P<dict>.*?)\bID(?P<data>.*?)(?<=[\s\x00])EI(?=[\s\x00)]|$)",
+    re.S)
+_INLINE_FILTER_MAP = {
+    b"AHx": b"ASCIIHexDecode", b"ASCIIHexDecode": b"ASCIIHexDecode",
+    b"A85": b"ASCII85Decode", b"ASCII85Decode": b"ASCII85Decode",
+    b"LZW": b"LZWDecode", b"LZWDecode": b"LZWDecode",
+    b"Fl": b"FlateDecode", b"FlateDecode": b"FlateDecode",
+    b"RL": b"RunLengthDecode", b"RunLengthDecode": b"RunLengthDecode",
+    b"CCF": b"CCITTFaxDecode", b"CCITTFaxDecode": b"CCITTFaxDecode",
+    b"DCT": b"DCTDecode", b"DCTDecode": b"DCTDecode",
+}
+
+
+def _inline_images(content: bytes) -> list[bytes]:
+    """Inline images (`BI ... ID <binary> EI`, spec 8.9.7) inside a
+    DECODED content stream → image byte strings for the OCR branch:
+    DCT passes through as JPEG bytes, CCITTFax decodes via the fax
+    codec, raw 8-bit gray/RGB and 1-bit samples wrap as PNG. Filter
+    names accept the BI abbreviations (AHx/A85/LZW/Fl/RL/CCF/DCT).
+    Undecodable inline images are skipped (quarantine-by-omission)."""
+    from ..synth.imgcodec import encode_png
+
+    out: list[bytes] = []
+    for m in _INLINE_IMG_RE.finditer(content):
+        d = m.group("dict")
+        body = m.group("data")
+        # ID is followed by exactly one whitespace byte before data
+        if body[:1] in (b" ", b"\n", b"\r", b"\t", b"\x00"):
+            body = body[1:]
+        # trailing whitespace before EI belongs to the delimiter
+        body = body.rstrip(b"\x00")
+        try:
+            names = [
+                _INLINE_FILTER_MAP[n] for n in _NAME_RE.findall(
+                    (re.search(
+                        rb"/F(?:ilter)?\s*(\[[^\]]*\]|/[A-Za-z0-9]+)",
+                        d) or [None, b""]).__getitem__(1) or b"")
+            ]
+        except KeyError:
+            continue  # unknown inline filter: skip
+        def iparm(name: bytes, default: int) -> int:
+            mm = re.search(rb"/" + name + rb"\b\s+(-?\d+)", d)
+            return int(mm.group(1)) if mm else default
+        w = iparm(b"W", 0) or iparm(b"Width", 0)
+        h = iparm(b"H", 0) or iparm(b"Height", 0)
+        bpc = iparm(b"BPC", 0) or iparm(b"BitsPerComponent", 8)
+        if w <= 0 or h <= 0:
+            continue
+        try:
+            for name in names[:-1] if names and names[-1] in (
+                    b"DCTDecode", b"CCITTFaxDecode") else names:
+                body = _apply_one(name, body)
+            if names and names[-1] == b"DCTDecode":
+                # guard against the non-greedy EI scan truncating a
+                # JPEG whose body happens to contain "\nEI " — require
+                # the EOI marker before passing bytes through
+                if body[:2] == b"\xff\xd8" and b"\xff\xd9" in body:
+                    out.append(body)
+                continue
+            if names and names[-1] == b"CCITTFaxDecode":
+                dp = re.search(rb"/DP?\s*<<(.*?)>>", d, re.S)
+                parms = ((dp.group(1) if dp else b"")
+                         + b" /Columns %d /Rows %d" % (w, h))
+                out.append(_ccitt_to_png(parms, body))
+                continue
+            # raw samples: 8-bit gray/RGB or 1-bit bilevel
+            if bpc == 8:
+                n = w * h
+                if len(body) >= 3 * n and (b"RGB" in d or b"/CS /RGB"
+                                           in d):
+                    arr = np.frombuffer(body, np.uint8,
+                                        3 * n).reshape(h, w, 3)
+                elif len(body) >= n:
+                    arr = np.frombuffer(body, np.uint8, n).reshape(h, w)
+                else:
+                    continue
+            elif bpc == 1:
+                stride = (w + 7) // 8
+                if len(body) < stride * h:
+                    continue
+                bits = np.unpackbits(
+                    np.frombuffer(body, np.uint8, stride * h)
+                    .reshape(h, stride), axis=1)[:, :w]
+                # sample 0 = black in DeviceGray; image masks (/IM
+                # true) paint where sample is 0 as well
+                arr = np.where(bits == 0, np.uint8(0), np.uint8(255))
+            else:
+                continue
+            out.append(encode_png(arr))
+        except (ValueError, NotImplementedError, zlib.error):
+            continue
     return out
 
 

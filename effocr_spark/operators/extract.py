@@ -515,7 +515,12 @@ def has_pdf_images(html_col):
     return (F.contains(s, F.lit("/DCTDecode"))
             | F.contains(s, F.lit("/CCITTFaxDecode"))
             | F.contains(s, F.lit("/JBIG2Decode"))
-            | F.contains(s, F.lit("/JPXDecode")))
+            | F.contains(s, F.lit("/JPXDecode"))
+            # inline images in RAW content streams (BI /W ... ID ... EI
+            # — the simple-generator shape); Flate-compressed content
+            # hides inline images from any byte-level prefilter — a
+            # documented recall trade for not exploding every PDF
+            | F.contains(s, F.lit("BI /")))
 
 
 def pdf_image_rows(df: DataFrame,

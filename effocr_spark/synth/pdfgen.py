@@ -905,3 +905,80 @@ def make_jpx_pdf(images: list["object"],
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_inline_image_pdf(images: list["object"],
+                          mode: str = "dct",
+                          text_lines: list[list[str]] | None = None,
+                          compress: bool = False) -> bytes:
+    """PDF whose pages carry INLINE images (`BI ... ID <data> EI`,
+    spec 8.9.7) in Flate-compressed content streams — the shape simple
+    generators and fax-to-PDF converters emit for small images.
+    images = HxW uint8 grayscale arrays; mode: 'dct' (JPEG, /F /DCT),
+    'raw' (8-bit /CS /G samples), 'raw1' (1-bit bilevel), 'ccitt'
+    (G4, /F /CCF with /DP)."""
+    import numpy as np
+
+    n_pages = len(images)
+    if text_lines is None:
+        text_lines = [[] for _ in range(n_pages)]
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 2 * n_pages
+    for i, (img, lines) in enumerate(zip(images, text_lines)):
+        h, w = img.shape[:2]
+        if mode == "dct":
+            from .jpegcodec import encode_jpeg
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            data = encode_jpeg(rgb)
+            head = (f"BI /W {w} /H {h} /CS /RGB /BPC 8 /F /DCT ID "
+                    .encode())
+        elif mode == "raw":
+            data = img.astype(np.uint8).tobytes()
+            head = f"BI /W {w} /H {h} /CS /G /BPC 8 ID ".encode()
+        elif mode == "raw1":
+            bits = (img < 128).astype(np.uint8)
+            data = np.packbits(1 - bits, axis=1).tobytes()
+            head = f"BI /W {w} /H {h} /BPC 1 /IM true ID ".encode()
+        elif mode == "ccitt":
+            from .ccittcodec import g4_encode
+            data = g4_encode(img.astype(np.uint8))
+            head = (f"BI /W {w} /H {h} /BPC 1 /F /CCF "
+                    f"/DP << /K -1 >> ID ".encode())
+        else:
+            raise ValueError(f"unknown inline-image mode {mode}")
+        content = (b"q %d 0 0 %d 0 0 cm\n" % (w, h)
+                   + head + data + b"\nEI\nQ\n")
+        if lines:
+            content += _content_stream(lines)
+        # simple generators leave inline-image content streams RAW
+        # (the default here) — that is also what lets the JVM-side
+        # has_pdf_images prefilter see the BI marker
+        filt = ""
+        if compress:
+            content = zlib.compress(content)
+            filt = " /Filter /FlateDecode"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
+            f"{font_num} 0 R >> >> >>".encode())
+        objs.append(f"<< /Length {len(content)}{filt} >>"
+                    f"\nstream\n".encode() + content + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)

@@ -204,12 +204,13 @@ def test_image_filters_stay_seams_predictors_decode():
              + b"stream\n" + blob16 + b"\nendstream\nendobj\n%%EOF")
     assert x(pdf16) == "Wide comps"
 
-    # TIFF differencing on sub-byte samples stays a (named) seam
-    bad = (b"%PDF-1.4\n<< /Filter /FlateDecode /DecodeParms "
+    # TIFF differencing on sub-byte samples DECODES since r5 (it was a
+    # named seam; test_tiff_predictor_sub_byte_and_16bit pins the
+    # inversion) — the stream parses without raising
+    sub = (b"%PDF-1.4\n<< /Filter /FlateDecode /DecodeParms "
            b"<< /Predictor 2 /Columns 4 /BitsPerComponent 4 >> >>\n"
            b"stream\n" + _zlib.compress(b"xxxx") + b"\nendstream")
-    with _pytest.raises(NotImplementedError, match="BitsPerComponent"):
-        x(bad)
+    assert x(sub) == ""  # binary rows, no text operators
 
 
 # --------------------------------------------- standard encryption
@@ -618,3 +619,34 @@ def test_tiff_predictor_sub_byte_and_16bit():
             got = (bits.reshape(rows, -1, bpc)
                    * (1 << np.arange(bpc - 1, -1, -1))).sum(axis=2)
         assert (got == samples).all(), (bpc, colors)
+
+
+def test_inline_images_all_modes():
+    """Inline images (BI ... ID <binary> EI, spec 8.9.7): DCT passes
+    through as JPEG, CCITT G4 and raw 8-bit/1-bit samples re-emit as
+    PNG, and — critically — the binary data is EXCISED from the text
+    walker so it can't alias as text operators (the DCT payload
+    regularly contains 'BT'/'Tj'-looking byte runs)."""
+    import numpy as np
+    from effocr_spark.functions.pdftext import (extract_pdf_images,
+                                                extract_pdf_text)
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import decode_png
+    from effocr_spark.synth.pdfgen import make_inline_image_pdf
+
+    img, _, _ = render_line("inline image page text")
+    for mode in ("dct", "raw", "raw1", "ccitt"):
+        blob = make_inline_image_pdf([img], mode=mode,
+                                     text_lines=[["Layer line"]])
+        imgs = extract_pdf_images(blob)
+        assert len(imgs) == 1, mode
+        if mode == "dct":
+            assert imgs[0][:3] == b"\xff\xd8\xff"
+        else:
+            out = decode_png(imgs[0])
+            if out.ndim == 3:
+                out = out[:, :, 0]
+            exp = (img if mode == "raw"
+                   else np.where(img < 128, 0, 255).astype(np.uint8))
+            assert (out == exp).all(), mode
+        assert extract_pdf_text(blob) == "Layer line", mode
