@@ -582,8 +582,48 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
             # excise them before the operator scan
             body = _INLINE_IMG_RE.sub(b" ", body)
         lines.extend(_stream_text(body, fonts, strict))
+    # text content OUTSIDE content streams: AcroForm text-field values
+    # (/FT /Tx ... /V) and FreeText annotation /Contents. Skipped for
+    # encrypted documents (strings are encrypted per-object there and
+    # only STREAM decryption is implemented — fail silent-safe by
+    # omission rather than emit ciphertext)
+    if b"/Encrypt" not in data:
+        lines.extend(_form_and_annot_text(data, objstm))
     text = "\n".join(ln for ln in lines if ln.strip())
     return text
+
+
+def _pdf_text_string(raw: bytes) -> str:
+    """PDF text-string semantics (7.9.2.2): UTF-16BE with BOM, else
+    PDFDocEncoding (≈ latin-1 for the printable range)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+_FT_TX_RE = re.compile(rb"/FT\s*/Tx\b")
+_FREETEXT_RE = re.compile(rb"/Subtype\s*/FreeText\b")
+
+
+def _form_and_annot_text(data: bytes,
+                         objstm: dict[int, bytes]) -> list[str]:
+    """Interactive-form text values and FreeText annotation contents,
+    in object-number order — the text a filled form carries that no
+    content stream shows."""
+    out: list[tuple[int, str]] = []
+    spaces = [(int(m.group(1)), m.group(3))
+              for m in _OBJ_RE.finditer(data)]
+    spaces += sorted(objstm.items())
+    for num, body in spaces:
+        if _FT_TX_RE.search(body):
+            v = _pdf_string(body, rb"/V")
+            if v:
+                out.append((num, _pdf_text_string(v)))
+        elif _FREETEXT_RE.search(body):
+            c = _pdf_string(body, rb"/Contents")
+            if c:
+                out.append((num, _pdf_text_string(c)))
+    return [t for _, t in sorted(out)]
 
 
 # ------------------------------------------------------ stream filters

@@ -982,3 +982,51 @@ def make_inline_image_pdf(images: list["object"],
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_form_pdf(pages: list[list[str]],
+                  fields: list[tuple[str, str]] | None = None,
+                  freetext: list[str] | None = None) -> bytes:
+    """Filled interactive form: text pages plus AcroForm /Tx widget
+    fields carrying /V values (latin-1 or UTF-16BE as needed) and
+    FreeText annotations — the text a filled form holds that no
+    content stream shows."""
+    fields = fields or []
+    freetext = freetext or []
+    base = make_pdf(pages)
+    # append field/annot objects before the xref (regex-scanned, so a
+    # simple incremental append keeps the base xref usable)
+    xref_at = base.rindex(b"xref\n")
+    startxref_old = base.rindex(b"startxref\n")
+    nums_used = max(int(m.group(1)) for m in
+                    __import__("re").finditer(rb"(\d+) 0 obj", base))
+    out = bytearray(base[:xref_at])
+    extra: list[bytes] = []
+    for name, value in fields:
+        try:
+            vb = value.encode("latin-1")
+            vs = b"(" + vb.replace(b"\\", rb"\\").replace(b"(", rb"\(") \
+                .replace(b")", rb"\)") + b")"
+        except UnicodeEncodeError:
+            vs = b"<" + (b"\xfe\xff"
+                         + value.encode("utf-16-be")).hex().encode() + b">"
+        extra.append(
+            b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (%s) /V %s "
+            b"/Rect [0 0 100 20] >>" % (name.encode("latin-1"), vs))
+    for txt in freetext:
+        extra.append(
+            b"<< /Type /Annot /Subtype /FreeText /Contents (%s) "
+            b"/Rect [0 0 100 20] >>"
+            % txt.encode("latin-1").replace(b"(", rb"\(")
+            .replace(b")", rb"\)"))
+    offsets = []
+    for i, body in enumerate(extra):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % (nums_used + 1 + i) + body + b"\nendobj\n"
+    new_xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for i, off in enumerate(offsets):
+        out += b"%d 1\n%010d 00000 n \n" % (nums_used + 1 + i, off)
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (nums_used + len(extra) + 1, new_xref_at))
+    return bytes(out)

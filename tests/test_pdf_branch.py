@@ -650,3 +650,23 @@ def test_inline_images_all_modes():
                    else np.where(img < 128, 0, 255).astype(np.uint8))
             assert (out == exp).all(), mode
         assert extract_pdf_text(blob) == "Layer line", mode
+
+
+def test_form_fields_and_freetext_annotations():
+    """AcroForm /Tx field values and FreeText /Contents extract after
+    the page text — including UTF-16BE (BOM) text strings; encrypted
+    documents skip form strings (only stream decryption is
+    implemented — fail-safe by omission, never ciphertext)."""
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import make_form_pdf
+
+    blob = make_form_pdf(
+        [["Printed page line"]],
+        fields=[("name", "Jordan Applicant"), ("city", "Zürich")],
+        freetext=["A margin note"])
+    assert extract_pdf_text(blob) == \
+        "Printed page line\nJordan Applicant\nZürich\nA margin note"
+
+    blob = make_form_pdf([["Page"]], fields=[("n", "Čeština — résumé")])
+    assert b"feff" in blob  # hex-encoded UTF-16BE with BOM
+    assert extract_pdf_text(blob) == "Page\nČeština — résumé"
