@@ -1094,8 +1094,10 @@ def _decode_text_region(payload: bytes,
                         symbols: list[np.ndarray]
                         ) -> tuple[int, int, int, int, np.ndarray]:
     """Type 4/6/7 text region segment → (x, y, w, h, bitmap).
-    Arithmetic, non-transposed, non-refined; SBSTRIPS from
-    LOGSBSTRIPS; REFCORNER handled for all four corners."""
+    Arithmetic, non-refined; SBSTRIPS from LOGSBSTRIPS; REFCORNER
+    handled for all four corners; TRANSPOSED mode (vertical strips — S
+    advances along y, T along x, the vertical-text layout) decodes
+    too."""
     if len(payload) < 17 + 2 + 4:
         raise ValueError("short text region segment")
     rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
@@ -1109,10 +1111,10 @@ def _decode_text_region(payload: bytes,
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    if sbhuff or refine or transposed:
+    if sbhuff or refine:
         raise NotImplementedError(
-            "JBIG2 text region with SBHUFF/REFINE/TRANSPOSED; plug a "
-            "real JBIG2 library in")
+            "JBIG2 text region with SBHUFF/REFINE; plug a real JBIG2 "
+            "library in")
     sbstrips = 1 << logsbstrips
     n_inst = struct.unpack_from(">I", payload, 19)[0]
     if not symbols:
@@ -1159,17 +1161,23 @@ def _decode_text_region(payload: bytes,
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
             hs, ws = sym.shape
-            # placement per REFCORNER (non-transposed): S advances
-            # along x; the corner picks the y anchor
-            x0 = curs
-            y0 = tt if refcorner in (1, 3) else tt - hs + 1
-            # 0 BOTTOMLEFT, 1 TOPLEFT, 2 BOTTOMRIGHT, 3 TOPRIGHT
+            # placement per REFCORNER; 0 BOTTOMLEFT, 1 TOPLEFT,
+            # 2 BOTTOMRIGHT, 3 TOPRIGHT (spec 6.4.5 step 3c(x))
+            if transposed:
+                # S advances along y (vertical strip), T along x; the
+                # corner picks the x anchor
+                y0 = curs
+                x0 = tt if refcorner in (0, 1) else tt - ws + 1
+            else:
+                # S advances along x; the corner picks the y anchor
+                x0 = curs
+                y0 = tt if refcorner in (1, 3) else tt - hs + 1
             xx0, yy0 = max(x0, 0), max(y0, 0)
             xx1, yy1 = min(x0 + ws, rw), min(y0 + hs, rh)
             if xx0 < xx1 and yy0 < yy1:
                 bm[yy0:yy1, xx0:xx1] |= sym[yy0 - y0:yy1 - y0,
                                             xx0 - x0:xx1 - x0]
-            curs += ws - 1
+            curs += (hs if transposed else ws) - 1
             ninst += 1
             if ninst > n_inst:
                 raise ValueError("more instances than declared")
@@ -1218,16 +1226,20 @@ def _encode_symbol_dict(symbols: list[np.ndarray],
 
 def _encode_text_region(w: int, h: int,
                         instances: list[tuple[int, int, int]],
-                        symbols: list[np.ndarray]) -> bytes:
-    """instances = [(x, y, sym_id)] placed TOPLEFT, non-transposed,
-    SBSTRIPS=1 → type-7 immediate lossless text region payload."""
+                        symbols: list[np.ndarray],
+                        transposed: bool = False) -> bytes:
+    """instances = [(x, y, sym_id)] placed TOPLEFT, SBSTRIPS=1 →
+    type-7 immediate lossless text region payload. transposed=True
+    emits the vertical-strip layout (T along x, S along y — the
+    vertical-text shape)."""
     symcodelen = _symcodelen(len(symbols))
     mq = MQEncoder()
     iadt, iafs, iads, iaid = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx(1 << (symcodelen + 1)))
     by_t: dict[int, list[tuple[int, int]]] = {}
     for x, y, sid in instances:
-        by_t.setdefault(y, []).append((x, sid))
+        t, s = (x, y) if transposed else (y, x)
+        by_t.setdefault(t, []).append((s, sid))
     _ia_encode(mq, iadt, 0)  # STRIPT init: -0
     stript = 0
     firsts = 0
@@ -1237,20 +1249,22 @@ def _encode_text_region(w: int, h: int,
         row = sorted(by_t[t])
         first = True
         curs = 0
-        for x, sid in row:
+        for s, sid in row:
             if first:
-                _ia_encode(mq, iafs, x - firsts)
-                firsts = x
-                curs = x
+                _ia_encode(mq, iafs, s - firsts)
+                firsts = s
+                curs = s
                 first = False
             else:
-                _ia_encode(mq, iads, x - curs)
-                curs = x
+                _ia_encode(mq, iads, s - curs)
+                curs = s
             _iaid_encode(mq, iaid, symcodelen, sid)
-            curs += symbols[sid].shape[1] - 1
+            hs, ws = symbols[sid].shape
+            curs += (hs if transposed else ws) - 1
         _ia_encode(mq, iads, OOB)
     body = mq.flush()
-    flags = (1 << 4)  # REFCORNER = TOPLEFT, SBSTRIPS=1, arith
+    # REFCORNER = TOPLEFT, SBSTRIPS=1, arith (+ TRANSPOSED bit 6)
+    flags = (1 << 4) | ((1 << 6) if transposed else 0)
     return (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
             + struct.pack(">H", flags)
             + struct.pack(">I", len(instances)) + body)
@@ -1259,7 +1273,8 @@ def _encode_text_region(w: int, h: int,
 def jbig2_encode_text(img_shape: tuple[int, int],
                       symbols: list[np.ndarray],
                       instances: list[tuple[int, int, int]],
-                      template: int = 0) -> bytes:
+                      template: int = 0,
+                      transposed: bool = False) -> bytes:
     """Embedded-organization symbol/text JBIG2: page info + symbol
     dictionary + immediate lossless text region + end of page. This is
     the mode real scanner encoders emit for text-heavy pages (symbol
@@ -1270,7 +1285,8 @@ def jbig2_encode_text(img_shape: tuple[int, int],
     page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01"
                  + b"\x00\x00")
     sd = _encode_symbol_dict(symbols, template)
-    tr = _encode_text_region(w, h, instances, symbols)
+    tr = _encode_text_region(w, h, instances, symbols,
+                             transposed=transposed)
     return (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
             + page_info
             + _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sd)) + sd

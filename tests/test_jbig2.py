@@ -405,3 +405,22 @@ def test_halftone_seams_named():
             + _segment_header(2, _SEG_IMM_HALFTONE, 1, len(ht)) + ht)
     with pytest.raises(NotImplementedError, match="HENABLESKIP"):
         jbig2_decode_embedded(blob)
+
+
+def test_transposed_text_region_roundtrip():
+    """TRANSPOSED text regions (vertical strips: T along x, S along y
+    — the vertical-text layout) reproduce the page exactly; the
+    transposed and non-transposed encodings of the same instances
+    decode identically."""
+    import numpy as np
+    from effocr_spark.synth.jbig2codec import (jbig2_decode_embedded,
+                                               jbig2_encode_text,
+                                               symbols_from_text)
+
+    shape, symbols, instances, page = symbols_from_text(
+        "transposed text region check")
+    expect = np.where(page == 1, 0, 255).astype(np.uint8)
+    for tr in (False, True):
+        blob = jbig2_encode_text(shape, symbols, instances,
+                                 transposed=tr)
+        assert (jbig2_decode_embedded(blob) == expect).all(), tr
