@@ -357,6 +357,30 @@ def _ref_ctx_fn(template: int, at: list[tuple[int, int]]):
     return ctx, n_bits
 
 
+def _refine_core_decode(dec: "MQDecoder", icx: np.ndarray,
+                        mps: np.ndarray, ctx, w: int, h: int,
+                        ref: np.ndarray, dx: int, dy: int
+                        ) -> np.ndarray:
+    """Refinement decode on an EXISTING MQ decoder with caller-owned
+    contexts — the form symbol-dict REFAGG and text-region REFINE use
+    (one arithmetic stream shared with the integer procedures)."""
+    bm = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            bm[y, x] = dec.decode(icx, mps, ctx(bm, ref, x, y, dx, dy))
+    return bm
+
+
+def _refine_core_encode(enc: "MQEncoder", icx: np.ndarray,
+                        mps: np.ndarray, ctx, bm: np.ndarray,
+                        ref: np.ndarray, dx: int, dy: int) -> None:
+    h, w = bm.shape
+    for y in range(h):
+        for x in range(w):
+            enc.encode(icx, mps, ctx(bm, ref, x, y, dx, dy),
+                       int(bm[y, x]))
+
+
 def refinement_region_decode(data: bytes, w: int, h: int,
                              ref: np.ndarray, template: int = 0,
                              dx: int = 0, dy: int = 0,
@@ -368,12 +392,8 @@ def refinement_region_decode(data: bytes, w: int, h: int,
     ctx, n_bits = _ref_ctx_fn(template, at)
     icx = np.zeros(1 << n_bits, np.int64)
     mps = np.zeros(1 << n_bits, np.int64)
-    dec = MQDecoder(data)
-    bm = np.zeros((h, w), np.uint8)
-    for y in range(h):
-        for x in range(w):
-            bm[y, x] = dec.decode(icx, mps, ctx(bm, ref, x, y, dx, dy))
-    return bm
+    return _refine_core_decode(MQDecoder(data), icx, mps, ctx, w, h,
+                               ref, dx, dy)
 
 
 def refinement_region_encode(bm: np.ndarray, ref: np.ndarray,
@@ -389,11 +409,7 @@ def refinement_region_encode(bm: np.ndarray, ref: np.ndarray,
     icx = np.zeros(1 << n_bits, np.int64)
     mps = np.zeros(1 << n_bits, np.int64)
     enc = MQEncoder()
-    h, w = bm.shape
-    for y in range(h):
-        for x in range(w):
-            enc.encode(icx, mps, ctx(bm, ref, x, y, dx, dy),
-                       int(bm[y, x]))
+    _refine_core_encode(enc, icx, mps, ctx, bm, ref, dx, dy)
     return enc.flush()
 
 
@@ -800,7 +816,7 @@ def jbig2_decode_embedded(data: bytes,
                 symbols.extend(decode_huffman_symbol_dict(
                     payload, custom_tables))
             else:
-                symbols.extend(_decode_symbol_dict(payload))
+                symbols.extend(_decode_symbol_dict(payload, symbols))
         elif stype in (_SEG_IMM_TEXT, _SEG_IMM_LOSSLESS_TEXT,
                        _SEG_INTERMEDIATE_TEXT):
             if (len(payload) >= 19
@@ -1021,19 +1037,26 @@ def _symcodelen(n: int) -> int:
 # --------------- symbol dictionary + text region (spec 6.4/6.5/7.4)
 
 
-def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
+def _decode_symbol_dict(payload: bytes,
+                        input_syms: list[np.ndarray] | None = None
+                        ) -> list[np.ndarray]:
     """Type-0 symbol dictionary segment → exported symbol bitmaps.
-    Arithmetic coding only (SDHUFF/SDREFAGG raise — the huffman and
-    refinement variants are declared seams)."""
+    Arithmetic coding, with SDREFAGG=1 single-instance refinement
+    symbols (a symbol coded as a refinement of an earlier one —
+    spec 6.5.8.2 with REFAGGNINST=1; >1 nests a text region and stays
+    a named seam). input_syms = symbols accumulated from earlier
+    dictionaries (referenceable by REFAGG ids)."""
+    input_syms = input_syms or []
     if len(payload) < 2:
         raise ValueError("short symbol dictionary segment")
     flags = struct.unpack_from(">H", payload, 0)[0]
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if sdhuff or sdrefagg:
+    rtemplate = (flags >> 12) & 1
+    if sdhuff:
         raise NotImplementedError(
-            "JBIG2 symbol dictionary with SDHUFF/SDREFAGG; plug a "
+            "JBIG2 symbol dictionary with SDHUFF+SDREFAGG; plug a "
             "real JBIG2 library in")
     pos = 2
     n_at = 4 if template == 0 else 1
@@ -1042,6 +1065,13 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
         dx, dy = struct.unpack_from(">bb", payload, pos)
         at.append((dx, dy))
         pos += 2
+    rat = None
+    if sdrefagg and rtemplate == 0:
+        rat = []
+        for _ in range(2):
+            dx, dy = struct.unpack_from(">bb", payload, pos)
+            rat.append((dx, dy))
+            pos += 2
     n_ex, n_new = struct.unpack_from(">II", payload, pos)
     pos += 8
 
@@ -1050,6 +1080,13 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
     gb_icx = np.zeros(1 << _CTX_BITS[template], np.int64)
     gb_mps = np.zeros(1 << _CTX_BITS[template], np.int64)
     ctx = _ctx_fn(template, at)
+    if sdrefagg:
+        iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+        symcodelen = _symcodelen(len(input_syms) + n_new)
+        iaid = _IntCtx(1 << (symcodelen + 1))
+        rctx, rn_bits = _ref_ctx_fn(rtemplate, rat or _REF_NOMINAL_AT)
+        gr_icx = np.zeros(1 << rn_bits, np.int64)
+        gr_mps = np.zeros(1 << rn_bits, np.int64)
 
     new_syms: list[np.ndarray] = []
     hcheight = 0
@@ -1066,10 +1103,27 @@ def _decode_symbol_dict(payload: bytes) -> list[np.ndarray]:
             symwidth += dw
             if symwidth <= 0 or hcheight <= 0:
                 raise ValueError("non-positive symbol geometry")
-            bm = np.zeros((hcheight, symwidth), np.uint8)
-            for y in range(hcheight):
-                for x in range(symwidth):
-                    bm[y, x] = mq.decode(gb_icx, gb_mps, ctx(bm, x, y))
+            if sdrefagg:
+                n_inst = _ia_decode(mq, iaai)
+                if n_inst != 1:
+                    raise NotImplementedError(
+                        "JBIG2 REFAGG with REFAGGNINST != 1 (nested "
+                        "text region); plug a real JBIG2 library in")
+                sid = _iaid_decode(mq, iaid, symcodelen)
+                rdx = _ia_decode(mq, iardx)
+                rdy = _ia_decode(mq, iardy)
+                pool = input_syms + new_syms
+                if rdx is OOB or rdy is OOB or not 0 <= sid < len(pool):
+                    raise ValueError("bad REFAGG reference")
+                bm = _refine_core_decode(mq, gr_icx, gr_mps, rctx,
+                                         symwidth, hcheight,
+                                         pool[sid], rdx, rdy)
+            else:
+                bm = np.zeros((hcheight, symwidth), np.uint8)
+                for y in range(hcheight):
+                    for x in range(symwidth):
+                        bm[y, x] = mq.decode(gb_icx, gb_mps,
+                                             ctx(bm, x, y))
             new_syms.append(bm)
             if len(new_syms) > n_new:
                 raise ValueError("more symbols than declared")
@@ -1111,20 +1165,37 @@ def _decode_text_region(payload: bytes,
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    if sbhuff or refine:
+    rtemplate = (flags >> 15) & 1
+    if sbhuff:
         raise NotImplementedError(
-            "JBIG2 text region with SBHUFF/REFINE; plug a real JBIG2 "
+            "JBIG2 text region with SBHUFF+REFINE; plug a real JBIG2 "
             "library in")
     sbstrips = 1 << logsbstrips
-    n_inst = struct.unpack_from(">I", payload, 19)[0]
+    pos = 19
+    sbrat = None
+    if refine and rtemplate == 0:
+        sbrat = []
+        for _ in range(2):
+            adx, ady = struct.unpack_from(">bb", payload, pos)
+            sbrat.append((adx, ady))
+            pos += 2
+    n_inst = struct.unpack_from(">I", payload, pos)[0]
+    pos += 4
     if not symbols:
         raise ValueError("text region without symbol dictionary")
     symcodelen = _symcodelen(len(symbols))
 
-    mq = MQDecoder(payload[23:])
+    mq = MQDecoder(payload[pos:])
     iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx())
     iaid = _IntCtx(1 << (symcodelen + 1))
+    if refine:
+        iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+        iardx, iardy = _IntCtx(), _IntCtx()
+        rctx, rn_bits = _ref_ctx_fn(rtemplate,
+                                    sbrat or _REF_NOMINAL_AT)
+        gr_icx = np.zeros(1 << rn_bits, np.int64)
+        gr_mps = np.zeros(1 << rn_bits, np.int64)
 
     bm = np.full((rh, rw), sbdefpixel, np.uint8)
     stript = -(_ia_decode(mq, iadt)) * sbstrips
@@ -1161,6 +1232,25 @@ def _decode_text_region(payload: bytes,
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
             hs, ws = sym.shape
+            if refine:
+                ri = _ia_decode(mq, iari)
+                if ri is OOB:
+                    raise ValueError("OOB refinement flag")
+                if ri:
+                    rdw = _ia_decode(mq, iardw)
+                    rdh = _ia_decode(mq, iardh)
+                    rdx = _ia_decode(mq, iardx)
+                    rdy = _ia_decode(mq, iardy)
+                    if OOB in (rdw, rdh, rdx, rdy):
+                        raise ValueError("OOB refinement delta")
+                    nw, nh = ws + rdw, hs + rdh
+                    if nw <= 0 or nh <= 0:
+                        raise ValueError("non-positive refined dims")
+                    # spec 6.4.11: GRREFERENCEDX = floor(RDW/2)+RDX
+                    sym = _refine_core_decode(
+                        mq, gr_icx, gr_mps, rctx, nw, nh, sym,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+                    hs, ws = nh, nw
             # placement per REFCORNER; 0 BOTTOMLEFT, 1 TOPLEFT,
             # 2 BOTTOMRIGHT, 3 TOPRIGHT (spec 6.4.5 step 3c(x))
             if transposed:
@@ -1224,22 +1314,85 @@ def _encode_symbol_dict(symbols: list[np.ndarray],
             + struct.pack(">II", n, n) + body)
 
 
+def _encode_symbol_dict_refagg(new_symbols: list[np.ndarray],
+                               input_syms: list[np.ndarray],
+                               ref_ids: list[int]) -> bytes:
+    """SDREFAGG=1 dictionary (REFAGGNINST=1, rdx=rdy=0): every new
+    symbol is refinement-coded against pool index ref_ids[i], where
+    the pool is the imported symbols followed by the new symbols
+    decoded so far. New symbols must be height-class-sorted; all
+    exported."""
+    mq = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    iaai, iardx, iardy = _IntCtx(), _IntCtx(), _IntCtx()
+    n = len(new_symbols)
+    symcodelen = _symcodelen(len(input_syms) + n)
+    iaid = _IntCtx(1 << (symcodelen + 1))
+    rctx, rn_bits = _ref_ctx_fn(0, _REF_NOMINAL_AT)
+    gr_icx = np.zeros(1 << rn_bits, np.int64)
+    gr_mps = np.zeros(1 << rn_bits, np.int64)
+    pool = list(input_syms)
+
+    hcheight = 0
+    i = 0
+    while i < n:
+        h = new_symbols[i].shape[0]
+        _ia_encode(mq, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < n and new_symbols[i].shape[0] == h:
+            w = new_symbols[i].shape[1]
+            _ia_encode(mq, iadw, w - symwidth)
+            symwidth = w
+            if not 0 <= ref_ids[i] < len(pool):
+                raise ValueError("refagg reference outside the pool")
+            _ia_encode(mq, iaai, 1)
+            _iaid_encode(mq, iaid, symcodelen, ref_ids[i])
+            _ia_encode(mq, iardx, 0)
+            _ia_encode(mq, iardy, 0)
+            _refine_core_encode(mq, gr_icx, gr_mps, rctx,
+                                new_symbols[i], pool[ref_ids[i]], 0, 0)
+            pool.append(new_symbols[i])
+            i += 1
+        _ia_encode(mq, iadw, OOB)
+    _ia_encode(mq, iaex, 0)
+    _ia_encode(mq, iaex, n)
+    body = mq.flush()
+    flags = 2  # SDREFAGG=1, SDTEMPLATE=0, SDRTEMPLATE=0
+    at_bytes = b"".join(struct.pack(">bb", dx, dy)
+                        for dx, dy in _NOMINAL_AT[0])
+    rat_bytes = b"".join(struct.pack(">bb", dx, dy)
+                         for dx, dy in _REF_NOMINAL_AT)
+    return (struct.pack(">H", flags) + at_bytes + rat_bytes
+            + struct.pack(">II", n, n) + body)
+
+
 def _encode_text_region(w: int, h: int,
                         instances: list[tuple[int, int, int]],
                         symbols: list[np.ndarray],
-                        transposed: bool = False) -> bytes:
+                        transposed: bool = False,
+                        refine: dict[int, np.ndarray] | None = None
+                        ) -> bytes:
     """instances = [(x, y, sym_id)] placed TOPLEFT, SBSTRIPS=1 →
     type-7 immediate lossless text region payload. transposed=True
     emits the vertical-strip layout (T along x, S along y — the
-    vertical-text shape)."""
+    vertical-text shape). refine maps an instance index to a TARGET
+    bitmap refinement-coded in place of the symbol (REFINE=1,
+    rdx=rdy=0)."""
     symcodelen = _symcodelen(len(symbols))
     mq = MQEncoder()
     iadt, iafs, iads, iaid = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx(1 << (symcodelen + 1)))
-    by_t: dict[int, list[tuple[int, int]]] = {}
-    for x, y, sid in instances:
+    if refine is not None:
+        iari, iardw, iardh = _IntCtx(), _IntCtx(), _IntCtx()
+        iardx, iardy = _IntCtx(), _IntCtx()
+        rctx, rn_bits = _ref_ctx_fn(0, _REF_NOMINAL_AT)
+        gr_icx = np.zeros(1 << rn_bits, np.int64)
+        gr_mps = np.zeros(1 << rn_bits, np.int64)
+    by_t: dict[int, list[tuple[int, int, int]]] = {}
+    for idx, (x, y, sid) in enumerate(instances):
         t, s = (x, y) if transposed else (y, x)
-        by_t.setdefault(t, []).append((s, sid))
+        by_t.setdefault(t, []).append((s, sid, idx))
     _ia_encode(mq, iadt, 0)  # STRIPT init: -0
     stript = 0
     firsts = 0
@@ -1249,7 +1402,7 @@ def _encode_text_region(w: int, h: int,
         row = sorted(by_t[t])
         first = True
         curs = 0
-        for s, sid in row:
+        for s, sid, idx in row:
             if first:
                 _ia_encode(mq, iafs, s - firsts)
                 firsts = s
@@ -1260,13 +1413,33 @@ def _encode_text_region(w: int, h: int,
                 curs = s
             _iaid_encode(mq, iaid, symcodelen, sid)
             hs, ws = symbols[sid].shape
+            if refine is not None:
+                if idx in refine:
+                    tgt = refine[idx]
+                    nh, nw = tgt.shape
+                    _ia_encode(mq, iari, 1)
+                    _ia_encode(mq, iardw, nw - ws)
+                    _ia_encode(mq, iardh, nh - hs)
+                    _ia_encode(mq, iardx, 0)
+                    _ia_encode(mq, iardy, 0)
+                    _refine_core_encode(
+                        mq, gr_icx, gr_mps, rctx, tgt, symbols[sid],
+                        (nw - ws) >> 1, (nh - hs) >> 1)
+                    hs, ws = nh, nw
+                else:
+                    _ia_encode(mq, iari, 0)
             curs += (hs if transposed else ws) - 1
         _ia_encode(mq, iads, OOB)
     body = mq.flush()
-    # REFCORNER = TOPLEFT, SBSTRIPS=1, arith (+ TRANSPOSED bit 6)
-    flags = (1 << 4) | ((1 << 6) if transposed else 0)
+    # REFCORNER = TOPLEFT, SBSTRIPS=1, arith (+ TRANSPOSED bit 6,
+    # + REFINE bit 1; SBRTEMPLATE=0 → SBRAT written)
+    flags = (1 << 4) | ((1 << 6) if transposed else 0) \
+        | (2 if refine is not None else 0)
+    rat = (b"".join(struct.pack(">bb", dx, dy)
+                    for dx, dy in _REF_NOMINAL_AT)
+           if refine is not None else b"")
     return (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
-            + struct.pack(">H", flags)
+            + struct.pack(">H", flags) + rat
             + struct.pack(">I", len(instances)) + body)
 
 

@@ -424,3 +424,57 @@ def test_transposed_text_region_roundtrip():
         blob = jbig2_encode_text(shape, symbols, instances,
                                  transposed=tr)
         assert (jbig2_decode_embedded(blob) == expect).all(), tr
+
+
+def test_sdrefagg_symbol_dict_roundtrip():
+    """SDREFAGG=1 symbol dictionaries (REFAGGNINST=1): a second
+    dictionary refinement-codes variants against symbols imported from
+    the first — the layering real refinement encoders emit."""
+    import numpy as np
+    from effocr_spark.synth.jbig2codec import (_decode_symbol_dict,
+                                               _encode_symbol_dict,
+                                               _encode_symbol_dict_refagg)
+
+    rng = np.random.default_rng(9)
+    base = [(rng.random((6, 5)) < 0.4).astype(np.uint8),
+            (rng.random((6, 7)) < 0.4).astype(np.uint8),
+            (rng.random((8, 4)) < 0.4).astype(np.uint8)]
+    assert all((a == b).all() for a, b in zip(
+        _decode_symbol_dict(_encode_symbol_dict(base), []), base))
+    variants = []
+    for b in base:
+        v = b.copy()
+        v[0, 0] ^= 1
+        v[-1, -1] ^= 1
+        variants.append(v)
+    variants.sort(key=lambda s: (s.shape[0], s.shape[1]))
+    refids = [next(i for i, b in enumerate(base)
+                   if b.shape == v.shape) for v in variants]
+    d2 = _encode_symbol_dict_refagg(variants, base, refids)
+    got = _decode_symbol_dict(d2, base)
+    assert all((a == b).all() for a, b in zip(got, variants))
+
+
+def test_text_region_refined_instances():
+    """REFINE=1 text regions: an instance refinement-codes a modified
+    bitmap against its symbol (RDW/RDH deltas + the 6.4.11 reference
+    offset); undecorated instances code a single IARI=0 bit."""
+    import numpy as np
+    from effocr_spark.synth.jbig2codec import (_decode_text_region,
+                                               _encode_text_region,
+                                               symbols_from_text)
+
+    shape, symbols, instances, _page = symbols_from_text(
+        "refined text inst")
+    sid2 = instances[2][2]
+    tgt = symbols[sid2].copy()
+    tgt[0, :] = 1
+    payload = _encode_text_region(shape[1], shape[0], instances,
+                                  symbols, refine={2: tgt})
+    _, _, _, _, bm = _decode_text_region(payload, symbols)
+    exp = np.zeros(shape, np.uint8)
+    for i, (x, y, sid) in enumerate(instances):
+        s = tgt if i == 2 else symbols[sid]
+        hs, ws = s.shape
+        exp[y:y + hs, x:x + ws] |= s[:shape[0] - y, :shape[1] - x]
+    assert (bm == exp).all()
