@@ -987,6 +987,10 @@ def q_jpeg_features(spark, sf_dir):
     # SOF3 huffman lossless (bit-exact decode, predictor 4)
     from effocr_spark.synth.jpegcodec import encode_jpeg_lossless
     rows.append((18, bytearray(encode_jpeg_lossless(img, predictor=4))))
+    # JPEG2000 (JP2 container) through the same multimodal sniff —
+    # lossless, so mean_luma equals the source image's exactly
+    from effocr_spark.synth.jp2codec import encode_jp2
+    rows.append((19, bytearray(encode_jp2(img, levels=2))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
     df = spark.createDataFrame(rows, "id long, media binary")
     out = media_features(df)

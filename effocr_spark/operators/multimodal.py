@@ -45,6 +45,8 @@ def sniff_media_type(col):
         F.when(head == F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
                "image/png")
         .when(F.substring(col, 1, 3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
+        .when(F.substring(col, 5, 4) == F.lit(b"jP  "), "image/jp2")
+        .when(F.substring(col, 1, 2) == F.lit(b"\xff\x4f"), "image/jp2")
         .when(F.substring(col, 1, 4) == F.lit(b"RIFF"), "audio/wav")
         .when(F.substring(col, 5, 4) == F.lit(b"ftyp"), "video/mp4")
         .otherwise("application/octet-stream")
@@ -60,6 +62,9 @@ def _decode_any(data: bytes) -> np.ndarray:
     from ..synth.jpegcodec import decode_jpeg, is_jpeg
     if is_jpeg(data):
         return decode_jpeg(data)
+    from ..synth.jp2codec import decode_jp2, is_jp2
+    if is_jp2(data):
+        return decode_jp2(data)
     raise NotImplementedError(
         "unrecognized image container; plug a real decoder in here")
 
@@ -78,6 +83,8 @@ def media_features(df: DataFrame, id_col: str = "id",
                     mt = "image/png"
                 elif data[:3] == b"\xff\xd8\xff":
                     mt = "image/jpeg"
+                elif data[4:8] == b"jP  " or data[:2] == b"\xff\x4f":
+                    mt = "image/jp2"
                 else:
                     mt = "application/octet-stream"
                 try:
