@@ -39,13 +39,18 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def decode_image(data: bytes):
-    """PNG or baseline-JPEG bytes → HxWx3 uint8 (the reference globs
-    *.png AND *.jpg, infer_effocr_onnx_multi.py:466-468 — S1 parity)."""
+    """PNG / baseline-JPEG / JPEG2000 bytes → HxWx3 uint8 (the
+    reference globs *.png AND *.jpg,
+    infer_effocr_onnx_multi.py:466-468 — S1 parity; JP2 covers the
+    scanned-archive digitization format)."""
     if is_png(data):
         return to_rgb(decode_png(data))
     from ..synth.jpegcodec import decode_jpeg, is_jpeg
     if is_jpeg(data):
         return decode_jpeg(data)
+    from ..synth.jp2codec import decode_jp2, is_jp2
+    if is_jp2(data):
+        return decode_jp2(data)
     raise ValueError("unsupported image container")
 
 # n_chars = number of OCR-RECOGNIZED characters (localizer detections that
@@ -443,10 +448,13 @@ def dom_branch(df: DataFrame) -> DataFrame:
 
 
 def is_image_page(html_col):
-    """JVM-side content sniff: PNG or JPEG magic prefix (no Python UDF;
-    the reference's *.png + *.jpg glob, S1)."""
+    """JVM-side content sniff: PNG, JPEG or JPEG2000 magic prefix (no
+    Python UDF; the reference's *.png + *.jpg glob, S1, plus the JP2
+    scans archive digitizations ship)."""
     return ((F.substring(html_col, 1, 8) == F.lit(PNG_MAGIC))
-            | (F.substring(html_col, 1, 3) == F.lit(JPEG_MAGIC)))
+            | (F.substring(html_col, 1, 3) == F.lit(JPEG_MAGIC))
+            | (F.substring(html_col, 5, 4) == F.lit(b"jP  "))
+            | (F.substring(html_col, 1, 2) == F.lit(b"\xff\x4f")))
 
 
 def is_pdf_page(html_col):

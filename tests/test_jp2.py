@@ -110,3 +110,25 @@ def test_jp2_unsupported_features_raise_named():
         decode_jp2(bytes(prog))
     with pytest.raises(ValueError):
         decode_jp2(b"\x00\x00\x00\x0cjQ  garbage")
+
+
+def test_jp2_page_routes_to_ocr_branch(spark, protos_bc):
+    """A page whose body is a standalone JP2 (box container or raw
+    codestream) routes to the OCR branch and extracts its rendered
+    text exactly (lossless decode → identical pixels)."""
+    from effocr_spark.pipeline import extract_pages
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jp2codec import encode_jp2
+
+    img, _, _ = render_line("jp2 page routes to ocr")
+    rows = [("jp2://box/0", None, bytearray(encode_jp2(img)), None,
+             "en"),
+            ("jp2://raw/0", None,
+             bytearray(encode_jp2(img, jp2_container=False)), None,
+             "en")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    for r in extract_pages(df, protos_bc).collect():
+        assert r["branch"] == "ocr" and r["ok"]
+        assert r["extracted_text"] == "jp2 page routes to ocr"
