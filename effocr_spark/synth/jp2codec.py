@@ -26,11 +26,17 @@ Implemented, from the T.800 spec structure:
   share the 47-state Qe machine; only context initialization
   differs: uniform=46, run-length=3, zero-significance=4).
 
+Both the REVERSIBLE path (5/3 integer wavelet, no quantization, RCT —
+bit-lossless, exactly pinned by tests) and the IRREVERSIBLE path real
+photographic archives use (9/7 float lifting per Annex F, ICT color,
+scalar-EXPOUNDED quantization with midpoint dequantization —
+PSNR-pinned) are implemented.
+
 Named seams (raise NotImplementedError): multiple tiles, custom
 precincts, >1 layers, non-LRCP progression, selective arithmetic
-bypass / pass termination / segmentation symbols, the 9/7
-irreversible wavelet, scalar quantization, subsampled components.
-OpenJPEG's defaults fall inside the implemented envelope.
+bypass / pass termination / segmentation symbols, scalar-DERIVED
+quantization (style 1), subsampled components. OpenJPEG's defaults
+fall inside the implemented envelope.
 """
 
 from __future__ import annotations
@@ -843,14 +849,23 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     if cod[8] != 0:
         raise NotImplementedError(
             "code-block style (bypass/termall/segmentation)")
-    if cod[9] != 1:
-        raise NotImplementedError("9/7 irreversible wavelet")
+    transform = cod[9]  # 1 = 5/3 reversible, 0 = 9/7 irreversible
+    if transform not in (0, 1):
+        raise NotImplementedError(f"wavelet transform {transform}")
 
     sqcd = qcd[0]
-    if sqcd & 0x1F:
-        raise NotImplementedError("scalar/derived quantization")
+    qstyle = sqcd & 0x1F
     guard = sqcd >> 5
-    exps = [b >> 3 for b in qcd[1:]]
+    if qstyle == 0:  # no quantization: 8-bit entries, exponent only
+        exps = [b >> 3 for b in qcd[1:]]
+        mus = [0] * len(exps)
+    elif qstyle == 2:  # scalar expounded: 16-bit (ε, μ) per subband
+        vals = struct.unpack(f">{(len(qcd) - 1) // 2}H", qcd[1:])
+        exps = [v >> 11 for v in vals]
+        mus = [v & 0x7FF for v in vals]
+    else:
+        raise NotImplementedError(
+            "scalar-derived quantization (Sqcd style 1)")
 
     # locate SOD → packet data
     sod_at = data.find(b"\xff\x93")
@@ -860,12 +875,17 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     layout = _band_layout(xsiz, ysiz, levels)
     # per-band Mb from the QCD exponents (order: LL, then per res
     # HL, LH, HH)
-    exp_iter = iter(exps)
+    exp_iter = iter(zip(exps, mus))
     mb_map: dict[tuple[int, str], int] = {}
-    mb_map[(0, "LL")] = guard + next(exp_iter) - 1
+    quant_map: dict[tuple[int, str], tuple[int, int]] = {}
+    e0, m0 = next(exp_iter)
+    mb_map[(0, "LL")] = guard + e0 - 1
+    quant_map[(0, "LL")] = (e0, m0)
     for r in range(1, levels + 1):
         for bname in ("HL", "LH", "HH"):
-            mb_map[(r, bname)] = guard + next(exp_iter) - 1
+            eb, mb_ = next(exp_iter)
+            mb_map[(r, bname)] = guard + eb - 1
+            quant_map[(r, bname)] = (eb, mb_)
 
     comp_coefs = [
         {(r, b[0]): np.zeros((b[2], b[1]), np.int64)
@@ -886,61 +906,116 @@ def _decode_codestream(data: bytes) -> np.ndarray:
 
     planes = []
     for c in range(ncomp):
-        bands = [comp_coefs[c][(0, "LL")]]
+        def band_of(r, bname):
+            q = comp_coefs[c][(r, bname)]
+            if qstyle == 0:
+                return q
+            # dequantize: x = (q ± 0.5)·Δ midpoint reconstruction
+            eb, mu = quant_map[(r, bname)]
+            rb = depth + _BAND_GAIN[bname]
+            delta = _band_delta(eb, mu, rb)
+            x = q.astype(np.float64)
+            nz = q != 0
+            x[nz] = (np.abs(x[nz]) + 0.5) * np.sign(x[nz]) * delta
+            return x
+        bands = [band_of(0, "LL")]
         for r in range(1, levels + 1):
-            bands.append((comp_coefs[c][(r, "HL")],
-                          comp_coefs[c][(r, "LH")],
-                          comp_coefs[c][(r, "HH")]))
-        planes.append(dwt53_inverse(bands))
-    if ncomp == 3 and mct == 1:  # inverse RCT
-        y, u, v = planes
-        g = y - ((u + v) >> 2)
-        planes = [v + g, g, u + g]
+            bands.append((band_of(r, "HL"), band_of(r, "LH"),
+                          band_of(r, "HH")))
+        planes.append(dwt53_inverse(bands) if transform == 1
+                      else dwt97_inverse(bands))
+    if ncomp == 3 and mct == 1:
+        if transform == 1:  # inverse RCT (integer)
+            y, u, v = planes
+            g = y - ((u.astype(np.int64) + v.astype(np.int64)) >> 2)                 if qstyle == 0 else y - (u + v) / 4.0
+            planes = [v + g, g, u + g]
+        else:  # inverse ICT (float YCbCr)
+            y, cb, cr = planes
+            planes = [y + 1.402 * cr,
+                      y - 0.344136 * cb - 0.714136 * cr,
+                      y + 1.772 * cb]
     elif ncomp == 3 and mct != 0:
-        raise NotImplementedError("irreversible MCT (ICT)")
+        raise NotImplementedError(f"MCT mode {mct}")
     shift = 1 << (depth - 1)
     top = (1 << depth) - 1
-    outs = [np.clip(p + shift, 0, top) for p in planes]
+    outs = [np.clip(np.asarray(p, np.float64) + shift, 0, top)
+            for p in planes]
     if depth > 8:
-        outs = [(o * (255.0 / top)).round() for o in outs]
-    outs = [o.astype(np.uint8) for o in outs]
+        outs = [o * (255.0 / top) for o in outs]
+    outs = [o.round().astype(np.uint8) for o in outs]
     if ncomp == 1:
         return np.repeat(outs[0][:, :, None], 3, axis=2)
     return np.stack(outs, axis=-1)
 
 
+def _quant_params(delta: float, rb: int) -> tuple[int, int]:
+    """Absolute step Δ → (ε, μ) with Δ = 2^(Rb−ε)·(1+μ/2048)."""
+    e = int(np.floor(np.log2(delta)))
+    mu = int(round((delta / (2.0 ** e) - 1.0) * 2048))
+    if mu >= 2048:
+        e += 1
+        mu = 0
+    eps = rb - e
+    if not 0 <= eps <= 31:
+        raise ValueError("quantization step outside encodable range")
+    return eps, max(0, mu)
+
+
 def encode_jp2(img: np.ndarray, levels: int = 2,
                cblk_exp: tuple[int, int] = (5, 5),
-               jp2_container: bool = True) -> bytes:
-    """uint8 HxW grayscale or HxWx3 RGB → LOSSLESS JPEG2000 (5/3
-    reversible, RCT for color, single tile/layer, LRCP).
-    decode_jp2(encode_jp2(img)) == img exactly."""
+               jp2_container: bool = True,
+               irreversible: bool = False,
+               delta: float = 1.0 / 16) -> bytes:
+    """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
+    (5/3 reversible, RCT for color, decode == img exactly).
+    irreversible=True: the LOSSY real-archive path — 9/7 float
+    wavelet, ICT color, scalar-expounded quantization with absolute
+    step `delta` (PSNR-tested, not bit-tested)."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jp2 wants uint8")
     color = img.ndim == 3
     h, w = img.shape[:2]
     depth = 8
     if color:
-        r = img[..., 0].astype(np.int64) - 128
-        g = img[..., 1].astype(np.int64) - 128
-        b = img[..., 2].astype(np.int64) - 128
-        yy = (r + 2 * g + b) >> 2
-        planes = [yy, b - g, r - g]  # RCT: Y, U, V
+        if irreversible:
+            r = img[..., 0].astype(np.float64) - 128
+            g = img[..., 1].astype(np.float64) - 128
+            b = img[..., 2].astype(np.float64) - 128
+            planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                      -0.168736 * r - 0.331264 * g + 0.5 * b,
+                      0.5 * r - 0.418688 * g - 0.081312 * b]  # ICT
+        else:
+            r = img[..., 0].astype(np.int64) - 128
+            g = img[..., 1].astype(np.int64) - 128
+            b = img[..., 2].astype(np.int64) - 128
+            planes = [(r + 2 * g + b) >> 2, b - g, r - g]  # RCT
         mct = 1
     else:
-        planes = [img.astype(np.int64) - 128]
+        base = img.astype(np.float64 if irreversible else np.int64)
+        planes = [base - 128]
         mct = 0
     ncomp = len(planes)
     layout = _band_layout(w, h, levels)
     cbw_exp, cbh_exp = cblk_exp
     cw, ch = 1 << cbw_exp, 1 << cbh_exp
 
-    comp_bands = [dwt53_forward(p, levels) for p in planes]
+    fwd = dwt97_forward if irreversible else dwt53_forward
+    comp_bands = [fwd(p, levels) for p in planes]
+    quant: dict[str, tuple[int, int, float]] = {}
+    if irreversible:
+        for bname in ("LL", "HL", "LH", "HH"):
+            rb = depth + _BAND_GAIN[bname]
+            eps, mu = _quant_params(delta, rb)
+            quant[bname] = (eps, mu, _band_delta(eps, mu, rb))
 
     def band_array(c: int, r: int, bname: str) -> np.ndarray:
-        if r == 0:
-            return comp_bands[c][0]
-        return comp_bands[c][r][("HL", "LH", "HH").index(bname)]
+        arr = (comp_bands[c][0] if r == 0
+               else comp_bands[c][r][("HL", "LH", "HH").index(bname)])
+        if not irreversible:
+            return arr
+        d = quant[bname][2]
+        return (np.sign(arr) * np.floor(np.abs(arr) / d)).astype(
+            np.int64)
 
     packets = []
     for r in range(levels + 1):
@@ -951,7 +1026,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                 if bw == 0 or bh == 0:
                     continue
                 nx, ny = -(-bw // cw), -(-bh // ch)
-                mb = _mb(depth, bname)
+                mb = (_GUARD_BITS + quant[bname][0] - 1
+                      if irreversible else _mb(depth, bname))
                 cb_grid[bname] = (nx, ny, mb)
                 arr = band_array(c, r, bname)
                 for cby in range(ny):
@@ -978,14 +1054,25 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
         siz += bytes([depth - 1, 1, 1])
     cs += b"\xff\x51" + siz
     cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, mct, levels,
-                      cbw_exp - 2, cbh_exp - 2, 0, 1)
+                      cbw_exp - 2, cbh_exp - 2, 0,
+                      0 if irreversible else 1)
     cs += b"\xff\x52" + cod
     n_sub = 3 * levels + 1
-    qcd = bytearray(struct.pack(">HB", 3 + n_sub, _GUARD_BITS << 5))
-    qcd.append((depth + _BAND_GAIN["LL"]) << 3)
-    for _ in range(levels):
-        for bname in ("HL", "LH", "HH"):
-            qcd.append((depth + _BAND_GAIN[bname]) << 3)
+    if irreversible:  # scalar expounded (style 2), 16-bit entries
+        qcd = bytearray(struct.pack(
+            ">HB", 3 + 2 * n_sub, (_GUARD_BITS << 5) | 2))
+        order = [("LL",)] + [("HL", "LH", "HH")] * levels
+        for grp in order:
+            for bname in grp:
+                eps, mu, _ = quant[bname]
+                qcd += struct.pack(">H", (eps << 11) | mu)
+    else:
+        qcd = bytearray(struct.pack(">HB", 3 + n_sub,
+                                    _GUARD_BITS << 5))
+        qcd.append((depth + _BAND_GAIN["LL"]) << 3)
+        for _ in range(levels):
+            for bname in ("HL", "LH", "HH"):
+                qcd.append((depth + _BAND_GAIN[bname]) << 3)
     cs += b"\xff\x5c" + bytes(qcd)
     body = b"".join(packets)
     psot = 12 + 2 + len(body)  # SOT segment + SOD marker + data
@@ -1006,3 +1093,107 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             + box(b"ftyp", b"jp2 " + b"\x00" * 4 + b"jp2 ")
             + box(b"jp2h", ihdr + colr)
             + box(b"jp2c", bytes(cs)))
+
+
+# ----------------------------------- 9/7 irreversible path (lossy)
+
+# T.800 Annex F lifting constants (high confidence literature values)
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _dwt97_1d_forward(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(x)
+    if n == 1:
+        return x.astype(np.float64), x[:0].astype(np.float64)
+    ext = np.empty(n + 8, np.float64)
+    ext[4:-4] = x
+    for i in range(4):  # symmetric whole-point extension
+        ext[3 - i] = ext[5 + i]
+        ext[n + 4 + i] = ext[n + 2 - i]
+    # lifting: predict α, update β, predict γ, update δ, scale K
+    for coef, phase in ((_A97, 1), (_B97, 0), (_G97, 1), (_D97, 0)):
+        # odd positions for phase 1, even for phase 0
+        if phase == 1:
+            idxs = np.arange(5, n + 4, 2)
+        else:
+            idxs = np.arange(4, n + 4, 2)
+        ext[idxs] += coef * (ext[idxs - 1] + ext[idxs + 1])
+        # refresh extension after each lifting step
+        for i in range(4):
+            ext[3 - i] = ext[5 + i]
+            ext[n + 4 + i] = ext[n + 2 - i]
+    lo = ext[4:n + 4:2] / _K97
+    hi = ext[5:n + 4:2] * _K97 / 2.0
+    return lo, hi
+
+
+def _dwt97_1d_inverse(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    n = len(lo) + len(hi)
+    if n == 1:
+        return lo.astype(np.float64)
+    ext = np.empty(n + 8, np.float64)
+    ext[4:n + 4:2] = lo * _K97
+    ext[5:n + 4:2] = hi * 2.0 / _K97
+    for coef, phase in ((-_D97, 0), (-_G97, 1), (-_B97, 0),
+                        (-_A97, 1)):
+        for i in range(4):
+            ext[3 - i] = ext[5 + i]
+            ext[n + 4 + i] = ext[n + 2 - i]
+        if phase == 1:
+            idxs = np.arange(5, n + 4, 2)
+        else:
+            idxs = np.arange(4, n + 4, 2)
+        ext[idxs] += coef * (ext[idxs - 1] + ext[idxs + 1])
+    return ext[4:n + 4].copy()
+
+
+def dwt97_forward(img: np.ndarray, levels: int) -> list:
+    cur = img.astype(np.float64)
+    bands: list = []
+    for _ in range(levels):
+        h, w = cur.shape
+        lo_c = np.empty((h, (w + 1) // 2), np.float64)
+        hi_c = np.empty((h, w // 2), np.float64)
+        for y in range(h):
+            lo_c[y], hi_c[y] = _dwt97_1d_forward(cur[y])
+        def col_split(block):
+            hh, ww = block.shape
+            lo_r = np.empty(((hh + 1) // 2, ww), np.float64)
+            hi_r = np.empty((hh // 2, ww), np.float64)
+            for x in range(ww):
+                lo_r[:, x], hi_r[:, x] = _dwt97_1d_forward(block[:, x])
+            return lo_r, hi_r
+        ll, lh = col_split(lo_c)
+        hl, hh_ = col_split(hi_c)
+        bands.append((hl, lh, hh_))
+        cur = ll
+    bands.append(cur)
+    return bands[::-1]
+
+
+def dwt97_inverse(bands: list) -> np.ndarray:
+    cur = bands[0].astype(np.float64)
+    for hl, lh, hh_ in bands[1:]:
+        def col_join(lo_r, hi_r):
+            n = lo_r.shape[0] + hi_r.shape[0]
+            out = np.empty((n, lo_r.shape[1]), np.float64)
+            for x in range(lo_r.shape[1]):
+                out[:, x] = _dwt97_1d_inverse(lo_r[:, x], hi_r[:, x])
+            return out
+        lo_c = col_join(cur, lh)
+        hi_c = col_join(hl, hh_)
+        w = lo_c.shape[1] + hi_c.shape[1]
+        out = np.empty((lo_c.shape[0], w), np.float64)
+        for y in range(lo_c.shape[0]):
+            out[y] = _dwt97_1d_inverse(lo_c[y], hi_c[y])
+        cur = out
+    return cur
+
+
+def _band_delta(eps: int, mu: int, rb: int) -> float:
+    """Scalar quantization step (E.1.1): Δ = 2^(Rb−ε) · (1 + μ/2^11)."""
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)

@@ -97,13 +97,13 @@ def test_jp2_unsupported_features_raise_named():
 
     blob = encode_jp2(np.zeros((16, 16), np.uint8), levels=1,
                       jp2_container=False)
-    # flip the transform byte in COD (offset: find FF52, SPcod last
-    # byte) to 0 → 9/7 irreversible
+    # an unknown transform id raises (9/7 — the old example — decodes
+    # for real now)
     cod_at = blob.find(b"\xff\x52")
-    irrev = bytearray(blob)
-    irrev[cod_at + 2 + 2 + 9] = 0  # transform byte inside COD body
-    with pytest.raises(NotImplementedError, match="9/7"):
-        decode_jp2(bytes(irrev))
+    badt = bytearray(blob)
+    badt[cod_at + 2 + 2 + 9] = 5  # transform byte inside COD body
+    with pytest.raises(NotImplementedError, match="transform"):
+        decode_jp2(bytes(badt))
     prog = bytearray(blob)
     prog[cod_at + 2 + 2 + 1] = 1  # progression order → RLCP
     with pytest.raises(NotImplementedError, match="progression"):
@@ -132,3 +132,42 @@ def test_jp2_page_routes_to_ocr_branch(spark, protos_bc):
     for r in extract_pages(df, protos_bc).collect():
         assert r["branch"] == "ocr" and r["ok"]
         assert r["extracted_text"] == "jp2 page routes to ocr"
+
+
+def test_jp2_irreversible_97_path():
+    """The LOSSY archive path: 9/7 float wavelet + ICT + scalar
+    expounded quantization with midpoint dequantization. PSNR-pinned
+    (smooth content near-transparent at fine steps; rate falls as the
+    step coarsens) and the lossless path stays bit-exact."""
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    x = np.linspace(0, 255, 64)[None, :] + np.linspace(0, 60, 48)[:, None]
+    g = np.clip(x, 0, 255).astype(np.uint8)
+    out = decode_jp2(encode_jp2(g, levels=3, irreversible=True))[:, :, 0]
+    mse = ((out.astype(float) - g) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 50
+
+    c = np.stack([g, 255 - g, (g * 0.7 + 30).astype(np.uint8)], axis=-1)
+    out = decode_jp2(encode_jp2(c, levels=2, irreversible=True))
+    mse = ((out.astype(float) - c) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 40
+
+    # rate-distortion moves the right way on document content
+    line, _, _ = render_line("lossy jp2 archive page")
+    page = np.full((128, 256), 255, np.uint8)
+    page[40:40 + line.shape[0], 10:10 + min(line.shape[1], 246)] = \
+        line[:, :246]
+    sizes, psnrs = [], []
+    for d in (0.5, 8.0):
+        blob = encode_jp2(page, levels=3, irreversible=True, delta=d)
+        out = decode_jp2(blob)[:, :, 0]
+        mse = ((out.astype(float) - page) ** 2).mean()
+        sizes.append(len(blob))
+        psnrs.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
+    assert sizes[1] < sizes[0] and psnrs[1] < psnrs[0]
+    assert psnrs[1] > 30  # still readable at the coarse step
+
+    rng = np.random.default_rng(3)
+    r = rng.integers(0, 256, (30, 41, 3), dtype=np.uint8)
+    assert (decode_jp2(encode_jp2(r)) == r).all()
