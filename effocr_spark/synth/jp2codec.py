@@ -32,8 +32,13 @@ photographic archives use (9/7 float lifting per Annex F, ICT color,
 scalar-EXPOUNDED quantization with midpoint dequantization —
 PSNR-pinned) are implemented.
 
+Multiple quality layers (≤64, LRCP) decode: packet state (inclusion
+tag trees, Lblock, pass counts) persists per precinct across layers
+and code-block codeword chunks concatenate — the quality-progressive
+form production encoders emit.
+
 Named seams (raise NotImplementedError): multiple tiles, custom
-precincts, >1 layers, non-LRCP progression, selective arithmetic
+precincts, non-LRCP progression, selective arithmetic
 bypass / pass termination / segmentation symbols, scalar-DERIVED
 quantization (style 1), subsampled components. OpenJPEG's defaults
 fall inside the implemented envelope.
@@ -654,46 +659,149 @@ def _write_npasses(w: _HdrWriter, n: int) -> None:
         w.write(n - 37, 7)
 
 
-def _decode_packet(data: bytes, pos: int, bands: list,
-                   cb_exp: tuple[int, int], mb_of) -> tuple[list, int]:
-    """One packet (single layer, one precinct per resolution) →
-    ([(band, cbx, cby, cbw, cbh, n_planes, n_passes, body)], new pos)."""
-    r = _HdrReader(data, pos)
-    blocks = []
-    if not r.bit():  # empty packet
-        return [], r.align()
-    lengths = []
-    for bname, bw, bh in bands:
-        if bw == 0 or bh == 0:
-            continue
+class _PrecinctState:
+    """Per-(component, resolution) packet-decoding state persisting
+    across quality layers: inclusion / zero-bitplane tag trees, and
+    per-code-block Lblock, accumulated passes and data chunks."""
+
+    def __init__(self, bands: list, cb_exp: tuple[int, int],
+                 mb_of) -> None:
+        self.cb_exp = cb_exp
+        self.bands = []
+        self.state: dict = {}
         cw, ch = 1 << cb_exp[0], 1 << cb_exp[1]
-        nx, ny = -(-bw // cw), -(-bh // ch)
-        incl = TagTreeDecoder(nx, ny)
-        zbp = TagTreeDecoder(nx, ny)
-        for cby in range(ny):
-            for cbx in range(nx):
-                if not incl.decode(r, cbx, cby, 1):
-                    continue
-                p = zbp.full_value(r, cbx, cby)
-                n_planes = mb_of(bname) - p
-                n_passes = _read_npasses(r)
-                lblock = 3
-                while r.bit():
-                    lblock += 1
-                nbits = lblock + int(np.log2(n_passes))
-                length = r.read(nbits)
-                cbw = min(cw, bw - cbx * cw)
-                cbh = min(ch, bh - cby * ch)
-                blocks.append([bname, cbx, cby, cbw, cbh, n_planes,
-                               n_passes, length])
-                lengths.append(length)
-    pos = r.align()
-    out = []
-    for blk in blocks:
-        length = blk[7]
-        out.append((*blk[:7], data[pos:pos + length]))
-        pos += length
-    return out, pos
+        for bname, bw, bh in bands:
+            if bw == 0 or bh == 0:
+                continue
+            nx, ny = -(-bw // cw), -(-bh // ch)
+            self.bands.append((bname, bw, bh, nx, ny,
+                               TagTreeDecoder(nx, ny),
+                               TagTreeDecoder(nx, ny)))
+            for cby in range(ny):
+                for cbx in range(nx):
+                    self.state[(bname, cbx, cby)] = {
+                        "included": False, "lblock": 3,
+                        "n_planes": 0, "n_passes": 0, "chunks": []}
+        self.mb_of = mb_of
+
+    def decode_packet(self, data: bytes, pos: int, layer: int) -> int:
+        r = _HdrReader(data, pos)
+        if not r.bit():  # empty packet
+            return r.align()
+        contrib = []
+        cw, ch = 1 << self.cb_exp[0], 1 << self.cb_exp[1]
+        for bname, bw, bh, nx, ny, incl, zbp in self.bands:
+            for cby in range(ny):
+                for cbx in range(nx):
+                    st = self.state[(bname, cbx, cby)]
+                    if st["included"]:
+                        inc = r.bit()
+                    else:
+                        inc = incl.decode(r, cbx, cby, layer + 1)
+                    if not inc:
+                        continue
+                    if not st["included"]:
+                        p = zbp.full_value(r, cbx, cby)
+                        st["n_planes"] = self.mb_of(bname) - p
+                        st["included"] = True
+                    n_passes = _read_npasses(r)
+                    while r.bit():
+                        st["lblock"] += 1
+                    nbits = st["lblock"] + int(np.log2(n_passes))
+                    length = r.read(nbits)
+                    st["n_passes"] += n_passes
+                    contrib.append((st, length))
+        pos = r.align()
+        for st, length in contrib:
+            st["chunks"].append(data[pos:pos + length])
+            pos += length
+        return pos
+
+    def blocks(self):
+        """→ [(band, cbx, cby, cbw, cbh, n_planes, n_passes, body)]
+        for every included code-block, chunks concatenated."""
+        cw, ch = 1 << self.cb_exp[0], 1 << self.cb_exp[1]
+        out = []
+        for bname, bw, bh, nx, ny, _i, _z in self.bands:
+            for cby in range(ny):
+                for cbx in range(nx):
+                    st = self.state[(bname, cbx, cby)]
+                    if not st["included"]:
+                        continue
+                    cbw = min(cw, bw - cbx * cw)
+                    cbh = min(ch, bh - cby * ch)
+                    out.append((bname, cbx, cby, cbw, cbh,
+                                st["n_planes"], st["n_passes"],
+                                b"".join(st["chunks"])))
+        return out
+
+
+class _PrecinctEncoder:
+    """Multi-layer packet writer mirroring _PrecinctState: inclusion
+    tag tree over first-inclusion layers, zero-bitplane tree, per-block
+    persistent Lblock."""
+
+    def __init__(self, cb_grid: dict, first_layer: dict,
+                 zbp_values: dict) -> None:
+        self.cb_grid = cb_grid
+        self.incl: dict = {}
+        self.zbp: dict = {}
+        self.state: dict = {}
+        for bname, (nx, ny, mb) in cb_grid.items():
+            il = np.array([[first_layer.get((bname, x, y), 99)
+                            for x in range(nx)] for y in range(ny)],
+                          np.int64)
+            zl = np.array([[zbp_values.get((bname, x, y), 0)
+                            for x in range(nx)] for y in range(ny)],
+                          np.int64)
+            self.incl[bname] = TagTreeEncoder(il)
+            self.zbp[bname] = TagTreeEncoder(zl)
+            for y in range(ny):
+                for x in range(nx):
+                    self.state[(bname, x, y)] = {"included": False,
+                                                 "lblock": 3}
+
+    def encode_packet(self, layer: int, contrib: dict) -> bytes:
+        """contrib: (band, cbx, cby) → (n_passes, chunk bytes)."""
+        w = _HdrWriter()
+        if not contrib:
+            w.bit(0)
+            return w.getvalue()
+        w.bit(1)
+        bodies = []
+        for bname, (nx, ny, mb) in self.cb_grid.items():
+            for cby in range(ny):
+                for cbx in range(nx):
+                    key = (bname, cbx, cby)
+                    st = self.state[key]
+                    entry = contrib.get(key)
+                    if st["included"]:
+                        w.bit(1 if entry else 0)
+                    else:
+                        self.incl[bname].encode(w, cbx, cby, layer + 1)
+                    if entry is None:
+                        continue
+                    if not st["included"]:
+                        zt = self.zbp[bname]
+                        # encode the full zero-bitplane value
+                        v = int(zt.levels[0][cby, cbx])
+                        t = 1
+                        while not v < t:
+                            zt.encode(w, cbx, cby, t)
+                            t += 1
+                        zt.encode(w, cbx, cby, t)
+                        st["included"] = True
+                    n_passes, chunk = entry
+                    _write_npasses(w, n_passes)
+                    nbits = st["lblock"] + int(np.log2(n_passes))
+                    while len(chunk).bit_length() > nbits:
+                        w.bit(1)
+                        st["lblock"] += 1
+                        nbits += 1
+                    w.bit(0)
+                    w.write(len(chunk), nbits)
+                    bodies.append(chunk)
+        return w.getvalue() + b"".join(bodies)
 
 
 def _encode_packet(band_blocks: list, cb_grid: dict) -> bytes:
@@ -842,8 +950,8 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         cod[4]
     if prog != 0:
         raise NotImplementedError("non-LRCP progression order")
-    if layers != 1:
-        raise NotImplementedError("multiple quality layers")
+    if not 1 <= layers <= 64:
+        raise NotImplementedError(f"{layers} quality layers")
     levels = cod[5]
     cbw_exp, cbh_exp = cod[6] + 2, cod[7] + 2
     if cod[8] != 0:
@@ -891,18 +999,22 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         {(r, b[0]): np.zeros((b[2], b[1]), np.int64)
          for r, bands in enumerate(layout) for b in bands}
         for _ in range(ncomp)]
-    for r in range(levels + 1):
-        for c in range(ncomp):
-            blocks, pos = _decode_packet(
-                data, pos, layout[r], (cbw_exp, cbh_exp),
-                lambda bn, r=r: mb_map[(r, bn)])
-            for (bname, cbx, cby, cbw2, cbh2, n_planes, n_passes,
-                 body) in blocks:
-                coefs = ebcot_decode_block(body, cbw2, cbh2, bname,
-                                           n_planes, n_passes)
-                y0, x0 = cby << cbh_exp, cbx << cbw_exp
-                comp_coefs[c][(r, bname)][y0:y0 + cbh2,
-                                          x0:x0 + cbw2] = coefs
+    precincts = {
+        (c, r): _PrecinctState(layout[r], (cbw_exp, cbh_exp),
+                               lambda bn, r=r: mb_map[(r, bn)])
+        for r in range(levels + 1) for c in range(ncomp)}
+    for layer in range(layers):  # LRCP
+        for r in range(levels + 1):
+            for c in range(ncomp):
+                pos = precincts[(c, r)].decode_packet(data, pos, layer)
+    for (c, r), prec in precincts.items():
+        for (bname, cbx, cby, cbw2, cbh2, n_planes, n_passes,
+             body) in prec.blocks():
+            coefs = ebcot_decode_block(body, cbw2, cbh2, bname,
+                                       n_planes, n_passes)
+            y0, x0 = cby << cbh_exp, cbx << cbw_exp
+            comp_coefs[c][(r, bname)][y0:y0 + cbh2,
+                                      x0:x0 + cbw2] = coefs
 
     planes = []
     for c in range(ncomp):
@@ -965,7 +1077,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                cblk_exp: tuple[int, int] = (5, 5),
                jp2_container: bool = True,
                irreversible: bool = False,
-               delta: float = 1.0 / 16) -> bytes:
+               delta: float = 1.0 / 16,
+               n_layers: int = 1) -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
@@ -1017,7 +1130,7 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
         return (np.sign(arr) * np.floor(np.abs(arr) / d)).astype(
             np.int64)
 
-    packets = []
+    per_rc: dict = {}
     for r in range(levels + 1):
         for c in range(ncomp):
             cb_grid = {}
@@ -1044,7 +1157,49 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                                 "raise guard bits")
                         entries.append((bname, cbx, cby, n_planes,
                                         n_passes, body))
-            packets.append(_encode_packet(entries, cb_grid))
+            per_rc[(r, c)] = (cb_grid, entries)
+
+    packets = []
+    if n_layers == 1:
+        for r in range(levels + 1):
+            for c in range(ncomp):
+                cb_grid, entries = per_rc[(r, c)]
+                packets.append(_encode_packet(entries, cb_grid))
+    else:
+        # multi-layer: each block first-included at (index % n_layers);
+        # the first layer-0 block with ≥2 passes additionally SPLITS
+        # its codeword bytes across layers 0 and 1 (the incremental-
+        # contribution shape quality-progressive encoders emit)
+        encs: dict = {}
+        plan: dict = {}
+        for (r, c), (cb_grid, entries) in per_rc.items():
+            first_layer = {}
+            zbp_values = {}
+            split_done = False
+            contribs: list[dict] = [dict() for _ in range(n_layers)]
+            for idx, (bname, cbx, cby, n_planes, n_passes,
+                      body) in enumerate(entries):
+                key = (bname, cbx, cby)
+                mb = cb_grid[bname][2]
+                zbp_values[key] = mb - n_planes
+                lay = idx % n_layers
+                first_layer[key] = lay
+                if (not split_done and lay == 0 and n_layers >= 2
+                        and n_passes >= 2 and len(body) >= 2):
+                    half = len(body) // 2
+                    contribs[0][key] = (1, body[:half])
+                    contribs[1][key] = (n_passes - 1, body[half:])
+                    split_done = True
+                else:
+                    contribs[lay][key] = (n_passes, body)
+            encs[(r, c)] = _PrecinctEncoder(cb_grid, first_layer,
+                                            zbp_values)
+            plan[(r, c)] = contribs
+        for layer in range(n_layers):  # LRCP order
+            for r in range(levels + 1):
+                for c in range(ncomp):
+                    packets.append(encs[(r, c)].encode_packet(
+                        layer, plan[(r, c)][layer]))
 
     # markers
     cs = bytearray(b"\xff\x4f")  # SOC
@@ -1053,7 +1208,7 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
     for _ in range(ncomp):
         siz += bytes([depth - 1, 1, 1])
     cs += b"\xff\x51" + siz
-    cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, mct, levels,
+    cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, n_layers, mct, levels,
                       cbw_exp - 2, cbh_exp - 2, 0,
                       0 if irreversible else 1)
     cs += b"\xff\x52" + cod

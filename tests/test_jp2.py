@@ -171,3 +171,19 @@ def test_jp2_irreversible_97_path():
     rng = np.random.default_rng(3)
     r = rng.integers(0, 256, (30, 41, 3), dtype=np.uint8)
     assert (decode_jp2(encode_jp2(r)) == r).all()
+
+
+def test_jp2_multi_layer_decode():
+    """Quality-progressive streams: ≤64 LRCP layers with per-precinct
+    persistent packet state; code-blocks first-include in later layers
+    and one block's codeword bytes SPLIT across two layers
+    (chunk concatenation) — all bit-exact on the lossless path."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+    for nl in (2, 3):
+        blob = encode_jp2(img, levels=2, cblk_exp=(4, 4), n_layers=nl)
+        assert (decode_jp2(blob)[:, :, 0] == img).all(), nl
+    c = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    assert (decode_jp2(encode_jp2(c, n_layers=2)) == c).all()
