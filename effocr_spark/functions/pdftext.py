@@ -569,6 +569,7 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
         objstm)
     strict = (_TYPE0_RE.search(data) is not None
               or any(_TYPE0_RE.search(b) for b in objstm.values()))
+    streams = _page_order(data, objstm, streams)
     lines: list[str] = []
     for dict_part, body, _num in streams:
         if b"/Subtype" in dict_part and b"/Image" in dict_part:
@@ -591,6 +592,69 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
         lines.extend(_form_and_annot_text(data, objstm))
     text = "\n".join(ln for ln in lines if ln.strip())
     return text
+
+
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]", re.S)
+_CONTENTS_RE = re.compile(
+    rb"/Contents\s*(?:(\d+)\s+\d+\s+R|\[([^\]]*)\])", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _page_order(data: bytes, objstm: dict[int, bytes],
+                streams: list[tuple[bytes, bytes, int]]
+                ) -> list[tuple[bytes, bytes, int]]:
+    """Reorder streams into PAGE-TREE order: walk /Type /Catalog →
+    /Pages /Kids recursively, collect each page's /Contents object
+    numbers in traversal order; content streams sort by that order,
+    everything else (fonts, XObjects, ToUnicode, ...) keeps its file
+    position after them. Incremental updates and reordered Kids arrays
+    put pages OUT of object-number order in real files — a flat scan
+    reads their text in the wrong sequence. Falls back to the original
+    order when the tree is missing or unresolvable."""
+    objects = {int(m.group(1)): m.group(3)
+               for m in _OBJ_RE.finditer(data)}
+    objects.update(objstm)
+    root = None
+    for num, body in objects.items():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            root = body
+            break
+    if root is None:
+        return streams
+    pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", root)
+    if pm is None:
+        return streams
+    order: dict[int, int] = {}
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objects:
+            return
+        seen.add(num)
+        body = objects[num]
+        km = _KIDS_RE.search(body)
+        if km is not None:
+            for rm in _REF_RE.finditer(km.group(1)):
+                walk(int(rm.group(1)))
+            return
+        cm = _CONTENTS_RE.search(body)
+        if cm is None:
+            return
+        refs = ([cm.group(1)] if cm.group(1) is not None
+                else [r.group(1)
+                      for r in _REF_RE.finditer(cm.group(2))])
+        for ref in refs:
+            n = int(ref)
+            if n not in order:
+                order[n] = len(order)
+
+    walk(int(pm.group(1)))
+    if not order:
+        return streams
+    n_pages = len(order)
+    indexed = list(enumerate(streams))
+    return [s for _, s in sorted(
+        indexed, key=lambda t: (order.get(t[1][2], n_pages), t[0]))]
 
 
 def _pdf_text_string(raw: bytes) -> str:

@@ -670,3 +670,27 @@ def test_form_fields_and_freetext_annotations():
     blob = make_form_pdf([["Page"]], fields=[("n", "Čeština — résumé")])
     assert b"feff" in blob  # hex-encoded UTF-16BE with BOM
     assert extract_pdf_text(blob) == "Page\nČeština — résumé"
+
+
+def test_page_tree_order_beats_file_order():
+    """Incremental updates / reordered Kids put page objects OUT of
+    object-number order in real files; text must follow the /Pages
+    tree traversal, not file position."""
+    import re
+
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import make_pdf
+
+    raw = make_pdf([["First page text"], ["Second page text"]],
+                   compress=False)
+    objs = {int(m.group(1)): m.group(0) for m in
+            re.finditer(rb"(\d+)\s+0\s+obj.*?endobj\n", raw, re.S)}
+    # page-2 content (obj 6) physically precedes page-1 content (obj 4)
+    body = (b"%PDF-1.4\n"
+            + b"".join(objs[n] for n in (1, 2, 3, 6, 5, 4, 7))
+            + b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF")
+    assert extract_pdf_text(body) == "First page text\nSecond page text"
+    # and a document with no catalog still extracts (flat fallback)
+    no_cat = b"".join(objs[n] for n in (3, 4, 5, 6, 7))
+    assert extract_pdf_text(b"%PDF-1.4\n" + no_cat) == \
+        "First page text\nSecond page text"
