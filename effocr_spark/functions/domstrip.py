@@ -124,8 +124,35 @@ def strip_html(html: bytes | str) -> str:
     ties go to earliest document order. Undecodable or empty input → "".
     """
     if isinstance(html, bytes):
+        # transport encodings a WARC-derived corpus carries verbatim
+        if html[:2] == b"\x1f\x8b":  # gzip body (Content-Encoding)
+            import gzip
+            try:
+                html = gzip.decompress(html)
+            except Exception:
+                return ""
+        elif html[:1] == b"\x78" and html[1:2] in (b"\x01", b"\x9c",
+                                                   b"\xda"):
+            import zlib as _zlib
+            try:
+                html = _zlib.decompress(html)
+            except Exception:
+                return ""
+        # charset: strict UTF-8 first; else an explicit charset=
+        # declaration in the head; else cp1252 (the browser fallback
+        # for legacy pages — utf-8-replace would garble them)
         try:
-            html = html.decode("utf-8", errors="replace")
+            html = html.decode("utf-8")
+        except UnicodeDecodeError:
+            import re as _re
+            m = _re.search(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]+)",
+                           html[:2048])
+            enc = (m.group(1).decode("ascii", "ignore")
+                   if m else "cp1252")
+            try:
+                html = html.decode(enc, errors="replace")
+            except (LookupError, UnicodeDecodeError):
+                html = html.decode("cp1252", errors="replace")
         except Exception:
             return ""
     parser = _Extractor()

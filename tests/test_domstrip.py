@@ -157,3 +157,29 @@ def test_html_comments_and_script_bodies_invisible():
 def test_all_links_page_yields_empty():
     assert strip_html(b"<html><body><nav><a href='/'>only links</a>"
                       b"</nav></body></html>") == ""
+
+
+def test_transport_encodings_and_legacy_charsets():
+    """WARC-derived corpora carry gzip/deflate bodies verbatim and
+    legacy-charset pages: gzip and zlib transport decompress, declared
+    charsets honor, undeclared non-UTF-8 falls back to cp1252 (the
+    browser behavior) instead of garbling with replacement chars."""
+    import gzip
+    import zlib
+
+    from effocr_spark.functions.domstrip import strip_html
+
+    doc = ("<html><body><main><p>Real content paragraph here with "
+           "words.</p></main></body></html>")
+    want = "Real content paragraph here with words."
+    assert strip_html(gzip.compress(doc.encode())) == want
+    assert strip_html(zlib.compress(doc.encode())) == want
+    legacy = ('<html><head><meta charset="windows-1252"></head><body>'
+              "<main><p>Café déjà vu – naïve</p></main></body></html>"
+              ).encode("cp1252")
+    assert strip_html(legacy) == "Café déjà vu – naïve"
+    legacy2 = ("<html><body><main><p>Smart “quotes” and — dashes</p>"
+               "</main></body></html>").encode("cp1252")
+    assert strip_html(legacy2) == "Smart “quotes” and — dashes"
+    # truncated gzip quarantines to empty, never raises
+    assert strip_html(gzip.compress(doc.encode())[:10]) == ""
