@@ -421,6 +421,23 @@ def _dot_double(a, b):
                F.transform(b, lambda x: x.cast("double")))
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product quantization ADC top-k — the OTHER half of the
+    production IVF-PQ ANN stack (operators/similarity.py): driver-side
+    codebook training on a bounded deterministic sample (the FAISS
+    shape), map-only encode to m-byte codes, query-side lookup table
+    folded into the plan as a literal, distance = m JVM array lookups
+    per row + TakeOrderedAndProject. Golden-pinned (k-means codebooks
+    aren't SQL-expressible)."""
+    from effocr_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", m=8, k=32, sample=500)
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    return pq_topk(emb.filter(F.col("vec_id") != 3), "embedding",
+                   "vec_id", books, qvec, topk=10)
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN (SURVEY brief: 'an IVF or LSH-bucketed variant as the
     scale path' — this is the IVF one; SRP-LSH is the other): seed-
@@ -1234,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "lsh_buckets": q_lsh_buckets,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "knn_topk": q_knn_topk,
         "shipping_priority": q_shipping_priority,
         "top_customers": q_top_customers,
@@ -1730,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         # Not circular: the same outputs are independently asserted
         # byte-identical to the pinned plain-Python reference oracle in
         # tests/ (test_pipeline_e2e, test_spellcheck, test_etl_multimodal).
+        "pq_topk": _golden_sql("pq_topk"),
         "extract_pages": _golden_sql("extract_pages"),
         "extract_match_rate": _golden_sql("extract_match_rate"),
         "media_features": _golden_sql("media_features"),

@@ -334,3 +334,95 @@ def ivf_topk_pruned(spark, path: str, vec_col: str, id_col: str,
     return (cand.select(F.col(id_col), F.col("cell"),
                         cosine(F.col(vec_col), q).alias("score"))
             .orderBy(F.desc("score"), F.col(id_col)).limit(k))
+
+
+# --------------------------- product quantization (the IVF-PQ half)
+
+def pq_train(df: DataFrame, vec_col: str, m: int = 4, k: int = 16,
+             sample: int = 10000, iters: int = 10,
+             seed: int = 0) -> np.ndarray:
+    """Train PQ codebooks: split dim into `m` subspaces, k-means each
+    → (m, k, dim/m) float64 array. Training runs DRIVER-side on a
+    bounded sample — exactly how production FAISS trains (≤1M sampled
+    vectors in memory; the TABLE-scale work is encode/search, not
+    training). Deterministic: seeds are the first `k` sample rows per
+    subspace, `iters` Lloyd rounds."""
+    rows = (df.select(vec_col).orderBy(F.col(vec_col).getItem(0))
+            .limit(sample).collect())
+    x = np.array([r[0] for r in rows], np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for mi in range(m):
+        xs = x[:, mi * sub:(mi + 1) * sub]
+        cents = xs[:k].copy()
+        if len(xs) < k:
+            raise ValueError("sample smaller than k")
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for ci in range(k):
+                sel = xs[assign == ci]
+                if len(sel):
+                    cents[ci] = sel.mean(0)
+        books[mi] = cents
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str,
+              codebooks: np.ndarray) -> DataFrame:
+    """→ (id, codes array<int>): per-subspace nearest-centroid codes,
+    vectorized NumPy inside an Arrow-batched UDF. At 100 TB this is
+    the map-only compression pass (dim floats → m bytes per row)."""
+    import pandas as pd
+
+    m, k, sub = codebooks.shape
+    books = codebooks  # captured in the closure → task broadcast
+
+    def enc(it):
+        for pdf in it:
+            vecs = np.array(list(pdf[vec_col]), np.float64)
+            codes = np.empty((len(vecs), m), np.int32)
+            for mi in range(m):
+                xs = vecs[:, mi * sub:(mi + 1) * sub]
+                d2 = ((xs[:, None, :] - books[mi][None, :, :]) ** 2) \
+                    .sum(-1)
+                codes[:, mi] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return df.select(F.col(id_col).alias(id_col),
+                     F.col(vec_col).alias(vec_col)) \
+        .mapInPandas(enc, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(df: DataFrame, vec_col: str, id_col: str,
+            codebooks: np.ndarray, query_vec, topk: int = 5
+            ) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query builds an (m, k)
+    lookup table of exact subspace distances; each row's approximate
+    squared distance is a SUM OF m TABLE LOOKUPS over its codes — the
+    scan never touches the original vectors. JVM expression over the
+    encoded table + TakeOrderedAndProject; returns
+    (id, adc_dist) ascending."""
+    m, k, sub = codebooks.shape
+    q = np.asarray(query_vec, np.float64)
+    lut = np.empty((m, k))
+    for mi in range(m):
+        qs = q[mi * sub:(mi + 1) * sub]
+        lut[mi] = ((codebooks[mi] - qs[None, :]) ** 2).sum(-1)
+    enc = pq_encode(df, vec_col, id_col, codebooks)
+    lut_col = F.array(*[
+        F.array(*[F.lit(float(v)) for v in lut[mi]])
+        for mi in range(m)])
+    # adc = Σ_mi lut[mi][codes[mi]]  (posexplode-free: aggregate over
+    # the zipped (subspace, code) pairs, all JVM-side)
+    adc = F.aggregate(
+        F.zip_with(lut_col, F.col("codes"), lambda row, c: row[c]),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (enc.withColumn("adc_dist", adc)
+            .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(topk))

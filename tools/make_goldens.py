@@ -25,7 +25,7 @@ from effocr_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
 GOLDEN = ["extract_pages", "extract_match_rate", "media_features",
-          "spellcheck", "spellcheck_filedict", "word_silver", "trocr_eval", "hard_negatives", "srp_neardup", "audio_features", "coco_sink_roundtrip", "extract_pdf", "extract_pdf_scanned", "extract_embedded", "jpeg_features"]
+          "spellcheck", "spellcheck_filedict", "word_silver", "trocr_eval", "hard_negatives", "srp_neardup", "audio_features", "coco_sink_roundtrip", "extract_pdf", "extract_pdf_scanned", "extract_embedded", "jpeg_features", "pq_topk"]
 
 
 def main() -> None:
