@@ -53,6 +53,8 @@ HEADLINE = [
     # round 3: new operator families
     "spellcheck_filedict", "word_silver", "video_metadata", "ivf_topk",
     "extract_pdf_scanned",
+    # round 5
+    "pq_topk", "extract_pdf",
 ]
 
 

@@ -337,3 +337,30 @@ def test_pq_adc_topk(spark, emb_df, vecs):
     # the planted near-dup pair (7 ≈ 3) lands in the ADC top-5
     ids = {r["vec_id"] for r in top}
     assert 3 in ids and 7 in ids
+
+
+def test_ivf_pq_composition(spark, emb_df, vecs):
+    """The full production ANN stack composes from the existing
+    operators: IVF assignment prunes to the probed cells, PQ ADC ranks
+    within them — candidate count shrinks while the planted near-dup
+    survives."""
+    import numpy as np
+    from effocr_spark.operators.similarity import (ivf_assign, pq_topk,
+                                                   pq_train)
+    from pyspark.sql import functions as F
+
+    v, _ = vecs
+    assigned = ivf_assign(emb_df, "embedding", "vec_id", n_cells=4)
+    tagged = emb_df.join(assigned.select("vec_id", "cell"), "vec_id")
+    # probe: the 2 cells nearest the query by its own assignment score
+    q = np.asarray(v[3], np.float64)
+    probe_cells = [r["cell"] for r in
+                   assigned.filter(F.col("vec_id") == 3)
+                   .select("cell").collect()]
+    cand = tagged.filter(F.col("cell").isin(probe_cells))
+    n_cand = cand.count()
+    assert 0 < n_cand < emb_df.count()
+    books = pq_train(emb_df, "embedding", m=4, k=8, sample=100)
+    top = pq_topk(cand, "embedding", "vec_id", books, q, topk=5)
+    ids = {r["vec_id"] for r in top.collect()}
+    assert 3 in ids and 7 in ids  # the planted pair survives pruning
