@@ -584,12 +584,17 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
             body = _INLINE_IMG_RE.sub(b" ", body)
         lines.extend(_stream_text(body, fonts, strict))
     # text content OUTSIDE content streams: AcroForm text-field values
-    # (/FT /Tx ... /V) and FreeText annotation /Contents. Skipped for
-    # encrypted documents (strings are encrypted per-object there and
-    # only STREAM decryption is implemented — fail silent-safe by
-    # omission rather than emit ciphertext)
-    if b"/Encrypt" not in data:
-        lines.extend(_form_and_annot_text(data, objstm))
+    # (/FT /Tx ... /V) and FreeText annotation /Contents. In encrypted
+    # documents strings carry the same per-object (V≤4) / file (V5)
+    # encryption as streams — decrypted through _string_decryptor;
+    # if the decryptor can't be built, forms are omitted (fail-safe)
+    dec = None
+    if b"/Encrypt" in data:
+        dec = _string_decryptor(data, _norm_password(password))
+        if dec is None:
+            text = "\n".join(ln for ln in lines if ln.strip())
+            return text
+    lines.extend(_form_and_annot_text(data, objstm, dec))
     text = "\n".join(ln for ln in lines if ln.strip())
     return text
 
@@ -669,11 +674,80 @@ _FT_TX_RE = re.compile(rb"/FT\s*/Tx\b")
 _FREETEXT_RE = re.compile(rb"/Subtype\s*/FreeText\b")
 
 
-def _form_and_annot_text(data: bytes,
-                         objstm: dict[int, bytes]) -> list[str]:
+def _string_decryptor(data: bytes, password: bytes = b""):
+    """→ callable(raw_string_bytes, obj_num) -> plaintext bytes for
+    the document's standard security handler (strings use the same
+    per-object key as streams for V≤4, the file key for V5; AES
+    strings are IV-prefixed CBC), or None when no decryptor can be
+    built (caller omits string-sourced text — fail-safe)."""
+    from .aescipher import cbc_decrypt, cbc_decrypt_nopad
+
+    try:
+        em = _ENCRYPT_REF_RE.search(data)
+        if em is None:
+            return None
+        enc_num = int(em.group(1))
+        enc_dict = None
+        for om in _OBJ_RE.finditer(data):
+            if int(om.group(1)) == enc_num:
+                enc_dict = om.group(3)
+                break
+        if enc_dict is None:
+            return None
+        vm = re.search(rb"/V\s+(\d+)", enc_dict)
+        rm = re.search(rb"/R\s+(\d+)", enc_dict)
+        v = int(vm.group(1)) if vm else 0
+        r = int(rm.group(1)) if rm else 2
+        if v == 5:
+            u = _pdf_string(enc_dict, rb"/U")
+            ue = _pdf_string(enc_dict, rb"/UE")
+            if u is None or ue is None:
+                return None
+            inter = _hash_2b(password, u[40:48], b"", r)  # lru-cached
+            file_key = cbc_decrypt_nopad(inter, b"\x00" * 16, ue[:32])
+
+            def dec_v5(raw: bytes, num: int) -> bytes:
+                if not raw:
+                    return raw
+                return cbc_decrypt(file_key, raw[:16], raw[16:])
+
+            return dec_v5
+        cfm = b"V2"
+        if v == 4:
+            cm = re.search(rb"/CFM\s*/(\w+)", enc_dict)
+            cfm = cm.group(1) if cm else b"V2"
+            if cfm not in (b"AESV2", b"V2"):
+                return None
+        o = _pdf_string(enc_dict, rb"/O")
+        pm = re.search(rb"/P\s+(-?\d+)", enc_dict)
+        lm = re.search(rb"/Length\s+(\d+)", enc_dict)
+        if o is None or pm is None:
+            return None
+        idm = _ID_RE.search(data)
+        id0 = (bytes.fromhex(
+            re.sub(rb"\s+", b"", idm.group(1)).decode()) if idm else b"")
+        key = _std_key(password, o, int(pm.group(1)), id0, r,
+                       (int(lm.group(1)) // 8) if lm else 5)
+
+        def dec_classic(raw: bytes, num: int) -> bytes:
+            if not raw:
+                return raw
+            if cfm == b"AESV2":
+                return cbc_decrypt(_object_key(key, num, 0, aes=True),
+                                   raw[:16], raw[16:])
+            return _rc4(_object_key(key, num, 0), raw)
+
+        return dec_classic
+    except Exception:
+        return None
+
+
+def _form_and_annot_text(data: bytes, objstm: dict[int, bytes],
+                         dec=None) -> list[str]:
     """Interactive-form text values and FreeText annotation contents,
     in object-number order — the text a filled form carries that no
-    content stream shows."""
+    content stream shows. `dec` decrypts string values in encrypted
+    documents; a string that fails to decrypt is skipped."""
     out: list[tuple[int, str]] = []
     spaces = [(int(m.group(1)), m.group(3))
               for m in _OBJ_RE.finditer(data)]
@@ -681,12 +755,19 @@ def _form_and_annot_text(data: bytes,
     for num, body in spaces:
         if _FT_TX_RE.search(body):
             v = _pdf_string(body, rb"/V")
-            if v:
-                out.append((num, _pdf_text_string(v)))
         elif _FREETEXT_RE.search(body):
-            c = _pdf_string(body, rb"/Contents")
-            if c:
-                out.append((num, _pdf_text_string(c)))
+            v = _pdf_string(body, rb"/Contents")
+        else:
+            continue
+        if not v:
+            continue
+        if dec is not None:
+            try:
+                v = dec(v, num)
+            except ValueError:
+                continue  # corrupt/undecryptable string: skip it
+        if v:
+            out.append((num, _pdf_text_string(v)))
     return [t for _, t in sorted(out)]
 
 

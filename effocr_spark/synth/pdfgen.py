@@ -809,12 +809,38 @@ def encrypt_pdf(pdf: bytes, r: int = 4,
                 f"/O <{o_val.hex()}> /U <{u_val.hex()}> >>").encode()
 
     header_end = pdf.find(b"\n") + 1
+    def enc_string(raw: bytes, num: int) -> bytes:
+        if r == 6:
+            iv = hashlib.md5(b"siv%d%d" % (num, len(raw))).digest()
+            return iv + cbc_encrypt(file_key, iv, raw)
+        if r == 4:
+            iv = hashlib.md5(b"siv%d%d" % (num, len(raw))).digest()
+            return iv + cbc_encrypt(_object_key(key, num, 0, aes=True),
+                                    iv, raw)
+        return _rc4(_object_key(key, num, 0), raw)
+
+    _STRLIT_RE = _re.compile(rb"\((?:\\.|[^\\()])*\)", _re.S)
+
+    def enc_strings_in(body: bytes, num: int) -> bytes:
+        # spec: ALL strings in the document encrypt (except the
+        # encryption dict / ID). Emitted as HEX strings so ciphertext
+        # can never unbalance the surrounding dict syntax.
+        from ..functions.pdftext import _unescape
+
+        def repl(m):
+            raw = _unescape(m.group(0)[1:-1])
+            return b"<" + enc_string(raw, num).hex().encode() + b">"
+
+        return _STRLIT_RE.sub(repl, body)
+
     objs: list[tuple[int, bytes]] = []
     max_num = 0
     for om in _OBJ_RE.finditer(pdf):
         num, body = int(om.group(1)), om.group(3)
         max_num = max(max_num, num)
         sm = _STREAM_RE.search(body)
+        if sm is None:
+            body = enc_strings_in(body, num)
         if sm is not None:
             sbody = sm.group(2)
             if r == 6:

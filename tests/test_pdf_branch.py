@@ -694,3 +694,21 @@ def test_page_tree_order_beats_file_order():
     no_cat = b"".join(objs[n] for n in (3, 4, 5, 6, 7))
     assert extract_pdf_text(b"%PDF-1.4\n" + no_cat) == \
         "First page text\nSecond page text"
+
+
+def test_form_text_in_encrypted_documents():
+    """Strings carry the same encryption as streams (per-object key
+    for V≤4, file key for V5): form values and annotations extract
+    from RC4 / AES-128 / AES-256 documents; the raw value never
+    appears in the encrypted bytes."""
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import encrypt_pdf, make_form_pdf
+
+    base = make_form_pdf([["Printed form page"]],
+                         fields=[("name", "Jordan Applicant")],
+                         freetext=["A margin note"])
+    for r in (2, 4, 6):
+        enc = encrypt_pdf(base, r=r)
+        assert b"Jordan Applicant" not in enc
+        assert extract_pdf_text(enc) == \
+            "Printed form page\nJordan Applicant\nA margin note", r
