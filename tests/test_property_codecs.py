@@ -98,3 +98,50 @@ def test_mp4_metadata_roundtrip(w, h, dur, audio):
     assert (m["width"], m["height"]) == (w, h)
     assert abs(m["duration_s"] - dur) <= 0.001  # timescale rounding
     assert m["n_tracks"] == (2 if audio else 1)
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_jp2_lossless_property(seed):
+    """Property: ANY uint8 image (random size/content) survives the
+    full JPEG2000 reversible pipeline bit-exactly — wavelet, EBCOT,
+    tier-2, markers, boxes."""
+    import numpy as np
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    color = bool(rng.integers(0, 2))
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    levels = int(rng.integers(1, 4))
+    out = decode_jp2(encode_jp2(img, levels=levels,
+                                cblk_exp=(4, 4)))
+    if color:
+        assert (out == img).all()
+    else:
+        assert (out[:, :, 0] == img).all()
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_jbig2_huffman_tables_property(seed):
+    """Property: every value a standard table B.1-B.6 can represent
+    roundtrips through its canonical codes."""
+    import numpy as np
+    from effocr_spark.synth.jbig2huff import (BitReader, BitWriter,
+                                              standard_table)
+
+    rng = np.random.default_rng(seed)
+    n = int(standard_table(1) is not None)  # warm cache
+    tab_id = int(rng.integers(1, 7))
+    tab = standard_table(tab_id)
+    lows = {1: 0, 2: 0, 3: -5000, 4: 1, 5: -5000, 6: -50000}
+    vals = [int(v) for v in
+            rng.integers(lows[tab_id], 100000, size=25)]
+    w = BitWriter()
+    for v in vals:
+        tab.encode(w, v)
+    r = BitReader(w.getvalue())
+    assert [tab.decode(r) for _ in vals] == vals
