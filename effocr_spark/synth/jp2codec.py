@@ -37,7 +37,10 @@ tag trees, Lblock, pass counts) persists per precinct across layers
 and code-block codeword chunks concatenate — the quality-progressive
 form production encoders emit.
 
-Named seams (raise NotImplementedError): multiple tiles, custom
+Multiple TILES decode (raster tile grid, per-tile SOT/Psot spans and
+band layouts, ragged edge tiles) — the form large scans ship.
+
+Named seams (raise NotImplementedError): tile/image offsets, custom
 precincts, non-LRCP progression, selective arithmetic
 bypass / pass termination / segmentation symbols, scalar-DERIVED
 quantization (style 1), subsampled components. OpenJPEG's defaults
@@ -897,11 +900,25 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         raise ValueError("missing SOC marker")
     pos = 2
     siz = cod = qcd = None
+    tiles: dict[int, tuple[int, int]] = {}  # isot → (pk_start, pk_end)
     while pos + 2 <= len(data):
+        sot_at = pos - 2  # position of the marker we just read
         marker = struct.unpack_from(">H", data, pos)[0]
         pos += 2
-        if marker == _SOD:
+        sot_at = pos - 2
+        if marker == _EOC:
             break
+        if marker == _SOT:
+            ln = struct.unpack_from(">H", data, pos)[0]
+            isot = struct.unpack_from(">H", data, pos + 2)[0]
+            psot = struct.unpack_from(">I", data, pos + 4)[0]
+            sod_at = data.find(b"\xff\x93", pos)
+            if sod_at < 0:
+                raise ValueError("SOT without SOD")
+            end = (sot_at + psot) if psot else len(data) - 2
+            tiles[isot] = (sod_at + 2, end)
+            pos = end
+            continue
         ln = struct.unpack_from(">H", data, pos)[0]
         body = data[pos + 2:pos + ln]
         if marker == _SIZ:
@@ -910,8 +927,6 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             cod = body
         elif marker == _QCD:
             qcd = body
-        elif marker == _SOT:
-            pass  # single tile: Psot spans to EOC
         elif marker in (0xFF53, 0xFF5D):  # COC / QCC
             raise NotImplementedError(
                 "JPEG2000 per-component COC/QCC overrides; plug a "
@@ -920,14 +935,14 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         pos += ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("missing SIZ/COD/QCD")
+    if not tiles:
+        raise ValueError("missing SOT/SOD")
 
     (xsiz, ysiz, xosiz, yosiz, xtsiz, ytsiz, xtosiz,
      ytosiz) = struct.unpack_from(">8I", siz, 2)
     ncomp = struct.unpack_from(">H", siz, 34)[0]
     if xosiz or yosiz or xtosiz or ytosiz:
         raise NotImplementedError("JPEG2000 image/tile offsets")
-    if xtsiz < xsiz or ytsiz < ysiz:
-        raise NotImplementedError("JPEG2000 multiple tiles")
     if ncomp not in (1, 3):
         raise NotImplementedError(f"JPEG2000 {ncomp} components")
     comps = []
@@ -975,14 +990,8 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             "scalar-derived quantization (Sqcd style 1)")
 
-    # locate SOD → packet data
-    sod_at = data.find(b"\xff\x93")
-    if sod_at < 0:
-        raise ValueError("missing SOD")
-    pos = sod_at + 2
-    layout = _band_layout(xsiz, ysiz, levels)
     # per-band Mb from the QCD exponents (order: LL, then per res
-    # HL, LH, HH)
+    # HL, LH, HH) — global: QCD applies to every tile
     exp_iter = iter(zip(exps, mus))
     mb_map: dict[tuple[int, str], int] = {}
     quant_map: dict[tuple[int, str], tuple[int, int]] = {}
@@ -995,47 +1004,68 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             mb_map[(r, bname)] = guard + eb - 1
             quant_map[(r, bname)] = (eb, mb_)
 
-    comp_coefs = [
-        {(r, b[0]): np.zeros((b[2], b[1]), np.int64)
-         for r, bands in enumerate(layout) for b in bands}
-        for _ in range(ncomp)]
-    precincts = {
-        (c, r): _PrecinctState(layout[r], (cbw_exp, cbh_exp),
-                               lambda bn, r=r: mb_map[(r, bn)])
-        for r in range(levels + 1) for c in range(ncomp)}
-    for layer in range(layers):  # LRCP
-        for r in range(levels + 1):
-            for c in range(ncomp):
-                pos = precincts[(c, r)].decode_packet(data, pos, layer)
-    for (c, r), prec in precincts.items():
-        for (bname, cbx, cby, cbw2, cbh2, n_planes, n_passes,
-             body) in prec.blocks():
-            coefs = ebcot_decode_block(body, cbw2, cbh2, bname,
-                                       n_planes, n_passes)
-            y0, x0 = cby << cbh_exp, cbx << cbw_exp
-            comp_coefs[c][(r, bname)][y0:y0 + cbh2,
-                                      x0:x0 + cbw2] = coefs
+    def decode_tile(pos: int, end: int, tw: int, th: int) -> list:
+        """One tile's packets → per-component spatial planes (pre-MCT,
+        pre-shift)."""
+        layout = _band_layout(tw, th, levels)
+        comp_coefs = [
+            {(r, b[0]): np.zeros((b[2], b[1]), np.int64)
+             for r, bands in enumerate(layout) for b in bands}
+            for _ in range(ncomp)]
+        precincts = {
+            (c, r): _PrecinctState(layout[r], (cbw_exp, cbh_exp),
+                                   lambda bn, r=r: mb_map[(r, bn)])
+            for r in range(levels + 1) for c in range(ncomp)}
+        p = pos
+        for layer in range(layers):  # LRCP within the tile
+            for r in range(levels + 1):
+                for c in range(ncomp):
+                    p = precincts[(c, r)].decode_packet(data, p, layer)
+        if p > end:
+            raise ValueError("tile packet data overruns Psot")
+        for (c, r), prec in precincts.items():
+            for (bname, cbx, cby, cbw2, cbh2, n_planes, n_passes,
+                 body) in prec.blocks():
+                coefs = ebcot_decode_block(body, cbw2, cbh2, bname,
+                                           n_planes, n_passes)
+                y0, x0 = cby << cbh_exp, cbx << cbw_exp
+                comp_coefs[c][(r, bname)][y0:y0 + cbh2,
+                                          x0:x0 + cbw2] = coefs
+        tplanes = []
+        for c in range(ncomp):
+            def band_of(r, bname, c=c):
+                q = comp_coefs[c][(r, bname)]
+                if qstyle == 0:
+                    return q
+                # dequantize: x = (q ± 0.5)·Δ midpoint reconstruction
+                eb, mu = quant_map[(r, bname)]
+                rb = depth + _BAND_GAIN[bname]
+                delta = _band_delta(eb, mu, rb)
+                x = q.astype(np.float64)
+                nz = q != 0
+                x[nz] = (np.abs(x[nz]) + 0.5) * np.sign(x[nz]) * delta
+                return x
+            bands = [band_of(0, "LL")]
+            for r in range(1, levels + 1):
+                bands.append((band_of(r, "HL"), band_of(r, "LH"),
+                              band_of(r, "HH")))
+            tplanes.append(dwt53_inverse(bands) if transform == 1
+                           else dwt97_inverse(bands))
+        return tplanes
 
-    planes = []
-    for c in range(ncomp):
-        def band_of(r, bname):
-            q = comp_coefs[c][(r, bname)]
-            if qstyle == 0:
-                return q
-            # dequantize: x = (q ± 0.5)·Δ midpoint reconstruction
-            eb, mu = quant_map[(r, bname)]
-            rb = depth + _BAND_GAIN[bname]
-            delta = _band_delta(eb, mu, rb)
-            x = q.astype(np.float64)
-            nz = q != 0
-            x[nz] = (np.abs(x[nz]) + 0.5) * np.sign(x[nz]) * delta
-            return x
-        bands = [band_of(0, "LL")]
-        for r in range(1, levels + 1):
-            bands.append((band_of(r, "HL"), band_of(r, "LH"),
-                          band_of(r, "HH")))
-        planes.append(dwt53_inverse(bands) if transform == 1
-                      else dwt97_inverse(bands))
+    ntx = -(-xsiz // xtsiz)
+    nty = -(-ysiz // ytsiz)
+    dtype = np.int64 if (transform == 1 and qstyle == 0) else np.float64
+    planes = [np.zeros((ysiz, xsiz), dtype) for _ in range(ncomp)]
+    for isot, (pk_start, pk_end) in sorted(tiles.items()):
+        tx, ty = isot % ntx, isot // ntx
+        if ty >= nty:
+            raise ValueError("tile index outside the tile grid")
+        x0, y0 = tx * xtsiz, ty * ytsiz
+        tw = min(xtsiz, xsiz - x0)
+        th = min(ytsiz, ysiz - y0)
+        for c, tp in enumerate(decode_tile(pk_start, pk_end, tw, th)):
+            planes[c][y0:y0 + th, x0:x0 + tw] = tp
     if ncomp == 3 and mct == 1:
         if transform == 1:  # inverse RCT (integer)
             y, u, v = planes
@@ -1078,7 +1108,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                jp2_container: bool = True,
                irreversible: bool = False,
                delta: float = 1.0 / 16,
-               n_layers: int = 1) -> bytes:
+               n_layers: int = 1,
+               tile_size: int | None = None) -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
@@ -1108,12 +1139,10 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
         planes = [base - 128]
         mct = 0
     ncomp = len(planes)
-    layout = _band_layout(w, h, levels)
     cbw_exp, cbh_exp = cblk_exp
     cw, ch = 1 << cbw_exp, 1 << cbh_exp
 
     fwd = dwt97_forward if irreversible else dwt53_forward
-    comp_bands = [fwd(p, levels) for p in planes]
     quant: dict[str, tuple[int, int, float]] = {}
     if irreversible:
         for bname in ("LL", "HL", "LH", "HH"):
@@ -1121,90 +1150,99 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             eps, mu = _quant_params(delta, rb)
             quant[bname] = (eps, mu, _band_delta(eps, mu, rb))
 
-    def band_array(c: int, r: int, bname: str) -> np.ndarray:
-        arr = (comp_bands[c][0] if r == 0
-               else comp_bands[c][r][("HL", "LH", "HH").index(bname)])
-        if not irreversible:
-            return arr
-        d = quant[bname][2]
-        return (np.sign(arr) * np.floor(np.abs(arr) / d)).astype(
-            np.int64)
+    def tile_body(tplanes: list, tw: int, th: int) -> bytes:
+        layout = _band_layout(tw, th, levels)
+        comp_bands = [fwd(p, levels) for p in tplanes]
 
-    per_rc: dict = {}
-    for r in range(levels + 1):
-        for c in range(ncomp):
-            cb_grid = {}
-            entries = []
-            for bname, bw, bh in layout[r]:
-                if bw == 0 or bh == 0:
-                    continue
-                nx, ny = -(-bw // cw), -(-bh // ch)
-                mb = (_GUARD_BITS + quant[bname][0] - 1
-                      if irreversible else _mb(depth, bname))
-                cb_grid[bname] = (nx, ny, mb)
-                arr = band_array(c, r, bname)
-                for cby in range(ny):
-                    for cbx in range(nx):
-                        blk = arr[cby * ch:cby * ch + ch,
-                                  cbx * cw:cbx * cw + cw]
-                        body, n_planes, n_passes = \
-                            ebcot_encode_block(blk, bname)
-                        if n_planes == 0:
-                            continue
-                        if n_planes > mb:
-                            raise ValueError(
-                                "coefficient magnitude exceeds Mb — "
-                                "raise guard bits")
-                        entries.append((bname, cbx, cby, n_planes,
-                                        n_passes, body))
-            per_rc[(r, c)] = (cb_grid, entries)
+        def band_array(c: int, r: int, bname: str) -> np.ndarray:
+            arr = (comp_bands[c][0] if r == 0
+                   else comp_bands[c][r][("HL", "LH",
+                                          "HH").index(bname)])
+            if not irreversible:
+                return arr
+            d = quant[bname][2]
+            return (np.sign(arr)
+                    * np.floor(np.abs(arr) / d)).astype(np.int64)
 
-    packets = []
-    if n_layers == 1:
+        per_rc: dict = {}
         for r in range(levels + 1):
             for c in range(ncomp):
-                cb_grid, entries = per_rc[(r, c)]
-                packets.append(_encode_packet(entries, cb_grid))
-    else:
-        # multi-layer: each block first-included at (index % n_layers);
-        # the first layer-0 block with ≥2 passes additionally SPLITS
-        # its codeword bytes across layers 0 and 1 (the incremental-
-        # contribution shape quality-progressive encoders emit)
-        encs: dict = {}
-        plan: dict = {}
-        for (r, c), (cb_grid, entries) in per_rc.items():
-            first_layer = {}
-            zbp_values = {}
-            split_done = False
-            contribs: list[dict] = [dict() for _ in range(n_layers)]
-            for idx, (bname, cbx, cby, n_planes, n_passes,
-                      body) in enumerate(entries):
-                key = (bname, cbx, cby)
-                mb = cb_grid[bname][2]
-                zbp_values[key] = mb - n_planes
-                lay = idx % n_layers
-                first_layer[key] = lay
-                if (not split_done and lay == 0 and n_layers >= 2
-                        and n_passes >= 2 and len(body) >= 2):
-                    half = len(body) // 2
-                    contribs[0][key] = (1, body[:half])
-                    contribs[1][key] = (n_passes - 1, body[half:])
-                    split_done = True
-                else:
-                    contribs[lay][key] = (n_passes, body)
-            encs[(r, c)] = _PrecinctEncoder(cb_grid, first_layer,
-                                            zbp_values)
-            plan[(r, c)] = contribs
-        for layer in range(n_layers):  # LRCP order
+                cb_grid = {}
+                entries = []
+                for bname, bw, bh in layout[r]:
+                    if bw == 0 or bh == 0:
+                        continue
+                    nx, ny = -(-bw // cw), -(-bh // ch)
+                    mb = (_GUARD_BITS + quant[bname][0] - 1
+                          if irreversible else _mb(depth, bname))
+                    cb_grid[bname] = (nx, ny, mb)
+                    arr = band_array(c, r, bname)
+                    for cby in range(ny):
+                        for cbx in range(nx):
+                            blk = arr[cby * ch:cby * ch + ch,
+                                      cbx * cw:cbx * cw + cw]
+                            body, n_planes, n_passes = \
+                                ebcot_encode_block(blk, bname)
+                            if n_planes == 0:
+                                continue
+                            if n_planes > mb:
+                                raise ValueError(
+                                    "coefficient magnitude exceeds "
+                                    "Mb — raise guard bits")
+                            entries.append((bname, cbx, cby, n_planes,
+                                            n_passes, body))
+                per_rc[(r, c)] = (cb_grid, entries)
+
+        packets = []
+        if n_layers == 1:
             for r in range(levels + 1):
                 for c in range(ncomp):
-                    packets.append(encs[(r, c)].encode_packet(
-                        layer, plan[(r, c)][layer]))
+                    cb_grid, entries = per_rc[(r, c)]
+                    packets.append(_encode_packet(entries, cb_grid))
+        else:
+            # multi-layer: each block first-included at
+            # (index % n_layers); the first layer-0 block with ≥2
+            # passes additionally SPLITS its codeword bytes across
+            # layers 0 and 1 (the incremental-contribution shape
+            # quality-progressive encoders emit)
+            encs: dict = {}
+            plan: dict = {}
+            for (r, c), (cb_grid, entries) in per_rc.items():
+                first_layer = {}
+                zbp_values = {}
+                split_done = False
+                contribs: list[dict] = [dict()
+                                        for _ in range(n_layers)]
+                for idx, (bname, cbx, cby, n_planes, n_passes,
+                          body) in enumerate(entries):
+                    key = (bname, cbx, cby)
+                    mb = cb_grid[bname][2]
+                    zbp_values[key] = mb - n_planes
+                    lay = idx % n_layers
+                    first_layer[key] = lay
+                    if (not split_done and lay == 0 and n_layers >= 2
+                            and n_passes >= 2 and len(body) >= 2):
+                        half = len(body) // 2
+                        contribs[0][key] = (1, body[:half])
+                        contribs[1][key] = (n_passes - 1, body[half:])
+                        split_done = True
+                    else:
+                        contribs[lay][key] = (n_passes, body)
+                encs[(r, c)] = _PrecinctEncoder(cb_grid, first_layer,
+                                                zbp_values)
+                plan[(r, c)] = contribs
+            for layer in range(n_layers):  # LRCP order
+                for r in range(levels + 1):
+                    for c in range(ncomp):
+                        packets.append(encs[(r, c)].encode_packet(
+                            layer, plan[(r, c)][layer]))
+        return b"".join(packets)
 
     # markers
+    xtsiz, ytsiz = (tile_size, tile_size) if tile_size else (w, h)
     cs = bytearray(b"\xff\x4f")  # SOC
-    siz = struct.pack(">HH8IH", 38 + 3 * ncomp, 0, w, h, 0, 0, w, h,
-                      0, 0, ncomp)
+    siz = struct.pack(">HH8IH", 38 + 3 * ncomp, 0, w, h, 0, 0,
+                      xtsiz, ytsiz, 0, 0, ncomp)
     for _ in range(ncomp):
         siz += bytes([depth - 1, 1, 1])
     cs += b"\xff\x51" + siz
@@ -1229,10 +1267,21 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             for bname in ("HL", "LH", "HH"):
                 qcd.append((depth + _BAND_GAIN[bname]) << 3)
     cs += b"\xff\x5c" + bytes(qcd)
-    body = b"".join(packets)
-    psot = 12 + 2 + len(body)  # SOT segment + SOD marker + data
-    cs += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    cs += b"\xff\x93" + body
+    ntx = -(-w // xtsiz)
+    nty = -(-h // ytsiz)
+    n_tiles = ntx * nty
+    for ty in range(nty):
+        for tx in range(ntx):
+            isot = ty * ntx + tx
+            x0, y0 = tx * xtsiz, ty * ytsiz
+            tw = min(xtsiz, w - x0)
+            th = min(ytsiz, h - y0)
+            body = tile_body([pl[y0:y0 + th, x0:x0 + tw]
+                              for pl in planes], tw, th)
+            psot = 12 + 2 + len(body)  # SOT seg + SOD marker + data
+            cs += b"\xff\x90" + struct.pack(">HHIBB", 10, isot,
+                                            psot, 0, n_tiles)
+            cs += b"\xff\x93" + body
     cs += b"\xff\xd9"  # EOC
     if not jp2_container:
         return bytes(cs)

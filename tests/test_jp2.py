@@ -187,3 +187,24 @@ def test_jp2_multi_layer_decode():
         assert (decode_jp2(blob)[:, :, 0] == img).all(), nl
     c = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
     assert (decode_jp2(encode_jp2(c, n_layers=2)) == c).all()
+
+
+def test_jp2_multi_tile_decode():
+    """Tiled codestreams (raster tile grid with ragged edges, per-tile
+    SOT/Psot spans) decode bit-exactly on the lossless path, composed
+    with multi-layer and lossy modes."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+    blob = encode_jp2(img, levels=2, cblk_exp=(4, 4), tile_size=32)
+    assert (decode_jp2(blob)[:, :, 0] == img).all()
+    c = rng.integers(0, 256, (50, 66, 3), dtype=np.uint8)
+    assert (decode_jp2(encode_jp2(c, levels=1, tile_size=32)) == c).all()
+    assert (decode_jp2(encode_jp2(img, levels=2, cblk_exp=(4, 4),
+                                  tile_size=32, n_layers=2))[:, :, 0]
+            == img).all()
+    out = decode_jp2(encode_jp2(img, levels=2, tile_size=32,
+                                irreversible=True))[:, :, 0]
+    mse = ((out.astype(float) - img) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 50
