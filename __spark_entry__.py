@@ -898,6 +898,11 @@ def q_extract_pdf_scanned(spark, sf_dir):
     jpxtxt = _en_ocr_line(_rng(999400, 0), 4)
     rows.append(("pdf://jpx/0", None, bytearray(
         make_jpx_pdf([render_line(jpxtxt)[0]])), None, "en"))
+    # TILED JP2 (per-tile SOT/Psot — the large-scan layout), lossless
+    jpx2 = _en_ocr_line(_rng(999401, 0), 4)
+    rows.append(("pdf://jpx/tiled", None, bytearray(
+        make_jpx_pdf([render_line(jpx2)[0]], levels=1, tile_size=64)),
+        None, "en"))
     # INLINE image (BI/ID/EI in the content stream — the simple-
     # generator shape); the binary payload must not alias as text ops
     from effocr_spark.synth.pdfgen import make_inline_image_pdf

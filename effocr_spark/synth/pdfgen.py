@@ -880,7 +880,8 @@ def encrypt_pdf(pdf: bytes, r: int = 4,
 def make_jpx_pdf(images: list["object"],
                  text_lines: list[list[str]] | None = None,
                  levels: int = 2,
-                 jp2_container: bool = True) -> bytes:
+                 jp2_container: bool = True,
+                 tile_size: int | None = None) -> bytes:
     """Scanned-document PDF with JPEG2000 image XObjects (/JPXDecode —
     the Internet-Archive-era digitization shape). images = HxW or
     HxWx3 uint8 arrays; each becomes one full-page losslessly-coded
@@ -902,7 +903,8 @@ def make_jpx_pdf(images: list["object"],
         if lines:
             content += _content_stream(lines)
         body = encode_jp2(img, levels=levels,
-                          jp2_container=jp2_container)
+                          jp2_container=jp2_container,
+                          tile_size=tile_size)
         cs = "/DeviceRGB" if img.ndim == 3 else "/DeviceGray"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
