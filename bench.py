@@ -463,7 +463,28 @@ path at equal width and scaling with cores up to the host's ceiling.
             "cold_first_query_sec": cold_first,
         },
     }
+    # Full dump goes to a file (it outgrew the driver's stdout tail
+    # window in round 5 and the headline went unrecorded); stdout gets
+    # the complete per-query line first, then a compact (<500 byte)
+    # headline as the LAST line so a tail-capture parser always sees a
+    # parseable JSON object with `value` present.
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": results_q,
+        "scaling": {
+            "e2e_2_8": round(eff_2_8, 3),
+            "e2e_8_32": round(eff_8_32, 3),
+            "tensor_1_4": real_eff_1_4,
+            "tensor_2_8": real_eff,
+        },
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -152,19 +152,23 @@ def _stream_text(body: bytes, fonts: dict | None = None,
             lines[-1].append("".join(
                 cmap.get((raw[k] << 8) | raw[k + 1], "�")
                 for k in range(0, len(raw) - 1, 2)))
-        elif f.get("map") or f.get("diffs"):
-            # simple font with /ToUnicode and/or /Differences: subset
-            # fonts remap byte codes arbitrarily — latin-1 would
-            # silently garble them. Per byte: ToUnicode wins, then
-            # Differences, then the latin-1 base encoding.
+        elif f.get("map") or f.get("diffs") or f.get("base"):
+            # simple font with /ToUnicode, /Differences and/or a named
+            # base encoding: subset fonts remap byte codes arbitrarily
+            # and WinAnsi/MacRoman differ from latin-1 in the high
+            # range — latin-1 would silently garble them. Per byte:
+            # ToUnicode wins, then Differences, then the named base
+            # encoding table, then latin-1.
             cmap = f.get("map") or {}
             diffs = f.get("diffs") or {}
+            base = f.get("base") or {}
             # explicit membership, NOT `or`-chaining: a /ToUnicode
             # entry legally maps a code to the EMPTY string (deleted /
             # non-semantic glyph) and must not fall through to latin-1
             lines[-1].append("".join(
                 cmap[b_] if b_ in cmap else
-                diffs[b_] if b_ in diffs else chr(b_)
+                diffs[b_] if b_ in diffs else
+                base[b_] if b_ in base else chr(b_)
                 for b_ in raw))
         else:
             lines[-1].append(raw.decode("latin-1"))
@@ -228,6 +232,42 @@ _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _TOUNI_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _FONT_BIND_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+\d+\s+R")
 _ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+# a simple font's named base encoding: either directly (/Encoding
+# /WinAnsiEncoding) or inside an encoding dict (/BaseEncoding ...)
+_BASE_ENC_NAME_RE = re.compile(
+    rb"/(?:Base)?Encoding\s*/(WinAnsiEncoding|MacRomanEncoding|"
+    rb"MacExpertEncoding|StandardEncoding)")
+
+# Named simple-font base encodings (ISO 32000 Annex D). latin-1 (the
+# historical fallback) is WRONG for all of these in the high range:
+# WinAnsi differs in 0x80-0x9F (curly quotes, dashes, euro — the bytes
+# Word-generated PDFs actually use), MacRoman differs nearly everywhere
+# >= 0x80. Tables hold only the bytes that differ from latin-1; lookup
+# falls through to chr(code) below them.
+_WINANSI_HIGH: dict[int, str] = {}
+for _b in range(0x80, 0xA0):
+    try:
+        _WINANSI_HIGH[_b] = bytes([_b]).decode("cp1252")
+    except UnicodeDecodeError:  # 0x81 8D 8F 90 9D: undefined in cp1252
+        _WINANSI_HIGH[_b] = "�"
+_MACROMAN_HIGH = {_b: bytes([_b]).decode("mac_roman")
+                  for _b in range(0x80, 0x100)}
+# PDF's MacRomanEncoding predates Apple's euro revision: 0xDB is
+# /currency (not the Mac-OS-8.5 euro Python's codec emits), and the
+# 0xF0 Apple-logo slot is unassigned
+_MACROMAN_HIGH[0xDB] = "¤"
+_MACROMAN_HIGH[0xF0] = "�"
+# Standard/MacExpert high ranges: rarely used (Standard's high slots
+# are TeX-era punctuation, MacExpert is small-caps/figures plumbing);
+# decode to U+FFFD — countable, never silently latin-1-wrong. Named
+# seam: a full Annex D Standard table if real corpora need it.
+_FFFD_HIGH = {_b: "�" for _b in range(0x80, 0x100)}
+_BASE_ENC_TABLES = {
+    "WinAnsiEncoding": _WINANSI_HIGH,
+    "MacRomanEncoding": _MACROMAN_HIGH,
+    "StandardEncoding": _FFFD_HIGH,
+    "MacExpertEncoding": _FFFD_HIGH,
+}
 _DIFFS_RE = re.compile(rb"/Differences\s*\[((?:[^\[\]])*)\]", re.S)
 _DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/<>()\[\]]+)")
 
@@ -464,20 +504,26 @@ def _font_registry(data: bytes,
                 cmap = _parse_tounicode(_apply_filters(d, b))
             except (ValueError, NotImplementedError):
                 cmap = None
-        # simple-font /Encoding /Differences (inline dict or indirect
-        # object): byte code → glyph name → unicode
+        # simple-font /Encoding: /Differences (inline dict or indirect
+        # object) layered over a named base encoding (/WinAnsiEncoding
+        # etc., directly or as the dict's /BaseEncoding)
         diffs: dict[int, str] = {}
+        base: dict[int, str] | None = None
         if not cid:
+            enc_seg = body
             em = re.search(rb"/Encoding\s*<<", body)
             if em is not None:
-                diffs = _parse_differences(
-                    _balanced_dict(body, em.end() - 2))
+                enc_seg = _balanced_dict(body, em.end() - 2)
+                diffs = _parse_differences(enc_seg)
             else:
                 erm = _ENC_REF_RE.search(body)
                 if erm is not None and int(erm.group(1)) in objects:
-                    diffs = _parse_differences(
-                        objects[int(erm.group(1))])
-        return {"cid": cid, "map": cmap, "diffs": diffs}
+                    enc_seg = objects[int(erm.group(1))]
+                    diffs = _parse_differences(enc_seg)
+            bm = _BASE_ENC_NAME_RE.search(enc_seg)
+            if bm is not None:
+                base = _BASE_ENC_TABLES[bm.group(1).decode("ascii")]
+        return {"cid": cid, "map": cmap, "diffs": diffs, "base": base}
 
     # /Font resource dicts can live in the raw object space OR inside
     # an expanded object stream — scan both

@@ -17,7 +17,21 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _content_stream(lines: list[str]) -> bytes:
+def _stream_encode(ops_text: str, encoding: str | None) -> bytes:
+    """Content-stream text → bytes under the page font's base encoding.
+    Deliberately INDEPENDENT of the extractor's decode tables (Python's
+    cp1252/mac_roman codecs), so encode/decode bugs can't mirror. The
+    one PDF-vs-Apple divergence (MacRomanEncoding 0xDB is /currency,
+    not the post-euro-revision €) is handled by translating ¤ to the
+    codepoint Python's codec puts at 0xDB."""
+    if encoding == "WinAnsiEncoding":
+        return ops_text.encode("cp1252")
+    if encoding == "MacRomanEncoding":
+        return ops_text.replace("¤", "€").encode("mac_roman")
+    return ops_text.encode("latin-1")
+
+
+def _content_stream(lines: list[str], encoding: str | None = None) -> bytes:
     ops = ["BT", "/F1 12 Tf", "72 720 Td"]
     for i, line in enumerate(lines):
         if i:
@@ -31,7 +45,7 @@ def _content_stream(lines: list[str]) -> bytes:
         else:
             ops.append(f"({_escape(line)}) Tj")
     ops.append("ET")
-    return "\n".join(ops).encode("latin-1")
+    return _stream_encode("\n".join(ops), encoding)
 
 
 def _content_stream_tm(lines: list[str]) -> bytes:
@@ -88,12 +102,19 @@ def _encode_filters(content: bytes, chain: tuple[str, ...]) -> bytes:
 
 def make_pdf(pages: list[list[str]], compress: bool = True,
              filters: tuple[str, ...] | None = None,
-             tm_layout: bool = False) -> bytes:
+             tm_layout: bool = False,
+             encoding: str | None = None,
+             enc_differences: bool = False) -> bytes:
     """pages = list of pages, each a list of text lines → PDF bytes.
     filters: explicit /Filter decode chain (e.g. ("ASCII85Decode",
     "FlateDecode")); default keeps the compress flag's behavior.
     tm_layout=True positions every text run with Tm and never emits
-    Td/TD/T* — the Skia/Chrome print-to-PDF shape."""
+    Td/TD/T* — the Skia/Chrome print-to-PDF shape.
+    encoding: a named simple-font base encoding ("WinAnsiEncoding" /
+    "MacRomanEncoding") — text bytes are emitted in that encoding and
+    the font dict carries /Encoding; enc_differences=True wraps it as
+    an encoding dict (/BaseEncoding + a /Differences entry remapping
+    byte 128 to /bullet) to exercise the layering order."""
     objs: list[bytes] = []
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -105,7 +126,7 @@ def make_pdf(pages: list[list[str]], compress: bool = True,
         filters = ("FlateDecode",) if compress else ()
     for i, lines in enumerate(pages):
         content = (_content_stream_tm(lines) if tm_layout
-                   else _content_stream(lines))
+                   else _content_stream(lines, encoding))
         if filters:
             content = _encode_filters(content, filters)
             names = "".join(f" /{n}" for n in filters)
@@ -119,7 +140,15 @@ def make_pdf(pages: list[list[str]], compress: bool = True,
             f"{font_num} 0 R >> >> >>".encode())
         objs.append(f"<< /Length {len(content)}{filt} >>\nstream\n"
                     .encode() + content + b"\nendstream")
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    enc = ""
+    if encoding is not None:
+        if enc_differences:
+            enc = (f" /Encoding << /Type /Encoding /BaseEncoding "
+                   f"/{encoding} /Differences [ 128 /bullet ] >>")
+        else:
+            enc = f" /Encoding /{encoding}"
+    objs.append(f"<< /Type /Font /Subtype /Type1 /BaseFont "
+                f"/Helvetica{enc} >>".encode())
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -712,3 +712,47 @@ def test_form_text_in_encrypted_documents():
         assert b"Jordan Applicant" not in enc
         assert extract_pdf_text(enc) == \
             "Printed form page\nJordan Applicant\nA margin note", r
+
+
+def test_named_base_encodings_winansi_macroman():
+    """Simple fonts with a named /Encoding decode through the real
+    Annex-D tables, not latin-1: WinAnsi's 0x80-0x9F range (curly
+    quotes, dashes, euro — the bytes Word-generated PDFs actually
+    use), MacRoman's full high range incl. the PDF-vs-Apple /currency
+    divergence at 0xDB, and /Differences layering OVER /BaseEncoding.
+    Encoder uses Python's cp1252/mac_roman codecs, decoder its own
+    tables — mirrored-bug-proof for the WinAnsi==cp1252 overlap."""
+    win = make_pdf([["Curly “quotes” — and € euro…", "Très élégant"]],
+                   encoding="WinAnsiEncoding", compress=False)
+    assert extract_pdf_text(bytes(win)) == \
+        "Curly “quotes” — and € euro…\nTrès élégant"
+    # the raw bytes really are WinAnsi (0x93 = “), not UTF-8
+    assert b"\x93quotes\x94" in win
+
+    mac = make_pdf([["Café • ≠ ¤"]],
+                   encoding="MacRomanEncoding", compress=False)
+    assert extract_pdf_text(bytes(mac)) == "Café • ≠ ¤"
+    # MacRoman bytes (words are TJ-array tokens, not space-joined)
+    for tok in (b"Caf\x8e", b"(\xa5)", b"(\xad)", b"(\xdb)"):
+        assert tok in mac, tok
+
+    dif = make_pdf([["Layered € becomes bullet"]],
+                   encoding="WinAnsiEncoding", enc_differences=True)
+    assert extract_pdf_text(bytes(dif)) == "Layered • becomes bullet"
+
+    # undefined cp1252 slots decode U+FFFD (countable), never latin-1
+    raw = make_pdf([["marker"]], encoding="WinAnsiEncoding",
+                   compress=False)
+    raw = bytes(raw).replace(b"(marker)", b"(m\x81rker)")
+    assert extract_pdf_text(raw) == "m�rker"
+
+
+def test_standard_encoding_high_bytes_fail_visible():
+    """/StandardEncoding's high range decodes to U+FFFD (its slots are
+    NOT latin-1 — silent fall-through would garble), ASCII unaffected."""
+    doc = make_pdf([["plain ascii line"]], encoding="StandardEncoding")
+    assert extract_pdf_text(bytes(doc)) == "plain ascii line"
+    doc2 = bytes(make_pdf([["xYz"]], encoding="StandardEncoding",
+                          compress=False)) \
+        .replace(b"(xYz)", b"(x\xe1z)")
+    assert extract_pdf_text(doc2) == "x�z"
