@@ -117,6 +117,15 @@ def _hexstr_bytes(hx: bytes) -> bytes:
     return bytes.fromhex(hx.decode("ascii"))
 
 
+class UnresolvedFontError(ValueError):
+    """Stream-scoped decode failure: text shown under a font the
+    registry can't resolve (in a strict /Type0 document) or a CID font
+    without /ToUnicode. The OWNING STREAM quarantines (its text is
+    omitted and counted); the document as a whole only fails when no
+    content stream decodes — a mixed document keeps its recoverable
+    simple-font pages instead of failing closed document-wide."""
+
+
 def _stream_text(body: bytes, fonts: dict | None = None,
                  strict_type0: bool = False) -> list[str]:
     """Decoded content stream → list of line strings. The font cursor
@@ -139,13 +148,13 @@ def _stream_text(body: bytes, fonts: dict | None = None,
         f = fonts.get(cur)
         if f is None:
             if strict_type0:
-                raise ValueError(
+                raise UnresolvedFontError(
                     f"unresolved font /{cur} in a /Type0 document; "
                     f"cid-font text would extract silently wrong")
             lines[-1].append(raw.decode("latin-1"))
         elif f["cid"]:
             if f["map"] is None:
-                raise ValueError(
+                raise UnresolvedFontError(
                     "cid-font text without /ToUnicode; plug a real "
                     "PDF library in")
             cmap = f["map"]
@@ -586,7 +595,8 @@ def _plain_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
     return out
 
 
-def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
+def extract_pdf_text(data: bytes, password: bytes | str = b"",
+                     stats: dict | None = None) -> str:
     """PDF bytes → extracted text ('' when no text content found).
 
     Raises on undecodable containers (caller quarantines): not-a-PDF,
@@ -596,6 +606,13 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
     (permissions-only locking) and Flate/LZW predictors decode for
     real; `password` supplies a non-empty USER password (the freq_dict
     config pattern — threaded through pdf_branch/extract_pages).
+
+    Quarantine granularity is PER CONTENT STREAM for font-resolution
+    failures (UnresolvedFontError): a mixed document with one
+    undecodable Type0 stream still extracts its resolvable pages; the
+    dropped-stream count lands in stats["quarantined_streams"] when a
+    `stats` dict is supplied. Only if NO content stream decodes does
+    the document fail closed (raise) — never a silent partial loss.
     """
     if not is_pdf(data):
         raise ValueError("not a PDF (missing %PDF- header)")
@@ -617,6 +634,8 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
               or any(_TYPE0_RE.search(b) for b in objstm.values()))
     streams = _page_order(data, objstm, streams)
     lines: list[str] = []
+    n_quarantined = 0
+    first_font_err: UnresolvedFontError | None = None
     for dict_part, body, _num in streams:
         if b"/Subtype" in dict_part and b"/Image" in dict_part:
             continue  # image XObject: no text; see extract_pdf_images
@@ -628,7 +647,19 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"") -> str:
             # bytes that would otherwise alias as text operators —
             # excise them before the operator scan
             body = _INLINE_IMG_RE.sub(b" ", body)
-        lines.extend(_stream_text(body, fonts, strict))
+        try:
+            lines.extend(_stream_text(body, fonts, strict))
+        except UnresolvedFontError as e:
+            # stream-scoped quarantine: drop THIS stream, keep going
+            n_quarantined += 1
+            if first_font_err is None:
+                first_font_err = e
+    if first_font_err is not None and not any(ln.strip() for ln in lines):
+        # nothing decoded at all — the document fails closed exactly as
+        # before per-stream granularity existed
+        raise first_font_err
+    if stats is not None:
+        stats["quarantined_streams"] = n_quarantined
     # text content OUTSIDE content streams: AcroForm text-field values
     # (/FT /Tx ... /V) and FreeText annotation /Contents. In encrypted
     # documents strings carry the same per-object (V≤4) / file (V5)

@@ -576,10 +576,17 @@ def pdf_branch(df: DataFrame,
             urls, texts, oks, errs = [], [], [], []
             for url, data in zip(pdf["url"], pdf["html"]):
                 try:
+                    stats: dict = {}
                     texts.append(extract_pdf_text(bytes(data),
-                                                  password=pdf_password))
+                                                  password=pdf_password,
+                                                  stats=stats))
                     oks.append(True)
-                    errs.append(None)
+                    # partial extraction is flagged, never silent: the
+                    # dropped-stream count rides the error column as a
+                    # warning while ok stays True
+                    nq = stats.get("quarantined_streams", 0)
+                    errs.append(f"pdf: {nq} stream(s) quarantined "
+                                f"(unresolved font)" if nq else None)
                 except Exception as e:
                     texts.append(None)
                     oks.append(False)

@@ -487,6 +487,63 @@ def make_cid_pdf(pages: list[list[str]], tounicode: bool = True,
     return bytes(out)
 
 
+def make_mixed_type0_pdf() -> bytes:
+    """Mixed strict-Type0 document — the per-stream quarantine shape:
+    page 1 shows Identity-H CID text under a resolved /F1, page 2
+    simple-font text under /F2 (Helvetica), page 3 text under /F9
+    whose resource entry references a MISSING object (the unresolvable
+    name real damaged/subset documents carry). Extraction must keep
+    pages 1-2 and quarantine ONLY page 3's stream."""
+    cid_line = "Mixed CID first page"
+    c1 = _cid_content_stream([cid_line], False)
+    c2 = _content_stream(["Simple page survives"]).replace(
+        b"/F1", b"/F2")
+    c3 = _content_stream(["Ghost font text"]).replace(b"/F1", b"/F9")
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>")
+    objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Contents 4 0 R /Resources << /Font << /F1 9 0 R >>"
+                b" >> >>")
+    objs.append(f"<< /Length {len(c1)} >>\nstream\n".encode()
+                + c1 + b"\nendstream")
+    objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Contents 6 0 R /Resources << /Font << /F2 12 0 R >>"
+                b" >> >>")
+    objs.append(f"<< /Length {len(c2)} >>\nstream\n".encode()
+                + c2 + b"\nendstream")
+    objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Contents 8 0 R /Resources << /Font << /F9 99 0 R >>"
+                b" >> >>")
+    objs.append(f"<< /Length {len(c3)} >>\nstream\n".encode()
+                + c3 + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type0 /BaseFont "
+                b"/SYNTH+Fixture /Encoding /Identity-H "
+                b"/DescendantFonts [10 0 R] /ToUnicode 11 0 R >>")
+    objs.append(b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+                b"/SYNTH+Fixture /CIDSystemInfo << /Registry (Adobe) "
+                b"/Ordering (Identity) /Supplement 0 >> "
+                b"/CIDToGIDMap /Identity >>")
+    cmap = _cid_tounicode_cmap(set(cid_line))
+    objs.append(f"<< /Length {len(cmap)} >>\nstream\n".encode()
+                + cmap + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
 def make_fax_pdf(bitmaps: list["object"],
                  text_lines: list[list[str]] | None = None,
                  black_is_1: bool = False,

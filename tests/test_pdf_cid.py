@@ -265,3 +265,21 @@ def test_conflicting_font_rebind_quarantines():
         b"5 0 obj\n<< /Length 30 >>\nstream\n"
         b"BT /F1 12 Tf (AB) Tj ET\nendstream\nendobj\n")
     assert extract_pdf_text(ok) == "AB"
+
+
+def test_mixed_type0_per_stream_quarantine():
+    """A strict-Type0 document with one unresolvable font name keeps
+    its resolvable pages: the CID page and the simple page extract,
+    ONLY the ghost-font stream quarantines (counted via stats); a
+    document where NO stream decodes still fails closed."""
+    from effocr_spark.functions.pdftext import extract_pdf_text
+    from effocr_spark.synth.pdfgen import make_cid_pdf, make_mixed_type0_pdf
+
+    stats: dict = {}
+    text = extract_pdf_text(make_mixed_type0_pdf(), stats=stats)
+    assert text == "Mixed CID first page\nSimple page survives"
+    assert stats["quarantined_streams"] == 1
+    # fail-closed when nothing decodes (single no-ToUnicode stream)
+    import pytest
+    with pytest.raises(ValueError):
+        extract_pdf_text(make_cid_pdf([["opaque"]], tounicode=False))
