@@ -824,12 +824,18 @@ def _form_and_annot_text(data: bytes, objstm: dict[int, bytes],
     """Interactive-form text values and FreeText annotation contents,
     in object-number order — the text a filled form carries that no
     content stream shows. `dec` decrypts string values in encrypted
-    documents; a string that fails to decrypt is skipped."""
+    documents; a string that fails to decrypt is skipped.
+
+    Provenance matters for decryption: strings in RAW-FILE objects
+    carry per-object encryption, but strings inside /ObjStm-expanded
+    bodies were already decrypted with the OBJECT STREAM (ISO 32000
+    7.6.2: strings in object streams are not separately encrypted) —
+    applying dec() to those would garble (RC4) or drop (AES) them."""
     out: list[tuple[int, str]] = []
-    spaces = [(int(m.group(1)), m.group(3))
+    spaces = [(int(m.group(1)), m.group(3), True)
               for m in _OBJ_RE.finditer(data)]
-    spaces += sorted(objstm.items())
-    for num, body in spaces:
+    spaces += [(num, body, False) for num, body in sorted(objstm.items())]
+    for num, body, raw_file in spaces:
         if _FT_TX_RE.search(body):
             v = _pdf_string(body, rb"/V")
         elif _FREETEXT_RE.search(body):
@@ -838,7 +844,7 @@ def _form_and_annot_text(data: bytes, objstm: dict[int, bytes],
             continue
         if not v:
             continue
-        if dec is not None:
+        if dec is not None and raw_file:
             try:
                 v = dec(v, num)
             except ValueError:

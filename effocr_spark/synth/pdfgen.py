@@ -1100,11 +1100,16 @@ def make_inline_image_pdf(images: list["object"],
 
 def make_form_pdf(pages: list[list[str]],
                   fields: list[tuple[str, str]] | None = None,
-                  freetext: list[str] | None = None) -> bytes:
+                  freetext: list[str] | None = None,
+                  objstm: bool = False) -> bytes:
     """Filled interactive form: text pages plus AcroForm /Tx widget
     fields carrying /V values (latin-1 or UTF-16BE as needed) and
     FreeText annotations — the text a filled form holds that no
-    content stream shows."""
+    content stream shows. objstm=True packs the field/annot objects
+    into a Flate /ObjStm object stream (the modern-writer layout);
+    combined with encrypt_pdf this produces the ISO 32000 7.6.2 shape
+    where the field strings are encrypted WITH the object stream, not
+    per-object."""
     fields = fields or []
     freetext = freetext or []
     base = make_pdf(pages)
@@ -1134,6 +1139,28 @@ def make_form_pdf(pages: list[list[str]],
             % txt.encode("latin-1").replace(b"(", rb"\(")
             .replace(b")", rb"\)"))
     offsets = []
+    if objstm and extra:
+        nums = [nums_used + 1 + i for i in range(len(extra))]
+        offs, pos = [], 0
+        for b in extra:
+            offs.append(pos)
+            pos += len(b) + 1
+        header = " ".join(f"{n} {o}" for n, o in zip(nums, offs))
+        payload = header.encode() + b"\n" + b"\n".join(extra) + b"\n"
+        blob = zlib.compress(payload)
+        stm_num = nums[-1] + 1
+        offsets.append(len(out))
+        out += (b"%d 0 obj\n" % stm_num
+                + f"<< /Type /ObjStm /N {len(extra)} "
+                  f"/First {len(header) + 1} /Length {len(blob)} "
+                  f"/Filter /FlateDecode >>\nstream\n".encode()
+                + blob + b"\nendstream\nendobj\n")
+        new_xref_at = len(out)
+        out += b"xref\n0 1\n0000000000 65535 f \n"
+        out += b"%d 1\n%010d 00000 n \n" % (stm_num, offsets[0])
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+                b"%%%%EOF\n" % (stm_num + 1, new_xref_at))
+        return bytes(out)
     for i, body in enumerate(extra):
         offsets.append(len(out))
         out += b"%d 0 obj\n" % (nums_used + 1 + i) + body + b"\nendobj\n"

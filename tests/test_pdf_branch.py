@@ -756,3 +756,22 @@ def test_standard_encoding_high_bytes_fail_visible():
                           compress=False)) \
         .replace(b"(xYz)", b"(x\xe1z)")
     assert extract_pdf_text(doc2) == "x�z"
+
+
+def test_objstm_form_strings_not_double_decrypted():
+    """ISO 32000 7.6.2: strings inside /ObjStm object streams are
+    encrypted WITH the stream, never separately — applying the string
+    decryptor to objstm-expanded field values would garble (RC4) or
+    drop (AES) them. RC4, AES-128 and AES-256 documents all extract
+    the packed /Tx value and FreeText annotation exactly."""
+    from effocr_spark.synth.pdfgen import encrypt_pdf, make_form_pdf
+
+    base = make_form_pdf([["Printed form page"]],
+                         fields=[("name", "Packed Value")],
+                         freetext=["Margin note"], objstm=True)
+    want = "Printed form page\nPacked Value\nMargin note"
+    assert extract_pdf_text(base) == want
+    for r in (2, 4, 6):
+        enc = encrypt_pdf(base, r=r)
+        assert b"Packed Value" not in enc
+        assert extract_pdf_text(enc) == want, r
