@@ -1090,11 +1090,17 @@ def _inline_images(content: bytes) -> list[bytes]:
                          + b" /Columns %d /Rows %d" % (w, h))
                 out.append(_ccitt_to_png(parms, body))
                 continue
-            # raw samples: 8-bit gray/RGB or 1-bit bilevel
+            # raw samples: 8-bit gray/RGB or 1-bit bilevel. The RGB
+            # test matches an explicit /CS (or /ColorSpace) NAME TOKEN
+            # — a bare substring test would misread any dict that
+            # merely contains the letters RGB (e.g. an unrelated name)
+            # as 3-component whenever the body is long enough
+            rgb_cs = re.search(
+                rb"/C(?:S|olorSpace)\s*/(?:DeviceRGB|RGB|CalRGB)\b",
+                d) is not None
             if bpc == 8:
                 n = w * h
-                if len(body) >= 3 * n and (b"RGB" in d or b"/CS /RGB"
-                                           in d):
+                if len(body) >= 3 * n and rgb_cs:
                     arr = np.frombuffer(body, np.uint8,
                                         3 * n).reshape(h, w, 3)
                 elif len(body) >= n:

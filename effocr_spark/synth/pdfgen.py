@@ -1053,6 +1053,11 @@ def make_inline_image_pdf(images: list["object"],
         elif mode == "raw":
             data = img.astype(np.uint8).tobytes()
             head = f"BI /W {w} /H {h} /CS /G /BPC 8 ID ".encode()
+        elif mode == "rawrgb":
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            data = rgb.astype(np.uint8).tobytes()
+            head = (f"BI /W {w} /H {h} /ColorSpace /DeviceRGB /BPC 8 "
+                    f"ID ".encode())
         elif mode == "raw1":
             bits = (img < 128).astype(np.uint8)
             data = np.packbits(1 - bits, axis=1).tobytes()

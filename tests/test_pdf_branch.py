@@ -775,3 +775,39 @@ def test_objstm_form_strings_not_double_decrypted():
         enc = encrypt_pdf(base, r=r)
         assert b"Packed Value" not in enc
         assert extract_pdf_text(enc) == want, r
+
+
+def test_inline_image_colorspace_name_token_not_substring():
+    """The inline-image RGB test matches an explicit /CS (or
+    /ColorSpace) NAME token: a grayscale image whose BI dict merely
+    CONTAINS the letters RGB (unrelated name) with trailing pad bytes
+    must decode as grayscale, and /ColorSpace /DeviceRGB raw samples
+    decode as 3-component."""
+    import numpy as np
+    from effocr_spark.functions.pdftext import extract_pdf_images
+    from effocr_spark.synth.imgcodec import decode_png
+    from effocr_spark.synth.pdfgen import make_inline_image_pdf
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(1, 255, size=(8, 12), dtype=np.uint8)
+    w, h = img.shape[1], img.shape[0]
+    # body padded past 3*n (the converter-block-pad shape) + a name
+    # containing "RGB" — the old substring sniff misread this as RGB
+    body = img.tobytes() + b"\x01" * (2 * w * h + 5)
+    content = (b"BI /W %d /H %d /CS /G /BPC 8 /Intent /FakeRGBIntent ID "
+               % (w, h)) + body + b"\nEI\n"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 1
+    out = decode_png(imgs[0])
+    if out.ndim == 3:
+        out = out[:, :, 0]
+    assert (out == img).all()
+
+    # explicit /ColorSpace /DeviceRGB raw samples decode 3-component
+    blob = make_inline_image_pdf([img], mode="rawrgb")
+    imgs = extract_pdf_images(blob)
+    assert len(imgs) == 1
+    out = decode_png(imgs[0])
+    assert out.ndim == 3 and (out[:, :, 0] == img).all()
