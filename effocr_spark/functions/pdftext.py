@@ -146,6 +146,14 @@ def _stream_text(body: bytes, fonts: dict | None = None,
 
     def _show(raw: bytes) -> None:
         f = fonts.get(cur)
+        if f is not None and f.get("conflict"):
+            # ambiguous global binding (name rebound across resource
+            # dicts, page scope couldn't disambiguate): decoding
+            # through either candidate could be silently wrong
+            raise UnresolvedFontError(
+                f"font name /{cur} rebound to a different font object "
+                f"and this stream has no page-scoped resources — "
+                f"refusing to decode through the wrong cmap")
         if f is None:
             if strict_type0:
                 raise UnresolvedFontError(
@@ -482,6 +490,48 @@ def _expand_objstms(streams: list[tuple[bytes, bytes, int]]
     return objmap
 
 
+#: sentinel entry for a font name bound to DIFFERENT font objects in
+#: different resource dicts with no per-page scope to disambiguate —
+#: showing text under it raises (stream-scoped, never silently wrong)
+_CONFLICT = {"cid": False, "map": None, "diffs": {}, "base": None,
+             "conflict": True}
+
+
+def _font_entry_for(body: bytes, objects: dict[int, bytes],
+                    stream_by_num: dict[int, tuple[bytes, bytes]]
+                    ) -> dict:
+    """One font object body → decode entry {cid, map, diffs, base}:
+    Type0 detection, /ToUnicode CMap (via its stream), simple-font
+    /Differences and named base encoding (/WinAnsiEncoding etc.,
+    directly or as an encoding dict's /BaseEncoding)."""
+    cid = _TYPE0_RE.search(body) is not None
+    cmap = None
+    tm = _TOUNI_REF_RE.search(body)
+    if tm is not None and int(tm.group(1)) in stream_by_num:
+        d, b = stream_by_num[int(tm.group(1))]
+        try:
+            cmap = _parse_tounicode(_apply_filters(d, b))
+        except (ValueError, NotImplementedError):
+            cmap = None
+    diffs: dict[int, str] = {}
+    base: dict[int, str] | None = None
+    if not cid:
+        enc_seg = body
+        em = re.search(rb"/Encoding\s*<<", body)
+        if em is not None:
+            enc_seg = _balanced_dict(body, em.end() - 2)
+            diffs = _parse_differences(enc_seg)
+        else:
+            erm = _ENC_REF_RE.search(body)
+            if erm is not None and int(erm.group(1)) in objects:
+                enc_seg = objects[int(erm.group(1))]
+                diffs = _parse_differences(enc_seg)
+        bm = _BASE_ENC_NAME_RE.search(enc_seg)
+        if bm is not None:
+            base = _BASE_ENC_TABLES[bm.group(1).decode("ascii")]
+    return {"cid": cid, "map": cmap, "diffs": diffs, "base": base}
+
+
 def _font_registry(data: bytes,
                    stream_by_num: dict[int, tuple[bytes, bytes]],
                    extra_objects: dict[int, bytes] | None = None
@@ -493,88 +543,152 @@ def _font_registry(data: bytes,
     direct font dicts (/F1 << /Subtype /Type1 ... >> — so a show under
     an inline simple font decodes instead of hitting the
     unresolved-font path, which raises in strict /Type0 documents).
-    Name scoping stays document-global, but a name REBOUND to a
-    DIFFERENT font object raises (caller quarantines): two pages
-    reusing /F1 for different fonts would otherwise silently decode
-    one page's text through the wrong cmap — fail closed, never
-    silently wrong."""
+    This registry is the FALLBACK scope — per-page /Resources maps
+    (from _page_font_maps) override it for streams the page tree can
+    attribute. A name rebound to a DIFFERENT font object here maps to
+    the _CONFLICT sentinel: legitimate per-page reuse of /F1 resolves
+    through the page scope, while a show that can only see the
+    ambiguous global binding raises (stream-scoped quarantine) — fail
+    closed, never silently wrong."""
     objects = {int(m.group(1)): m.group(3)
                for m in _OBJ_RE.finditer(data)}
     if extra_objects:
         objects.update(extra_objects)
 
     def entry(body: bytes) -> dict:
-        cid = _TYPE0_RE.search(body) is not None
-        cmap = None
-        tm = _TOUNI_REF_RE.search(body)
-        if tm is not None and int(tm.group(1)) in stream_by_num:
-            d, b = stream_by_num[int(tm.group(1))]
-            try:
-                cmap = _parse_tounicode(_apply_filters(d, b))
-            except (ValueError, NotImplementedError):
-                cmap = None
-        # simple-font /Encoding: /Differences (inline dict or indirect
-        # object) layered over a named base encoding (/WinAnsiEncoding
-        # etc., directly or as the dict's /BaseEncoding)
-        diffs: dict[int, str] = {}
-        base: dict[int, str] | None = None
-        if not cid:
-            enc_seg = body
-            em = re.search(rb"/Encoding\s*<<", body)
-            if em is not None:
-                enc_seg = _balanced_dict(body, em.end() - 2)
-                diffs = _parse_differences(enc_seg)
-            else:
-                erm = _ENC_REF_RE.search(body)
-                if erm is not None and int(erm.group(1)) in objects:
-                    enc_seg = objects[int(erm.group(1))]
-                    diffs = _parse_differences(enc_seg)
-            bm = _BASE_ENC_NAME_RE.search(enc_seg)
-            if bm is not None:
-                base = _BASE_ENC_TABLES[bm.group(1).decode("ascii")]
-        return {"cid": cid, "map": cmap, "diffs": diffs, "base": base}
+        return _font_entry_for(body, objects, stream_by_num)
 
     # /Font resource dicts can live in the raw object space OR inside
     # an expanded object stream — scan both
     scan_spaces = [data] + list((extra_objects or {}).values())
     # binding key: object number for indirect refs, the dict bytes for
     # inline dicts — same name + same key (e.g. shared resource dict
-    # seen from two scan spaces) is fine, different keys quarantine
+    # seen from two scan spaces) is fine, different keys → _CONFLICT
     bound: dict[str, object] = {}
     fonts: dict[str, dict] = {}
     for space in scan_spaces:
         for fm in re.finditer(rb"/Font\s*<<", space):
             seg = _balanced_dict(space, fm.end() - 2)
-            inner = seg[2:-2]
-            for bm in _FONT_BIND_RE.finditer(inner):
-                name = bm.group(1).decode("latin-1")
-                num = int(bm.group(2))
-                if name in bound and bound[name] != num:
-                    raise ValueError(
-                        f"font name /{name} rebound to a different "
-                        f"font object; per-page resource scoping "
-                        f"required — refusing to decode through the "
-                        f"wrong cmap")
-                body = objects.get(num)
-                if body is None:
-                    continue
-                bound[name] = num
-                fonts[name] = entry(body)
-            for im in re.finditer(
-                    rb"/([^\s/<>()\[\]]+)\s*<<", inner):
-                name = im.group(1).decode("latin-1")
-                body = _balanced_dict(inner, im.end() - 2)
-                if b"/Subtype" not in body and b"/BaseFont" not in body:
-                    continue  # not a font dict (e.g. nested values)
-                if name in bound and bound[name] != body:
-                    raise ValueError(
-                        f"font name /{name} rebound to a different "
-                        f"font object; per-page resource scoping "
-                        f"required — refusing to decode through the "
-                        f"wrong cmap")
-                bound[name] = body
-                fonts[name] = entry(body)
+            _bind_font_dict(seg[2:-2], objects, entry, bound, fonts)
     return fonts
+
+
+def _bind_font_dict(inner: bytes, objects: dict[int, bytes], entry,
+                    bound: dict[str, object],
+                    fonts: dict[str, dict]) -> None:
+    """Parse one /Font resource dict body (`inner`, without the outer
+    << >>) into `fonts`, tracking binding keys in `bound`: indirect
+    refs (name N 0 R) and inline direct font dicts. A name already
+    bound to a DIFFERENT key maps to the _CONFLICT sentinel."""
+    for bm in _FONT_BIND_RE.finditer(inner):
+        name = bm.group(1).decode("latin-1")
+        num = int(bm.group(2))
+        if name in bound and bound[name] != num:
+            fonts[name] = _CONFLICT
+            continue
+        body = objects.get(num)
+        if body is None:
+            continue
+        bound[name] = num
+        fonts[name] = entry(body)
+    for im in re.finditer(rb"/([^\s/<>()\[\]]+)\s*<<", inner):
+        name = im.group(1).decode("latin-1")
+        body = _balanced_dict(inner, im.end() - 2)
+        if b"/Subtype" not in body and b"/BaseFont" not in body:
+            continue  # not a font dict (e.g. nested values)
+        if name in bound and bound[name] != body:
+            fonts[name] = _CONFLICT
+            continue
+        bound[name] = body
+        fonts[name] = entry(body)
+
+
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+
+
+def _page_font_maps(data: bytes,
+                    stream_by_num: dict[int, tuple[bytes, bytes]],
+                    extra_objects: dict[int, bytes] | None = None
+                    ) -> dict[int, dict[str, dict]]:
+    """Per-page font scoping: walk /Catalog → /Pages /Kids, read each
+    PAGE's /Resources /Font dict (inline or indirect, either level),
+    and map each of that page's /Contents stream object numbers to the
+    page-local name → font-entry dict. Two pages legitimately reusing
+    /F1 for different fonts each decode through their OWN binding
+    (ISO 32000 7.8.3 resource scoping); only an intra-page conflict
+    (impossible in a well-formed dict) or an unattributable stream
+    falls back to the global registry's conflict handling."""
+    objects = {int(m.group(1)): m.group(3)
+               for m in _OBJ_RE.finditer(data)}
+    if extra_objects:
+        objects.update(extra_objects)
+
+    def entry(body: bytes) -> dict:
+        return _font_entry_for(body, objects, stream_by_num)
+
+    root = None
+    for _num, body in objects.items():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            root = body
+            break
+    if root is None:
+        return {}
+    pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", root)
+    if pm is None:
+        return {}
+    out: dict[int, dict[str, dict]] = {}
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objects:
+            return
+        seen.add(num)
+        body = objects[num]
+        km = _KIDS_RE.search(body)
+        if km is not None:
+            for rm in _REF_RE.finditer(km.group(1)):
+                walk(int(rm.group(1)))
+            return
+        cm = _CONTENTS_RE.search(body)
+        if cm is None:
+            return
+        # the page's /Resources: inline dict or indirect object
+        res = body
+        rm2 = re.search(rb"/Resources\s*<<", body)
+        if rm2 is not None:
+            res = _balanced_dict(body, rm2.end() - 2)
+        else:
+            rref = _RESOURCES_REF_RE.search(body)
+            if rref is not None and int(rref.group(1)) in objects:
+                res = objects[int(rref.group(1))]
+            else:
+                return  # no resolvable resources: global fallback
+        # the /Font dict inside resources: inline or indirect
+        font_inner = None
+        fm = re.search(rb"/Font\s*<<", res)
+        if fm is not None:
+            font_inner = _balanced_dict(res, fm.end() - 2)[2:-2]
+        else:
+            fref = _FONT_REF_RE.search(res)
+            if fref is not None and int(fref.group(1)) in objects:
+                fbody = objects[int(fref.group(1))].strip()
+                if fbody.startswith(b"<<") and fbody.endswith(b">>"):
+                    font_inner = fbody[2:-2]
+        if font_inner is None:
+            return
+        fonts: dict[str, dict] = {}
+        _bind_font_dict(font_inner, objects, entry, {}, fonts)
+        if not fonts:
+            return
+        refs = ([cm.group(1)] if cm.group(1) is not None
+                else [r.group(1)
+                      for r in _REF_RE.finditer(cm.group(2))])
+        for ref in refs:
+            out[int(ref)] = fonts
+
+    walk(int(pm.group(1)))
+    return out
 
 
 def _plain_streams(data: bytes) -> list[tuple[bytes, bytes, int]]:
@@ -627,9 +741,13 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"",
     # any /ObjStm-packed objects (the modern-writer shape); ToUnicode
     # CMap STREAMS come from the decrypted stream set
     objstm = _expand_objstms(streams)
-    fonts = _font_registry(
-        data, {num: (d, b) for d, b, num in streams if num >= 0},
-        objstm)
+    stream_by_num = {num: (d, b) for d, b, num in streams if num >= 0}
+    fonts = _font_registry(data, stream_by_num, objstm)
+    # per-page resource scoping (ISO 32000 7.8.3): a page's own /Font
+    # bindings override the global registry for ITS content streams —
+    # legitimate cross-page reuse of /F1 decodes correctly instead of
+    # hitting the global-conflict sentinel
+    page_fonts = _page_font_maps(data, stream_by_num, objstm)
     strict = (_TYPE0_RE.search(data) is not None
               or any(_TYPE0_RE.search(b) for b in objstm.values()))
     streams = _page_order(data, objstm, streams)
@@ -637,6 +755,8 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"",
     n_quarantined = 0
     first_font_err: UnresolvedFontError | None = None
     for dict_part, body, _num in streams:
+        stream_fonts = ({**fonts, **page_fonts[_num]}
+                        if _num in page_fonts else fonts)
         if b"/Subtype" in dict_part and b"/Image" in dict_part:
             continue  # image XObject: no text; see extract_pdf_images
         if _XREF_TYPE_RE.search(dict_part):
@@ -648,7 +768,7 @@ def extract_pdf_text(data: bytes, password: bytes | str = b"",
             # excise them before the operator scan
             body = _INLINE_IMG_RE.sub(b" ", body)
         try:
-            lines.extend(_stream_text(body, fonts, strict))
+            lines.extend(_stream_text(body, stream_fonts, strict))
         except UnresolvedFontError as e:
             # stream-scoped quarantine: drop THIS stream, keep going
             n_quarantined += 1

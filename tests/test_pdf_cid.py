@@ -283,3 +283,40 @@ def test_mixed_type0_per_stream_quarantine():
     import pytest
     with pytest.raises(ValueError):
         extract_pdf_text(make_cid_pdf([["opaque"]], tounicode=False))
+
+
+def test_per_page_font_scoping_resolves_legit_reuse():
+    """Two pages legitimately reusing /F1 for DIFFERENT fonts (per-page
+    /Resources scoping, ISO 32000 7.8.3) each decode through their own
+    binding — page 1 Helvetica ('AB'), page 2 a /Differences font
+    remapping A→zero ('0B'). Previously the document-global registry
+    quarantined the whole document."""
+    from effocr_spark.functions.pdftext import extract_pdf_text
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 7 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length 24 >>\nstream\n"
+        b"BT /F1 12 Tf (AB) Tj ET\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
+        b"/Resources << /Font << /F1 8 0 R >> >> >>\nendobj\n"
+        b"6 0 obj\n<< /Length 24 >>\nstream\n"
+        b"BT /F1 12 Tf (AB) Tj ET\nendstream\nendobj\n"
+        b"7 0 obj\n<< /Type /Font /Subtype /Type1 "
+        b"/BaseFont /Helvetica >>\nendobj\n"
+        b"8 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+        b"/Encoding << /Differences [65 /zero] >> >>\nendobj\n"
+        b"%%EOF")
+    assert extract_pdf_text(pdf) == "AB\n0B"
+
+    # indirect /Resources and indirect /Font dict resolve too
+    pdf2 = pdf.replace(
+        b"/Resources << /Font << /F1 7 0 R >> >>",
+        b"/Resources 9 0 R").replace(
+        b"%%EOF",
+        b"9 0 obj\n<< /Font 10 0 R >>\nendobj\n"
+        b"10 0 obj\n<< /F1 7 0 R >>\nendobj\n%%EOF")
+    assert extract_pdf_text(pdf2) == "AB\n0B"
