@@ -478,17 +478,27 @@ def q_pq_topk(spark, sf_dir):
     """Product quantization ADC top-k — the OTHER half of the
     production IVF-PQ ANN stack (operators/similarity.py): driver-side
     codebook training on a bounded deterministic sample (the FAISS
-    shape), map-only encode to m-byte codes, query-side lookup table
-    folded into the plan as a literal, distance = m JVM array lookups
-    per row + TakeOrderedAndProject. Golden-pinned (k-means codebooks
-    aren't SQL-expressible)."""
-    from effocr_spark.operators.similarity import pq_topk, pq_train
+    shape), map-only encode to m-byte codes MATERIALIZED once
+    (pq_materialize — codes parquet + codebook sidecar), then search
+    scans the codes table ONLY: query LUT folded into the plan as a
+    literal, distance = m JVM array lookups per row +
+    TakeOrderedAndProject; the original vectors never appear in the
+    search plan. Golden-pinned (k-means codebooks aren't
+    SQL-expressible)."""
+    import os
+    import tempfile
+
+    from effocr_spark.operators.similarity import (pq_materialize,
+                                                   pq_topk_pruned,
+                                                   pq_train)
 
     emb = _t(spark, sf_dir, "embeddings")
     books = pq_train(emb, "embedding", m=8, k=32, sample=500)
     qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
-    return pq_topk(emb.filter(F.col("vec_id") != 3), "embedding",
-                   "vec_id", books, qvec, topk=10)
+    path = os.path.join(tempfile.gettempdir(), "effocr_pq_index")
+    pq_materialize(emb.filter(F.col("vec_id") != 3), "embedding",
+                   "vec_id", path, books)
+    return pq_topk_pruned(spark, path, qvec, topk=10, id_col="vec_id")
 
 
 def q_ivf_topk(spark, sf_dir):

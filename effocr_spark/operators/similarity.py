@@ -398,6 +398,131 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
         .mapInPandas(enc, f"{id_col} long, codes array<int>")
 
 
+def _adc_expr(lut: np.ndarray):
+    """(m, k) query lookup table → the ADC column expression over a
+    `codes` array column: adc = Σ_mi lut[mi][codes[mi]], spelled as a
+    zip_with + aggregate over the LUT folded into the plan as a
+    literal — m JVM array lookups per row, zero shuffles, the scan
+    never touches the original vectors."""
+    m = lut.shape[0]
+    lut_col = F.array(*[
+        F.array(*[F.lit(float(v)) for v in lut[mi]])
+        for mi in range(m)])
+    return F.aggregate(
+        F.zip_with(lut_col, F.col("codes"), lambda row, c: row[c]),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _query_lut(codebooks: np.ndarray, query_vec) -> np.ndarray:
+    """Exact per-subspace squared distances from the query to every
+    codebook centroid → (m, k) float64."""
+    m, k, sub = codebooks.shape
+    q = np.asarray(query_vec, np.float64)
+    lut = np.empty((m, k))
+    for mi in range(m):
+        qs = q[mi * sub:(mi + 1) * sub]
+        lut[mi] = ((codebooks[mi] - qs[None, :]) ** 2).sum(-1)
+    return lut
+
+
+def pq_materialize(df: DataFrame, vec_col: str, id_col: str,
+                   path: str, codebooks: np.ndarray) -> DataFrame:
+    """Persist the PQ index: codes computed ONCE (the map-only encode
+    pass) written as parquet at `path`, plus the codebook sidecar
+    (path/_codebooks, m×k rows). The 100 TB layout: every query scans
+    the m-bytes-per-row codes table only — pq_topk's per-query
+    re-encode becomes a one-time compression job (the ivf_materialize
+    pattern one block up). Returns the reloaded codes table."""
+    enc = pq_encode(df, vec_col, id_col, codebooks)
+    enc.write.mode("overwrite").parquet(path)
+    m, k, sub = codebooks.shape
+    spark = df.sparkSession
+    rows = [(mi, ki, [float(v) for v in codebooks[mi, ki]])
+            for mi in range(m) for ki in range(k)]
+    spark.createDataFrame(
+        rows, "mi int, ki int, centroid array<double>") \
+        .write.mode("overwrite").parquet(path + "/_codebooks")
+    return spark.read.parquet(path)
+
+
+def _load_codebooks(spark, path: str) -> np.ndarray:
+    """Codebook sidecar → (m, k, sub) array (m×k rows, driver-side,
+    bounded by construction)."""
+    rows = spark.read.parquet(path + "/_codebooks").collect()
+    m = max(r["mi"] for r in rows) + 1
+    k = max(r["ki"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    books = np.empty((m, k, sub))
+    for r in rows:
+        books[r["mi"], r["ki"]] = r["centroid"]
+    return books
+
+
+def pq_topk_pruned(spark, path: str, query_vec, topk: int = 5,
+                   id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k over a MATERIALIZED PQ index: load the codebook
+    sidecar, build the query LUT, scan the codes table only (no
+    original vectors anywhere in the plan) + TakeOrderedAndProject.
+    Same result contract as pq_topk at equal codebooks."""
+    lut = _query_lut(_load_codebooks(spark, path), query_vec)
+    codes = spark.read.parquet(path)
+    return (codes.withColumn("adc_dist", _adc_expr(lut))
+            .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(topk))
+
+
+def ivfpq_materialize(df: DataFrame, vec_col: str, id_col: str,
+                      path: str, codebooks: np.ndarray,
+                      n_cells: int = 8, refine: int = 0) -> DataFrame:
+    """The FULL materialized IVF-PQ index — the production ANN layout:
+    PQ codes partitioned by IVF cell (path/cell=<c>/...), centroid
+    sidecar (path/_centroids) and codebook sidecar (path/_codebooks).
+    A query ranks centroids driver-side, PARTITION-PRUNES to nprobe
+    cells, and ADC-scans only those cells' codes — files outside the
+    probed cells are never opened and vectors are never read."""
+    cents = ivf_centroids(df, vec_col, id_col, n_cells, refine)
+    assign = _assign_to(df, vec_col, id_col, cents)
+    enc = pq_encode(df, vec_col, id_col, codebooks)
+    (enc.join(assign.select(id_col, "cell"), id_col)
+        .write.mode("overwrite").partitionBy("cell").parquet(path))
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
+    m, k, sub = codebooks.shape
+    spark = df.sparkSession
+    rows = [(mi, ki, [float(v) for v in codebooks[mi, ki]])
+            for mi in range(m) for ki in range(k)]
+    spark.createDataFrame(
+        rows, "mi int, ki int, centroid array<double>") \
+        .write.mode("overwrite").parquet(path + "/_codebooks")
+    return spark.read.parquet(path)
+
+
+def ivfpq_topk_pruned(spark, path: str, query_vec, topk: int = 5,
+                      nprobe: int = 2, id_col: str = "vec_id"
+                      ) -> DataFrame:
+    """Query the materialized IVF-PQ index: rank sidecar centroids by
+    cosine (driver-side, n_cells rows), IN-filter the partition column
+    (→ PartitionFilters: unprobed cells' files never open), ADC over
+    the probed codes."""
+    cents = spark.read.parquet(path + "/_centroids").collect()
+    qv = np.asarray(query_vec, np.float64)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+
+    def _score(c):
+        v = np.asarray(c["centroid"], np.float64)
+        return float(v @ qn / max(float(np.linalg.norm(v)), 1e-12))
+
+    probed = [c["cell"] for c in sorted(
+        cents, key=lambda c: (-_score(c), c["cell"]))[:nprobe]]
+    lut = _query_lut(_load_codebooks(spark, path), query_vec)
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    return (codes.withColumn("adc_dist", _adc_expr(lut))
+            .select(id_col, "cell",
+                    F.round("adc_dist", 6).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(topk))
+
+
 def pq_topk(df: DataFrame, vec_col: str, id_col: str,
             codebooks: np.ndarray, query_vec, topk: int = 5
             ) -> DataFrame:
@@ -407,22 +532,11 @@ def pq_topk(df: DataFrame, vec_col: str, id_col: str,
     scan never touches the original vectors. JVM expression over the
     encoded table + TakeOrderedAndProject; returns
     (id, adc_dist) ascending."""
-    m, k, sub = codebooks.shape
-    q = np.asarray(query_vec, np.float64)
-    lut = np.empty((m, k))
-    for mi in range(m):
-        qs = q[mi * sub:(mi + 1) * sub]
-        lut[mi] = ((codebooks[mi] - qs[None, :]) ** 2).sum(-1)
+    lut = _query_lut(codebooks, query_vec)
     enc = pq_encode(df, vec_col, id_col, codebooks)
-    lut_col = F.array(*[
-        F.array(*[F.lit(float(v)) for v in lut[mi]])
-        for mi in range(m)])
     # adc = Σ_mi lut[mi][codes[mi]]  (posexplode-free: aggregate over
     # the zipped (subspace, code) pairs, all JVM-side)
-    adc = F.aggregate(
-        F.zip_with(lut_col, F.col("codes"), lambda row, c: row[c]),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (enc.withColumn("adc_dist", adc)
+    return (enc.withColumn("adc_dist", _adc_expr(lut))
             .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
             .limit(topk))

@@ -364,3 +364,56 @@ def test_ivf_pq_composition(spark, emb_df, vecs):
     top = pq_topk(cand, "embedding", "vec_id", books, q, topk=5)
     ids = {r["vec_id"] for r in top.collect()}
     assert 3 in ids and 7 in ids  # the planted pair survives pruning
+
+
+def test_pq_materialize_and_pruned_search(spark, emb_df, vecs, tmp_path):
+    """Materialized PQ: codes persist once (+ codebook sidecar), the
+    search scans the CODES TABLE ONLY (no vector column anywhere in
+    the plan) and matches per-query pq_topk exactly."""
+    import numpy as np
+    from effocr_spark.operators.similarity import (pq_materialize,
+                                                   pq_topk,
+                                                   pq_topk_pruned,
+                                                   pq_train)
+
+    v, _ = vecs
+    books = pq_train(emb_df, "embedding", m=4, k=8, sample=100)
+    path = str(tmp_path / "pqidx")
+    codes = pq_materialize(emb_df, "embedding", "vec_id", path, books)
+    assert codes.count() == emb_df.count()
+    q = np.asarray(v[3], np.float64)
+    pruned = pq_topk_pruned(spark, path, q, topk=5, id_col="vec_id")
+    want = [(r["vec_id"], r["adc_dist"]) for r in
+            pq_topk(emb_df, "embedding", "vec_id", books, q,
+                    topk=5).collect()]
+    got = [(r["vec_id"], r["adc_dist"]) for r in pruned.collect()]
+    assert got == want
+    # the search plan reads codes only — the embedding column and the
+    # embeddings table never appear
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan and "pqidx" in plan
+
+
+def test_ivfpq_materialized_index(spark, emb_df, vecs, tmp_path):
+    """The full materialized IVF-PQ index: codes partitioned by cell,
+    query partition-prunes to nprobe cells (PartitionFilters in the
+    scan) then ADC-ranks; the planted near-dup pair survives."""
+    import numpy as np
+    from effocr_spark.operators.similarity import (ivfpq_materialize,
+                                                   ivfpq_topk_pruned,
+                                                   pq_train)
+
+    v, _ = vecs
+    books = pq_train(emb_df, "embedding", m=4, k=8, sample=100)
+    path = str(tmp_path / "ivfpqidx")
+    ivfpq_materialize(emb_df, "embedding", "vec_id", path, books,
+                      n_cells=4)
+    q = np.asarray(v[3], np.float64)
+    top = ivfpq_topk_pruned(spark, path, q, topk=5, nprobe=2,
+                            id_col="vec_id")
+    rows = top.collect()
+    ids = {r["vec_id"] for r in rows}
+    assert 3 in ids and 7 in ids
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "embedding" not in plan  # vectors never read at query time
