@@ -962,6 +962,12 @@ def q_extract_pdf_scanned(spark, sf_dir):
     rows.append(("pdf://jpx/0", None, bytearray(
         make_jpx_pdf([render_line(jpxtxt)[0]])), None, "en"))
     # TILED JP2 (per-tile SOT/Psot — the large-scan layout), lossless
+    # offset image region (XOsiz/YOsiz — common scanner output) with
+    # RPCL progression and two quality layers, through the same fusion
+    jpx3 = _en_ocr_line(_rng(999402, 0), 4)
+    rows.append(("pdf://jpx/offs", None, bytearray(
+        make_jpx_pdf([render_line(jpx3)[0]], jp2_offsets=(8, 8),
+                     n_layers=2, progression="RPCL")), None, "en"))
     jpx2 = _en_ocr_line(_rng(999401, 0), 4)
     rows.append(("pdf://jpx/tiled", None, bytearray(
         make_jpx_pdf([render_line(jpx2)[0]], levels=1, tile_size=64)),
@@ -1076,6 +1082,11 @@ def q_jpeg_features(spark, sf_dir):
     # lossless, so mean_luma equals the source image's exactly
     from effocr_spark.synth.jp2codec import encode_jp2
     rows.append((19, bytearray(encode_jp2(img, levels=2))))
+    # JP2 with image-region offsets (the scanner-output SIZ shape) +
+    # RPCL progression + 2 quality layers — lossless, exact luma
+    rows.append((20, bytearray(encode_jp2(img, levels=2,
+                                          offsets=(8, 4), n_layers=2,
+                                          progression="RPCL"))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
     df = spark.createDataFrame(rows, "id long, media binary")
     out = media_features(df)

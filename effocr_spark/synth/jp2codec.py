@@ -941,8 +941,8 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     (xsiz, ysiz, xosiz, yosiz, xtsiz, ytsiz, xtosiz,
      ytosiz) = struct.unpack_from(">8I", siz, 2)
     ncomp = struct.unpack_from(">H", siz, 34)[0]
-    if xosiz or yosiz or xtosiz or ytosiz:
-        raise NotImplementedError("JPEG2000 image/tile offsets")
+    if xtosiz > xosiz or ytosiz > yosiz:
+        raise ValueError("tile offsets exceed image offsets")
     if ncomp not in (1, 3):
         raise NotImplementedError(f"JPEG2000 {ncomp} components")
     comps = []
@@ -963,11 +963,22 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             "JPEG2000 custom precincts / SOP / EPH")
     prog, layers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], \
         cod[4]
-    if prog != 0:
-        raise NotImplementedError("non-LRCP progression order")
+    if prog not in (0, 1, 2):  # LRCP / RLCP / RPCL
+        raise NotImplementedError(
+            "PCRL/CPRL progression orders")
     if not 1 <= layers <= 64:
         raise NotImplementedError(f"{layers} quality layers")
     levels = cod[5]
+    # offsets: the per-tile band layout below runs in LOCAL tile
+    # coordinates; that equals the spec's canvas-coordinate layout
+    # only when every canvas origin is even at every decomposition
+    # level — require 2^levels alignment (odd-parity origins stay a
+    # named seam)
+    align = 1 << levels
+    if any(v % align for v in (xosiz, yosiz, xtosiz, ytosiz)):
+        raise NotImplementedError(
+            "unaligned JPEG2000 image/tile offsets (canvas-parity "
+            "band layout)")
     cbw_exp, cbh_exp = cod[6] + 2, cod[7] + 2
     if cod[8] != 0:
         raise NotImplementedError(
@@ -1017,10 +1028,19 @@ def _decode_codestream(data: bytes) -> np.ndarray:
                                    lambda bn, r=r: mb_map[(r, bn)])
             for r in range(levels + 1) for c in range(ncomp)}
         p = pos
-        for layer in range(layers):  # LRCP within the tile
-            for r in range(levels + 1):
-                for c in range(ncomp):
-                    p = precincts[(c, r)].decode_packet(data, p, layer)
+        # packet sequence per the COD progression (one precinct per
+        # resolution: the position loop is a no-op)
+        if prog == 0:  # LRCP
+            seq = [(l_, r, c) for l_ in range(layers)
+                   for r in range(levels + 1) for c in range(ncomp)]
+        elif prog == 1:  # RLCP
+            seq = [(l_, r, c) for r in range(levels + 1)
+                   for l_ in range(layers) for c in range(ncomp)]
+        else:  # RPCL: R, P, C, L
+            seq = [(l_, r, c) for r in range(levels + 1)
+                   for c in range(ncomp) for l_ in range(layers)]
+        for layer, r, c in seq:
+            p = precincts[(c, r)].decode_packet(data, p, layer)
         if p > end:
             raise ValueError("tile packet data overruns Psot")
         for (c, r), prec in precincts.items():
@@ -1053,17 +1073,24 @@ def _decode_codestream(data: bytes) -> np.ndarray:
                            else dwt97_inverse(bands))
         return tplanes
 
-    ntx = -(-xsiz // xtsiz)
-    nty = -(-ysiz // ytsiz)
+    ntx = -(-(xsiz - xtosiz) // xtsiz)
+    nty = -(-(ysiz - ytosiz) // ytsiz)
+    img_w, img_h = xsiz - xosiz, ysiz - yosiz
     dtype = np.int64 if (transform == 1 and qstyle == 0) else np.float64
-    planes = [np.zeros((ysiz, xsiz), dtype) for _ in range(ncomp)]
+    planes = [np.zeros((img_h, img_w), dtype) for _ in range(ncomp)]
     for isot, (pk_start, pk_end) in sorted(tiles.items()):
         tx, ty = isot % ntx, isot // ntx
         if ty >= nty:
             raise ValueError("tile index outside the tile grid")
-        x0, y0 = tx * xtsiz, ty * ytsiz
-        tw = min(xtsiz, xsiz - x0)
-        th = min(ytsiz, ysiz - y0)
+        # canvas-coordinate tile extent clipped to the image region
+        cx0 = max(xtosiz + tx * xtsiz, xosiz)
+        cy0 = max(ytosiz + ty * ytsiz, yosiz)
+        cx1 = min(xtosiz + (tx + 1) * xtsiz, xsiz)
+        cy1 = min(ytosiz + (ty + 1) * ytsiz, ysiz)
+        x0, y0 = cx0 - xosiz, cy0 - yosiz
+        tw, th = cx1 - cx0, cy1 - cy0
+        if tw <= 0 or th <= 0:
+            raise ValueError("tile outside the image region")
         for c, tp in enumerate(decode_tile(pk_start, pk_end, tw, th)):
             planes[c][y0:y0 + th, x0:x0 + tw] = tp
     if ncomp == 3 and mct == 1:
@@ -1103,18 +1130,35 @@ def _quant_params(delta: float, rb: int) -> tuple[int, int]:
     return eps, max(0, mu)
 
 
+_PROG_IDS = {"LRCP": 0, "RLCP": 1, "RPCL": 2}
+
+
 def encode_jp2(img: np.ndarray, levels: int = 2,
                cblk_exp: tuple[int, int] = (5, 5),
                jp2_container: bool = True,
                irreversible: bool = False,
                delta: float = 1.0 / 16,
                n_layers: int = 1,
-               tile_size: int | None = None) -> bytes:
+               tile_size: int | None = None,
+               offsets: tuple[int, int] = (0, 0),
+               tile_offsets: tuple[int, int] | None = None,
+               progression: str = "LRCP") -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
     wavelet, ICT color, scalar-expounded quantization with absolute
-    step `delta` (PSNR-tested, not bit-tested)."""
+    step `delta` (PSNR-tested, not bit-tested).
+
+    offsets=(XOsiz, YOsiz) anchors the image region away from the
+    canvas origin (the scanner-output shape); tile_offsets=(XTOsiz,
+    YTOsiz) anchors the tile grid (must be ≤ the image offsets per
+    T.800). Offsets and interior tile origins must be multiples of
+    2^levels so the per-tile band layout computed in LOCAL coordinates
+    equals the spec's canvas-coordinate layout (odd-parity origins
+    stay a named seam). progression: LRCP (default), RLCP or RPCL —
+    with one precinct per resolution the orders differ only when
+    n_layers > 1, but the COD byte and packet sequence are emitted
+    for real."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jp2 wants uint8")
     color = img.ndim == 3
@@ -1231,22 +1275,53 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                 encs[(r, c)] = _PrecinctEncoder(cb_grid, first_layer,
                                                 zbp_values)
                 plan[(r, c)] = contribs
-            for layer in range(n_layers):  # LRCP order
-                for r in range(levels + 1):
-                    for c in range(ncomp):
-                        packets.append(encs[(r, c)].encode_packet(
-                            layer, plan[(r, c)][layer]))
+            # packet sequence per the progression (single precinct per
+            # resolution: the position loop is a no-op)
+            if progression == "LRCP":
+                seq = [(l_, r, c) for l_ in range(n_layers)
+                       for r in range(levels + 1)
+                       for c in range(ncomp)]
+            elif progression == "RLCP":
+                seq = [(l_, r, c) for r in range(levels + 1)
+                       for l_ in range(n_layers)
+                       for c in range(ncomp)]
+            else:  # RPCL: R, P, C, L
+                seq = [(l_, r, c) for r in range(levels + 1)
+                       for c in range(ncomp)
+                       for l_ in range(n_layers)]
+            for layer, r, c in seq:
+                packets.append(encs[(r, c)].encode_packet(
+                    layer, plan[(r, c)][layer]))
         return b"".join(packets)
 
     # markers
+    if progression not in _PROG_IDS:
+        raise NotImplementedError(f"progression {progression}")
+    xosiz, yosiz = offsets
+    xtosiz, ytosiz = tile_offsets if tile_offsets else (xosiz, yosiz)
+    align = 1 << levels
+    if any(v % align for v in (xosiz, yosiz, xtosiz, ytosiz)):
+        raise NotImplementedError(
+            "image/tile offsets must be multiples of 2^levels "
+            "(odd-parity canvas origins stay a seam)")
+    if xtosiz > xosiz or ytosiz > yosiz:
+        raise ValueError("tile offsets must be <= image offsets")
     xtsiz, ytsiz = (tile_size, tile_size) if tile_size else (w, h)
+    if (xtosiz or ytosiz or xosiz or yosiz) and tile_size \
+            and tile_size % align:
+        raise NotImplementedError(
+            "tile size must be a multiple of 2^levels when the grid "
+            "is offset")
+    xsiz, ysiz = xosiz + w, yosiz + h
     cs = bytearray(b"\xff\x4f")  # SOC
-    siz = struct.pack(">HH8IH", 38 + 3 * ncomp, 0, w, h, 0, 0,
-                      xtsiz, ytsiz, 0, 0, ncomp)
+    siz = struct.pack(">HH8IH", 38 + 3 * ncomp, 0, xsiz, ysiz,
+                      xosiz, yosiz, xtsiz, ytsiz, xtosiz, ytosiz,
+                      ncomp)
     for _ in range(ncomp):
         siz += bytes([depth - 1, 1, 1])
     cs += b"\xff\x51" + siz
-    cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, n_layers, mct, levels,
+    cod = struct.pack(">HBBHBBBBBB", 12, 0, _PROG_IDS[progression],
+                      n_layers, mct, levels,
                       cbw_exp - 2, cbh_exp - 2, 0,
                       0 if irreversible else 1)
     cs += b"\xff\x52" + cod
@@ -1267,15 +1342,19 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             for bname in ("HL", "LH", "HH"):
                 qcd.append((depth + _BAND_GAIN[bname]) << 3)
     cs += b"\xff\x5c" + bytes(qcd)
-    ntx = -(-w // xtsiz)
-    nty = -(-h // ytsiz)
+    ntx = -(-(xsiz - xtosiz) // xtsiz)
+    nty = -(-(ysiz - ytosiz) // ytsiz)
     n_tiles = ntx * nty
     for ty in range(nty):
         for tx in range(ntx):
             isot = ty * ntx + tx
-            x0, y0 = tx * xtsiz, ty * ytsiz
-            tw = min(xtsiz, w - x0)
-            th = min(ytsiz, h - y0)
+            # canvas-coordinate tile extent clipped to the image region
+            cx0 = max(xtosiz + tx * xtsiz, xosiz)
+            cy0 = max(ytosiz + ty * ytsiz, yosiz)
+            cx1 = min(xtosiz + (tx + 1) * xtsiz, xsiz)
+            cy1 = min(ytosiz + (ty + 1) * ytsiz, ysiz)
+            x0, y0 = cx0 - xosiz, cy0 - yosiz
+            tw, th = cx1 - cx0, cy1 - cy0
             body = tile_body([pl[y0:y0 + th, x0:x0 + tw]
                               for pl in planes], tw, th)
             psot = 12 + 2 + len(body)  # SOT seg + SOD marker + data

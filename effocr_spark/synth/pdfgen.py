@@ -967,7 +967,10 @@ def make_jpx_pdf(images: list["object"],
                  text_lines: list[list[str]] | None = None,
                  levels: int = 2,
                  jp2_container: bool = True,
-                 tile_size: int | None = None) -> bytes:
+                 tile_size: int | None = None,
+                 jp2_offsets: tuple[int, int] = (0, 0),
+                 n_layers: int = 1,
+                 progression: str = "LRCP") -> bytes:
     """Scanned-document PDF with JPEG2000 image XObjects (/JPXDecode —
     the Internet-Archive-era digitization shape). images = HxW or
     HxWx3 uint8 arrays; each becomes one full-page losslessly-coded
@@ -990,7 +993,9 @@ def make_jpx_pdf(images: list["object"],
             content += _content_stream(lines)
         body = encode_jp2(img, levels=levels,
                           jp2_container=jp2_container,
-                          tile_size=tile_size)
+                          tile_size=tile_size,
+                          offsets=jp2_offsets, n_layers=n_layers,
+                          progression=progression)
         cs = "/DeviceRGB" if img.ndim == 3 else "/DeviceGray"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "

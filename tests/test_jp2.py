@@ -105,7 +105,8 @@ def test_jp2_unsupported_features_raise_named():
     with pytest.raises(NotImplementedError, match="transform"):
         decode_jp2(bytes(badt))
     prog = bytearray(blob)
-    prog[cod_at + 2 + 2 + 1] = 1  # progression order → RLCP
+    prog[cod_at + 2 + 2 + 1] = 3  # progression order → PCRL (seam;
+    # LRCP/RLCP/RPCL decode for real)
     with pytest.raises(NotImplementedError, match="progression"):
         decode_jp2(bytes(prog))
     with pytest.raises(ValueError):
@@ -208,3 +209,62 @@ def test_jp2_multi_tile_decode():
                                 irreversible=True))[:, :, 0]
     mse = ((out.astype(float) - img) ** 2).mean()
     assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 50
+
+
+def test_jp2_image_and_tile_offsets():
+    """SIZ image-region offsets (XOsiz/YOsiz — the scanner-output
+    shape) and tile-grid offsets (XTOsiz/YTOsiz ≤ image offsets):
+    bit-exact lossless roundtrip at region size, composed with
+    multi-tile, multi-layer and the lossy path; unaligned offsets
+    stay a NAMED seam (canvas-parity band layout)."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+    for off in [(4, 8), (12, 4), (16, 16)]:
+        out = decode_jp2(encode_jp2(img, offsets=off))
+        assert out.shape[:2] == img.shape and (out[:, :, 0] == img).all()
+    # offset tile GRID anchored before the image region
+    out = decode_jp2(encode_jp2(rgb, tile_size=16, offsets=(8, 4),
+                                tile_offsets=(4, 0)))
+    assert (out == rgb).all()
+    # multi-layer + offsets
+    out = decode_jp2(encode_jp2(img, offsets=(8, 8), n_layers=3))
+    assert (out[:, :, 0] == img).all()
+    # unaligned offset: named seam on encode AND decode
+    with pytest.raises(NotImplementedError, match="offsets"):
+        encode_jp2(img, offsets=(3, 0))
+    blob = encode_jp2(img, offsets=(4, 4), jp2_container=False)
+    siz_at = blob.find(b"\xff\x51")
+    bad = bytearray(blob)
+    bad[siz_at + 4 + 2 + 8 + 3] = 5  # XOsiz 4 → 5 (odd parity)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_jp2(bytes(bad))
+
+
+def test_jp2_rlcp_rpcl_progressions():
+    """RLCP and RPCL packet progressions (COD byte + real packet
+    reordering): bit-exact across multi-layer, multi-tile, color and
+    the 9/7 lossy path; single-layer streams are order-identical by
+    construction but carry the right COD byte."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    for p in ("RLCP", "RPCL"):
+        out = decode_jp2(encode_jp2(img, n_layers=3, progression=p))
+        assert (out[:, :, 0] == img).all(), p
+        out = decode_jp2(encode_jp2(rgb, n_layers=4, tile_size=32,
+                                    progression=p))
+        assert (out == rgb).all(), p
+        blob = encode_jp2(img, n_layers=2, progression=p,
+                          jp2_container=False)
+        cod_at = blob.find(b"\xff\x52")
+        assert blob[cod_at + 4 + 1] == {"RLCP": 1, "RPCL": 2}[p]
+    # offsets + RPCL + lossy compose
+    out = decode_jp2(encode_jp2(rgb, irreversible=True, n_layers=2,
+                                progression="RPCL", offsets=(4, 4)))
+    mse = ((out.astype(float) - rgb) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 40
