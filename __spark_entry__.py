@@ -954,6 +954,18 @@ def q_extract_pdf_scanned(spark, sf_dir):
         make_jbig2_pdf([refimg],
                        raw_stream=jbig2_encode_refined(noisy, refimg))),
         None, "en"))
+    # the same layering with TPGRON=1 (6.3.5.6 typical prediction —
+    # the most common remaining real-archive refinement flag)
+    tpg = _en_ocr_line(_rng(999310, 0), 4)
+    tpgimg = render_line(tpg)[0]
+    tpgnoisy = tpgimg.copy()
+    flip2 = _rng(999311, 0).random(tpgimg.shape) < 0.01
+    tpgnoisy[flip2] = 255 - tpgnoisy[flip2]
+    rows.append(("pdf://jbig2/tpgron", None, bytearray(
+        make_jbig2_pdf([tpgimg],
+                       raw_stream=jbig2_encode_refined(
+                           tpgnoisy, tpgimg, tpgron=True))),
+        None, "en"))
     # JPEG2000 (/JPXDecode) scan — the Internet-Archive digitization
     # shape, decoded by the from-scratch T.800 codec (losslessly, so
     # OCR sees the exact rendered page)

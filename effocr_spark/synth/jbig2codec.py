@@ -357,26 +357,78 @@ def _ref_ctx_fn(template: int, at: list[tuple[int, int]]):
     return ctx, n_bits
 
 
+#: SLTP contexts for refinement typical prediction (T.88 6.3.5.6):
+#: the fixed context value the LTP toggle bit is coded with
+_TPGRON_SLTP_CTX = {0: 0x0100, 1: 0x0080}
+
+
+def _typical_ref_val(ref: np.ndarray, x: int, y: int,
+                     dx: int, dy: int) -> int | None:
+    """TYPPIX test (6.3.5.6): the 3×3 reference neighborhood around
+    the corresponding pixel — uniform → that value, else None."""
+    rh, rw = ref.shape
+    v0 = None
+    for yy in (y - dy - 1, y - dy, y - dy + 1):
+        for xx in (x - dx - 1, x - dx, x - dx + 1):
+            v = (int(ref[yy, xx])
+                 if 0 <= xx < rw and 0 <= yy < rh else 0)
+            if v0 is None:
+                v0 = v
+            elif v != v0:
+                return None
+    return v0
+
+
 def _refine_core_decode(dec: "MQDecoder", icx: np.ndarray,
                         mps: np.ndarray, ctx, w: int, h: int,
-                        ref: np.ndarray, dx: int, dy: int
+                        ref: np.ndarray, dx: int, dy: int,
+                        tpgron: bool = False, sltp_ctx: int = 0x0100
                         ) -> np.ndarray:
     """Refinement decode on an EXISTING MQ decoder with caller-owned
     contexts — the form symbol-dict REFAGG and text-region REFINE use
-    (one arithmetic stream shared with the integer procedures)."""
+    (one arithmetic stream shared with the integer procedures).
+    tpgron enables typical prediction (6.3.5.6): a per-row LTP toggle
+    bit; in LTP rows, pixels whose 3×3 reference neighborhood is
+    uniform take that value without decoding."""
     bm = np.zeros((h, w), np.uint8)
+    ltp = 0
     for y in range(h):
+        if tpgron:
+            ltp ^= dec.decode(icx, mps, sltp_ctx)
         for x in range(w):
+            if tpgron and ltp:
+                tv = _typical_ref_val(ref, x, y, dx, dy)
+                if tv is not None:
+                    bm[y, x] = tv
+                    continue
             bm[y, x] = dec.decode(icx, mps, ctx(bm, ref, x, y, dx, dy))
     return bm
 
 
 def _refine_core_encode(enc: "MQEncoder", icx: np.ndarray,
                         mps: np.ndarray, ctx, bm: np.ndarray,
-                        ref: np.ndarray, dx: int, dy: int) -> None:
+                        ref: np.ndarray, dx: int, dy: int,
+                        tpgron: bool = False,
+                        sltp_ctx: int = 0x0100) -> None:
     h, w = bm.shape
+    ltp = 0
     for y in range(h):
+        if tpgron:
+            # LTP on only when every typical pixel in the row really
+            # equals its uniform neighborhood value — lossless by
+            # construction, with real row-to-row toggles
+            want = 1
+            for x in range(w):
+                tv = _typical_ref_val(ref, x, y, dx, dy)
+                if tv is not None and int(bm[y, x]) != tv:
+                    want = 0
+                    break
+            enc.encode(icx, mps, sltp_ctx, ltp ^ want)
+            ltp = want
         for x in range(w):
+            if tpgron and ltp \
+                    and _typical_ref_val(ref, x, y, dx, dy) is not None:
+                continue
             enc.encode(icx, mps, ctx(bm, ref, x, y, dx, dy),
                        int(bm[y, x]))
 
@@ -384,23 +436,25 @@ def _refine_core_encode(enc: "MQEncoder", icx: np.ndarray,
 def refinement_region_decode(data: bytes, w: int, h: int,
                              ref: np.ndarray, template: int = 0,
                              dx: int = 0, dy: int = 0,
-                             at: list[tuple[int, int]] | None = None
-                             ) -> np.ndarray:
+                             at: list[tuple[int, int]] | None = None,
+                             tpgron: bool = False) -> np.ndarray:
     """MQ-coded generic refinement region → {0,1} bitmap, decoded
-    against a reference bitmap (spec 6.3.5: per-pixel path, TPGRON=0)."""
+    against a reference bitmap (spec 6.3.5; tpgron=True enables the
+    6.3.5.6 typical-prediction row path)."""
     at = at or _REF_NOMINAL_AT
     ctx, n_bits = _ref_ctx_fn(template, at)
     icx = np.zeros(1 << n_bits, np.int64)
     mps = np.zeros(1 << n_bits, np.int64)
     return _refine_core_decode(MQDecoder(data), icx, mps, ctx, w, h,
-                               ref, dx, dy)
+                               ref, dx, dy, tpgron=tpgron,
+                               sltp_ctx=_TPGRON_SLTP_CTX[template])
 
 
 def refinement_region_encode(bm: np.ndarray, ref: np.ndarray,
                              template: int = 0, dx: int = 0,
                              dy: int = 0,
-                             at: list[tuple[int, int]] | None = None
-                             ) -> bytes:
+                             at: list[tuple[int, int]] | None = None,
+                             tpgron: bool = False) -> bytes:
     """Inverse of refinement_region_decode (shared context builder ⇒
     roundtrip by construction). Compression is high exactly when bm is
     mostly equal to ref — the refinement use case."""
@@ -409,7 +463,9 @@ def refinement_region_encode(bm: np.ndarray, ref: np.ndarray,
     icx = np.zeros(1 << n_bits, np.int64)
     mps = np.zeros(1 << n_bits, np.int64)
     enc = MQEncoder()
-    _refine_core_encode(enc, icx, mps, ctx, bm, ref, dx, dy)
+    _refine_core_encode(enc, icx, mps, ctx, bm, ref, dx, dy,
+                        tpgron=tpgron,
+                        sltp_ctx=_TPGRON_SLTP_CTX[template])
     return enc.flush()
 
 
@@ -772,10 +828,7 @@ def jbig2_decode_embedded(data: bytes,
             rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
             rflags = payload[17]
             rtemplate = rflags & 1
-            if rflags & 2:
-                raise NotImplementedError(
-                    "JBIG2 refinement region with TPGRON; plug a real "
-                    "JBIG2 library in")
+            rtpgron = bool(rflags & 2)
             pos = 18
             rat = None
             if rtemplate == 0:
@@ -790,7 +843,8 @@ def jbig2_decode_embedded(data: bytes,
                     "refinement region outside the decoded page")
             ref = page[ry:ry + rh, rx:rx + rw]
             bm = refinement_region_decode(payload[pos:], rw, rh, ref,
-                                          rtemplate, at=rat)
+                                          rtemplate, at=rat,
+                                          tpgron=rtpgron)
             page[ry:ry + rh, rx:rx + rw] = bm
         elif stype == _SEG_PATTERN_DICT:
             patterns = decode_pattern_dict(payload)
@@ -888,7 +942,8 @@ def jbig2_encode_embedded(img: np.ndarray, template: int = 0,
 
 
 def jbig2_encode_refined(base: np.ndarray, target: np.ndarray,
-                         template: int = 0) -> bytes:
+                         template: int = 0,
+                         tpgron: bool = False) -> bytes:
     """Two-stage embedded stream: page info + generic region coding
     `base` + a generic REFINEMENT region re-coding the same area into
     `target` against the decoded base (the lossy-then-residual layering
@@ -903,15 +958,17 @@ def jbig2_encode_refined(base: np.ndarray, target: np.ndarray,
     gflags = 0
     gat = b"".join(struct.pack(">bb", dx, dy)
                    for dx, dy in _NOMINAL_AT[0])
-    rbody = refinement_region_encode(tgt_bm, base_bm, template)
+    rbody = refinement_region_encode(tgt_bm, base_bm, template,
+                                     tpgron=tpgron)
     rat = (b"".join(struct.pack(">bb", dx, dy)
                     for dx, dy in _REF_NOMINAL_AT)
            if template == 0 else b"")
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
     gregion = (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
                + struct.pack(">B", gflags) + gat + gbody)
+    rflags = (template & 1) | (2 if tpgron else 0)
     rregion = (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
-               + struct.pack(">B", template & 1) + rat + rbody)
+               + struct.pack(">B", rflags) + rat + rbody)
     return (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
             + page_info
             + _segment_header(1, _SEG_IMM_LOSSLESS_GENERIC, 1,

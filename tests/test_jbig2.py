@@ -337,27 +337,6 @@ def test_refinement_region_roundtrip_both_templates():
     assert len(refined) < 2 * len(full)
 
 
-def test_refinement_tpgron_stays_a_seam():
-    import struct
-
-    import numpy as np
-    import pytest
-    from effocr_spark.synth.jbig2codec import (_SEG_IMM_LOSSLESS_REFINE,
-                                               _SEG_PAGE_INFO,
-                                               _segment_header,
-                                               jbig2_decode_embedded)
-
-    page_info = struct.pack(">IIII", 8, 8, 0, 0) + b"\x01\x00\x00"
-    rregion = (struct.pack(">IIII", 8, 8, 0, 0) + b"\x00"
-               + bytes([0x03]) + b"\x00" * 4)  # TPGRON set
-    blob = (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
-            + page_info
-            + _segment_header(1, _SEG_IMM_LOSSLESS_REFINE, 1,
-                              len(rregion)) + rregion)
-    with pytest.raises(NotImplementedError, match="TPGRON"):
-        jbig2_decode_embedded(blob)
-
-
 def test_halftone_region_roundtrip_exact():
     """Pattern dictionary + halftone region (spec 6.6/6.7): ordered-
     dither halftoning of a grayscale page decodes to the exact
@@ -478,3 +457,46 @@ def test_text_region_refined_instances():
         hs, ws = s.shape
         exp[y:y + hs, x:x + ws] |= s[:shape[0] - y, :shape[1] - x]
     assert (bm == exp).all()
+
+
+def test_refinement_tpgron_typical_prediction():
+    """TPGRON=1 (T.88 6.3.5.6): per-row LTP toggle coded with the
+    fixed SLTP context, typical pixels (uniform 3×3 reference
+    neighborhood) taken from the reference without decoding. Bit-exact
+    roundtrip at both templates, through the full segment path
+    (rflags bit 1), and on document-shaped content the typical rows
+    actually shrink the stream vs TPGRON=0."""
+    import numpy as np
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.jbig2codec import (jbig2_decode_embedded,
+                                               jbig2_encode_refined,
+                                               refinement_region_decode,
+                                               refinement_region_encode)
+
+    rng = np.random.default_rng(9)
+    ref = (rng.random((40, 60)) < 0.4).astype(np.uint8)
+    bm = ref.copy()
+    bm[10:14, 20:30] ^= 1
+    for tmpl in (0, 1):
+        data = refinement_region_encode(bm, ref, template=tmpl,
+                                        tpgron=True)
+        out = refinement_region_decode(data, 60, 40, ref,
+                                       template=tmpl, tpgron=True)
+        assert (out == bm).all(), tmpl
+
+    # full segment path: degraded base + TPGRON refinement restores
+    img, _, _ = render_line("tpgron refinement line")
+    noisy = img.copy()
+    flip = np.random.default_rng(10).random(img.shape) < 0.01
+    noisy[flip] = 255 - noisy[flip]
+    stream = jbig2_encode_refined(noisy, img, tpgron=True)
+    dec = jbig2_decode_embedded(stream)
+    assert ((dec < 128) == (img < 128)).all()
+
+    # document content (mostly flat): TPGRON beats per-pixel coding
+    doc = (img < 128).astype(np.uint8)
+    base = doc.copy()
+    base[5:7, 10:20] ^= 1
+    with_tp = refinement_region_encode(doc, base, tpgron=True)
+    without = refinement_region_encode(doc, base)
+    assert len(with_tp) < len(without)
