@@ -90,6 +90,48 @@ def host_cpu_control() -> dict:
     return out
 
 
+def _triad_probe_task(_):
+    """STREAM-style triad (a = b + s*c) over arrays far larger than
+    LLC — measures delivered MEMORY BANDWIDTH per worker, the shared
+    resource the integer-loop probe cannot see."""
+    import numpy as np
+    n = 8_000_000  # 3 × 64 MB working set per worker
+    b = np.ones(n)
+    c = np.full(n, 2.0)
+    a = np.empty(n)
+    t0 = time.time()
+    for _ in range(3):
+        np.multiply(c, 1.5, out=a)
+        a += b  # a = b + 1.5*c
+    dt = time.time() - t0
+    return (3 * 3 * n * 8 / dt) / 1e9  # GB/s moved (3 arrays/pass)
+
+
+def host_bus_control() -> dict:
+    """Memory-bus control: aggregate triad bandwidth at widths 1 /
+    SCALE_HIGH / CPUS. If aggregate GB/s saturates between 8 and 32
+    while the integer-loop probe still shows free cores, the 8→32
+    scaling ceiling is the BUS, not the code — the number behind the
+    'host-capped' claim."""
+    out = {}
+    for nproc in (1, SCALE_HIGH, CPUS):
+        with mp.Pool(nproc) as pool:
+            pool.map(_triad_probe_task, range(nproc))  # warm
+            t0 = time.time()
+            per = pool.map(_triad_probe_task, range(nproc))
+            wall = time.time() - t0
+        out[nproc] = {
+            "wall": round(wall, 3),
+            "per_worker_gbs": round(sum(per) / len(per), 2),
+            "aggregate_gbs": round(sum(per), 2),
+        }
+    base = out[1]["aggregate_gbs"]
+    for nproc in out:
+        out[nproc]["bus_scaling"] = round(
+            out[nproc]["aggregate_gbs"] / base, 2)
+    return out
+
+
 def materialize_pages(spark, n: int) -> None:
     from effocr_spark.synth.pages import pages_df
 
@@ -277,6 +319,10 @@ def main() -> None:
     control = host_cpu_control()
     log(f"host control: {control}")
 
+    log("running memory-bus (triad) probe...")
+    bus = host_bus_control()
+    log(f"bus control: {bus}")
+
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
     with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
@@ -387,6 +433,21 @@ brings its own memory bus AND its own cores.
 """)
         for w_, d in control.items():
             f.write(f"| {w_} | {d['per_task']} | {d['effective_cores']} |\n")
+        f.write("""
+### Memory-bus control probe (STREAM-style triad, 64 MB/worker)
+
+The resource the integer loop can't see: aggregate triad bandwidth
+per width. If the aggregate saturates between 8 and 32 while the
+integer probe still reports free cores, the 8→32 extraction ceiling
+is the BUS, not the code — this table is the number that claim rests
+on (round-5 verdict item 7).
+
+| width | per-worker GB/s | aggregate GB/s | vs width 1 |
+|---|---|---|---|
+""")
+        for w_, d in bus.items():
+            f.write(f"| {w_} | {d['per_worker_gbs']} | "
+                    f"{d['aggregate_gbs']} | {d['bus_scaling']}x |\n")
         f.write(f"""
 ## Headline query latencies (sf{sf}, local[{CPUS}])
 
@@ -449,6 +510,8 @@ path at equal width and scaling with cores up to the host's ceiling.
             "host_effective_cores_pre": {
                 str(w_): d["effective_cores"]
                 for w_, d in control_pre.items()},
+            "bus_triad_gbs": {str(w_): d["aggregate_gbs"]
+                              for w_, d in bus.items()},
             "real_tensor_224_768": {
                 str(w_): {"wall": d["wall"],
                           "docs_per_sec": d["docs_per_sec"],
