@@ -687,10 +687,14 @@ class _PrecinctState:
                         "n_planes": 0, "n_passes": 0, "chunks": []}
         self.mb_of = mb_of
 
-    def decode_packet(self, data: bytes, pos: int, layer: int) -> int:
+    def decode_packet(self, data: bytes, pos: int, layer: int,
+                      eph: bool = False) -> int:
         r = _HdrReader(data, pos)
         if not r.bit():  # empty packet
-            return r.align()
+            pos = r.align()
+            if eph and data[pos:pos + 2] == b"\xff\x92":
+                pos += 2
+            return pos
         contrib = []
         cw, ch = 1 << self.cb_exp[0], 1 << self.cb_exp[1]
         for bname, bw, bh, nx, ny, incl, zbp in self.bands:
@@ -715,6 +719,8 @@ class _PrecinctState:
                     st["n_passes"] += n_passes
                     contrib.append((st, length))
         pos = r.align()
+        if eph and data[pos:pos + 2] == b"\xff\x92":
+            pos += 2  # end-of-packet-header marker (A.8.2)
         for st, length in contrib:
             st["chunks"].append(data[pos:pos + length])
             pos += length
@@ -764,12 +770,13 @@ class _PrecinctEncoder:
                     self.state[(bname, x, y)] = {"included": False,
                                                  "lblock": 3}
 
-    def encode_packet(self, layer: int, contrib: dict) -> bytes:
+    def encode_packet(self, layer: int, contrib: dict,
+                      eph: bool = False) -> bytes:
         """contrib: (band, cbx, cby) → (n_passes, chunk bytes)."""
         w = _HdrWriter()
         if not contrib:
             w.bit(0)
-            return w.getvalue()
+            return w.getvalue() + (b"\xff\x92" if eph else b"")
         w.bit(1)
         bodies = []
         for bname, (nx, ny, mb) in self.cb_grid.items():
@@ -804,17 +811,20 @@ class _PrecinctEncoder:
                     w.bit(0)
                     w.write(len(chunk), nbits)
                     bodies.append(chunk)
-        return w.getvalue() + b"".join(bodies)
+        return (w.getvalue() + (b"\xff\x92" if eph else b"")
+                + b"".join(bodies))
 
 
-def _encode_packet(band_blocks: list, cb_grid: dict) -> bytes:
+def _encode_packet(band_blocks: list, cb_grid: dict,
+                   eph: bool = False) -> bytes:
     """Inverse of _decode_packet. band_blocks = [(band, cbx, cby,
     n_planes, n_passes, body)] for included blocks; cb_grid[band] =
-    (nx, ny, mb)."""
+    (nx, ny, mb). eph appends the A.8.2 end-of-packet-header
+    marker between header and body bytes."""
     w = _HdrWriter()
     if not band_blocks:
         w.bit(0)
-        return w.getvalue()
+        return w.getvalue() + (b"\xff\x92" if eph else b"")
     w.bit(1)
     by_band: dict = {}
     for entry in band_blocks:
@@ -852,7 +862,8 @@ def _encode_packet(band_blocks: list, cb_grid: dict) -> bytes:
                 w.bit(0)
                 w.write(len(body), nbits)
                 bodies.append(body)
-    return w.getvalue() + b"".join(bodies)
+    return (w.getvalue() + (b"\xff\x92" if eph else b"")
+            + b"".join(bodies))
 
 
 # --------------------------------------------------- top-level codec
@@ -958,9 +969,10 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         raise NotImplementedError("mixed/deep component depths")
 
     scod = cod[0]
-    if scod != 0:
-        raise NotImplementedError(
-            "JPEG2000 custom precincts / SOP / EPH")
+    if scod & ~0x06:
+        raise NotImplementedError("JPEG2000 custom precincts")
+    use_sop = bool(scod & 0x02)  # SOP marker segments (A.8.1)
+    use_eph = bool(scod & 0x04)  # EPH markers (A.8.2)
     prog, layers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], \
         cod[4]
     if prog not in (0, 1, 2):  # LRCP / RLCP / RPCL
@@ -1040,7 +1052,10 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             seq = [(l_, r, c) for r in range(levels + 1)
                    for c in range(ncomp) for l_ in range(layers)]
         for layer, r, c in seq:
-            p = precincts[(c, r)].decode_packet(data, p, layer)
+            if use_sop and data[p:p + 2] == b"\xff\x91":
+                p += 6  # SOP segment: marker + Lsop(=4) + Nsop
+            p = precincts[(c, r)].decode_packet(data, p, layer,
+                                                eph=use_eph)
         if p > end:
             raise ValueError("tile packet data overruns Psot")
         for (c, r), prec in precincts.items():
@@ -1142,7 +1157,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                tile_size: int | None = None,
                offsets: tuple[int, int] = (0, 0),
                tile_offsets: tuple[int, int] | None = None,
-               progression: str = "LRCP") -> bytes:
+               progression: str = "LRCP",
+               sop_eph: bool = False) -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
@@ -1242,7 +1258,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             for r in range(levels + 1):
                 for c in range(ncomp):
                     cb_grid, entries = per_rc[(r, c)]
-                    packets.append(_encode_packet(entries, cb_grid))
+                    packets.append(_encode_packet(entries, cb_grid,
+                                                  eph=sop_eph))
         else:
             # multi-layer: each block first-included at
             # (index % n_layers); the first layer-0 block with ≥2
@@ -1291,7 +1308,12 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                        for l_ in range(n_layers)]
             for layer, r, c in seq:
                 packets.append(encs[(r, c)].encode_packet(
-                    layer, plan[(r, c)][layer]))
+                    layer, plan[(r, c)][layer], eph=sop_eph))
+        if sop_eph:
+            # SOP marker segment before every packet (A.8.1):
+            # marker + Lsop(=4) + per-tile sequence number mod 65536
+            packets = [b"\xff\x91" + struct.pack(">HH", 4, i & 0xFFFF)
+                       + pk for i, pk in enumerate(packets)]
         return b"".join(packets)
 
     # markers
@@ -1320,7 +1342,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
     for _ in range(ncomp):
         siz += bytes([depth - 1, 1, 1])
     cs += b"\xff\x51" + siz
-    cod = struct.pack(">HBBHBBBBBB", 12, 0, _PROG_IDS[progression],
+    cod = struct.pack(">HBBHBBBBBB", 12, 0x06 if sop_eph else 0,
+                      _PROG_IDS[progression],
                       n_layers, mct, levels,
                       cbw_exp - 2, cbh_exp - 2, 0,
                       0 if irreversible else 1)

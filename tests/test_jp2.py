@@ -268,3 +268,37 @@ def test_jp2_rlcp_rpcl_progressions():
                                 progression="RPCL", offsets=(4, 4)))
     mse = ((out.astype(float) - rgb) ** 2).mean()
     assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 40
+
+
+def test_jp2_sop_eph_markers():
+    """SOP packet-sequence segments (A.8.1) and EPH end-of-packet-
+    header markers (A.8.2) — the resilience markers Kakadu-style
+    encoders emit by default: Scod bits 1/2, a 6-byte SOP before every
+    packet, EPH between header and body. Bit-exact composed with
+    multi-layer, multi-tile, offsets and RPCL; custom precincts
+    (Scod bit 0) still raise named."""
+    import struct
+
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    blob = encode_jp2(img, sop_eph=True, jp2_container=False)
+    cod_at = blob.find(b"\xff\x52")
+    assert blob[cod_at + 4] == 0x06  # Scod: SOP + EPH
+    assert b"\xff\x91" in blob and b"\xff\x92" in blob
+    # first SOP carries sequence number 0
+    sop_at = blob.find(b"\xff\x91")
+    assert struct.unpack_from(">HH", blob, sop_at + 2) == (4, 0)
+    assert (decode_jp2(blob)[:, :, 0] == img).all()
+    assert (decode_jp2(encode_jp2(rgb, sop_eph=True, n_layers=3,
+                                  tile_size=32)) == rgb).all()
+    assert (decode_jp2(encode_jp2(rgb, sop_eph=True, n_layers=2,
+                                  progression="RPCL",
+                                  offsets=(4, 4))) == rgb).all()
+    # precincts stay a named seam
+    bad = bytearray(blob)
+    bad[cod_at + 4] = 0x01
+    with pytest.raises(NotImplementedError, match="precinct"):
+        decode_jp2(bytes(bad))
