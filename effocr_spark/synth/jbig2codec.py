@@ -530,10 +530,6 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
     template = (flags >> 1) & 3
     enableskip = (flags >> 3) & 1
     defpixel = (flags >> 7) & 1
-    if mmr:
-        raise NotImplementedError(
-            "JBIG2 MMR halftone grayscale; plug a real JBIG2 library "
-            "in")
     if enableskip:
         raise NotImplementedError(
             "JBIG2 halftone HENABLESKIP; plug a real JBIG2 library in")
@@ -544,22 +540,38 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
         raise ValueError("halftone region without pattern dictionary")
     hph, hpw = patterns[0].shape
     n_bits = max((len(patterns) - 1).bit_length(), 1)
-    at = _halftone_gray_at(template)
-    ctx = _ctx_fn(template, at)
-    n_ctx = 1 << _CTX_BITS[template]
-    icx = np.zeros(n_ctx, np.int64)
-    mps = np.zeros(n_ctx, np.int64)
-    dec = MQDecoder(payload[38:])
     gray = np.zeros((hgh, hgw), np.int64)
     prev = np.zeros((hgh, hgw), np.int64)
-    for j in range(n_bits - 1, -1, -1):  # MSB first, Gray-decoded
-        plane = np.zeros((hgh, hgw), np.uint8)
-        for y in range(hgh):
-            for x in range(hgw):
-                plane[y, x] = dec.decode(icx, mps, ctx(plane, x, y))
-        bit = plane ^ prev  # Gray code: b_j = plane_j XOR b_{j+1}
-        gray |= bit.astype(np.int64) << j
-        prev = bit
+    if mmr:
+        # C.5 with HMMR=1: ONE continuous MMR stream codes all the
+        # bitplanes MSB-first with no reset between planes — decoded
+        # here as a single tall T.6 image (plane j's first row
+        # references plane j-1's last row, the no-reset reading); ink
+        # black (g4 sample 0) is bit value 1
+        from .ccittcodec import g4_decode
+        tall = g4_decode(payload[38:], hgw, hgh * n_bits)
+        planes_msb = [(tall[i * hgh:(i + 1) * hgh] == 0)
+                      .astype(np.uint8) for i in range(n_bits)]
+        for i, j in enumerate(range(n_bits - 1, -1, -1)):
+            bit = planes_msb[i] ^ prev  # Gray code
+            gray |= bit.astype(np.int64) << j
+            prev = bit
+    else:
+        at = _halftone_gray_at(template)
+        ctx = _ctx_fn(template, at)
+        n_ctx = 1 << _CTX_BITS[template]
+        icx = np.zeros(n_ctx, np.int64)
+        mps = np.zeros(n_ctx, np.int64)
+        dec = MQDecoder(payload[38:])
+        for j in range(n_bits - 1, -1, -1):  # MSB first, Gray-decoded
+            plane = np.zeros((hgh, hgw), np.uint8)
+            for y in range(hgh):
+                for x in range(hgw):
+                    plane[y, x] = dec.decode(icx, mps,
+                                             ctx(plane, x, y))
+            bit = plane ^ prev  # Gray code: b_j = plane_j XOR b_{j+1}
+            gray |= bit.astype(np.int64) << j
+            prev = bit
     gray = np.minimum(gray, len(patterns) - 1)
     bm = np.full((rh, rw), defpixel, np.uint8)
     for mg in range(hgh):
@@ -577,30 +589,39 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
 
 def encode_halftone_region(w: int, h: int, gray: np.ndarray,
                            patterns: list[np.ndarray],
-                           template: int = 0) -> bytes:
+                           template: int = 0,
+                           mmr: bool = False) -> bytes:
     """Inverse of decode_halftone_region: axis-aligned grid with
     spacing = pattern width (the standard halftoning layout), gray
-    values in [0, len(patterns))."""
+    values in [0, len(patterns)). mmr=True codes the Gray-coded
+    bitplanes as one continuous T.6 stream (HMMR=1)."""
     hph, hpw = patterns[0].shape
     hgh, hgw = gray.shape
     n_bits = max((len(patterns) - 1).bit_length(), 1)
-    at = _halftone_gray_at(template)
-    ctx = _ctx_fn(template, at)
-    n_ctx = 1 << _CTX_BITS[template]
-    icx = np.zeros(n_ctx, np.int64)
-    mps = np.zeros(n_ctx, np.int64)
-    enc = MQEncoder()
+    planes = []
     prev = np.zeros((hgh, hgw), np.int64)
     for j in range(n_bits - 1, -1, -1):
         bit = (gray.astype(np.int64) >> j) & 1
-        plane = (bit ^ prev).astype(np.uint8)
-        for y in range(hgh):
-            for x in range(hgw):
-                enc.encode(icx, mps, ctx(plane, x, y),
-                           int(plane[y, x]))
+        planes.append((bit ^ prev).astype(np.uint8))
         prev = bit
-    body = enc.flush()
-    flags = (template & 3) << 1
+    if mmr:
+        from .ccittcodec import g4_encode
+        tall = np.concatenate(planes, axis=0)
+        body = g4_encode(np.where(tall == 1, 0, 255).astype(np.uint8))
+    else:
+        at = _halftone_gray_at(template)
+        ctx = _ctx_fn(template, at)
+        n_ctx = 1 << _CTX_BITS[template]
+        icx = np.zeros(n_ctx, np.int64)
+        mps = np.zeros(n_ctx, np.int64)
+        enc = MQEncoder()
+        for plane in planes:
+            for y in range(hgh):
+                for x in range(hgw):
+                    enc.encode(icx, mps, ctx(plane, x, y),
+                               int(plane[y, x]))
+        body = enc.flush()
+    flags = ((template & 3) << 1) | (1 if mmr else 0)
     return (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
             + bytes([flags])
             + struct.pack(">II", hgw, hgh)
@@ -610,7 +631,8 @@ def encode_halftone_region(w: int, h: int, gray: np.ndarray,
 
 
 def jbig2_encode_halftone(img: np.ndarray, n_levels: int = 8,
-                          cell: int = 4) -> bytes:
+                          cell: int = 4,
+                          mmr: bool = False) -> bytes:
     """uint8 grayscale page → halftone-coded embedded JBIG2: a pattern
     dictionary of ordered-dither dot cells + a halftone region whose
     grayscale image is the cell-downsampled, n_levels-quantized page.
@@ -622,7 +644,7 @@ def jbig2_encode_halftone(img: np.ndarray, n_levels: int = 8,
     h = gray.shape[0] * cell
     w = gray.shape[1] * cell
     pd = encode_pattern_dict(patterns)
-    ht = encode_halftone_region(w, h, gray, patterns)
+    ht = encode_halftone_region(w, h, gray, patterns, mmr=mmr)
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
     return (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
             + page_info

@@ -500,3 +500,31 @@ def test_refinement_tpgron_typical_prediction():
     with_tp = refinement_region_encode(doc, base, tpgron=True)
     without = refinement_region_encode(doc, base)
     assert len(with_tp) < len(without)
+
+
+def test_mmr_halftone_grayscale():
+    """HMMR=1 (C.5): the Gray-coded halftone bitplanes decode from ONE
+    continuous T.6 stream (no reset between planes — plane j's first
+    row references plane j-1's last row); composite identical to the
+    MQ-coded path on the same grayscale, through the region decoder
+    AND the full embedded stream."""
+    import numpy as np
+    from effocr_spark.synth.jbig2codec import (decode_halftone_region,
+                                               encode_halftone_region,
+                                               jbig2_decode_embedded,
+                                               jbig2_encode_halftone,
+                                               make_dither_patterns)
+
+    rng = np.random.default_rng(21)
+    pats = make_dither_patterns(8, 4)
+    gray = rng.integers(0, 8, (10, 14))
+    _, _, _, _, bm_mmr = decode_halftone_region(
+        encode_halftone_region(56, 40, gray, pats, mmr=True), pats)
+    _, _, _, _, bm_mq = decode_halftone_region(
+        encode_halftone_region(56, 40, gray, pats), pats)
+    assert (bm_mmr == bm_mq).all()
+
+    img = (rng.random((64, 96)) * 255).astype(np.uint8)
+    a = jbig2_decode_embedded(jbig2_encode_halftone(img))
+    b = jbig2_decode_embedded(jbig2_encode_halftone(img, mmr=True))
+    assert (a == b).all()
