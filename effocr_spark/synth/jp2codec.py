@@ -40,11 +40,17 @@ form production encoders emit.
 Multiple TILES decode (raster tile grid, per-tile SOT/Psot spans and
 band layouts, ragged edge tiles) — the form large scans ship.
 
-Named seams (raise NotImplementedError): tile/image offsets, custom
-precincts, non-LRCP progression, selective arithmetic
-bypass / pass termination / segmentation symbols, scalar-DERIVED
-quantization (style 1), subsampled components. OpenJPEG's defaults
-fall inside the implemented envelope.
+Image/tile offsets (2^levels-aligned origins), RLCP/RPCL
+progressions, SOP/EPH resilience markers and CUSTOM PRECINCTS
+(per-resolution PPx/PPy, precinct-local tag trees, effective
+code-block shrink) decode and encode — all bit-exact on the
+reversible path.
+
+Named seams (raise NotImplementedError): odd-parity canvas origins,
+PCRL/CPRL progressions, selective arithmetic bypass / pass
+termination / segmentation symbols, scalar-DERIVED quantization
+(style 1), subsampled components. OpenJPEG's defaults fall inside
+the implemented envelope.
 """
 
 from __future__ import annotations
@@ -662,27 +668,53 @@ def _write_npasses(w: _HdrWriter, n: int) -> None:
         w.write(n - 37, 7)
 
 
+def _precinct_band_descs(layout_r: list, r: int,
+                         cb_exp: tuple[int, int], ppx: int, ppy: int,
+                         px: int, py: int) -> list:
+    """One precinct's per-band code-block ranges (B.6/B.7): precinct
+    (px, py) of size 2^ppx × 2^ppy on resolution r's grid projects to
+    2^(ppx-1) on the r>0 bands; the effective code-block size is
+    min(cblk, precinct-in-band); ranges are in the BAND-GLOBAL
+    code-block grid. → [(band, bw, bh, cwe, che, cbx0, cbx1, cby0,
+    cby1)] for bands this precinct intersects."""
+    ppx_b = ppx - (1 if r > 0 else 0)
+    ppy_b = ppy - (1 if r > 0 else 0)
+    cwe = min(cb_exp[0], ppx_b)
+    che = min(cb_exp[1], ppy_b)
+    descs = []
+    for bname, bw, bh in layout_r:
+        if bw == 0 or bh == 0:
+            continue
+        nx_t = -(-bw // (1 << cwe))
+        ny_t = -(-bh // (1 << che))
+        sx = 1 << (ppx_b - cwe)  # code-blocks per precinct along x
+        sy = 1 << (ppy_b - che)
+        cbx0, cbx1 = min(px * sx, nx_t), min((px + 1) * sx, nx_t)
+        cby0, cby1 = min(py * sy, ny_t), min((py + 1) * sy, ny_t)
+        if cbx0 < cbx1 and cby0 < cby1:
+            descs.append((bname, bw, bh, cwe, che,
+                          cbx0, cbx1, cby0, cby1))
+    return descs
+
+
 class _PrecinctState:
-    """Per-(component, resolution) packet-decoding state persisting
-    across quality layers: inclusion / zero-bitplane tag trees, and
+    """Per-(component, resolution, precinct) packet-decoding state
+    persisting across quality layers: inclusion / zero-bitplane tag
+    trees sized to THIS precinct's code-block sub-grid, and
     per-code-block Lblock, accumulated passes and data chunks."""
 
-    def __init__(self, bands: list, cb_exp: tuple[int, int],
-                 mb_of) -> None:
-        self.cb_exp = cb_exp
+    def __init__(self, band_descs: list, mb_of) -> None:
         self.bands = []
         self.state: dict = {}
-        cw, ch = 1 << cb_exp[0], 1 << cb_exp[1]
-        for bname, bw, bh in bands:
-            if bw == 0 or bh == 0:
-                continue
-            nx, ny = -(-bw // cw), -(-bh // ch)
-            self.bands.append((bname, bw, bh, nx, ny,
-                               TagTreeDecoder(nx, ny),
+        for bname, bw, bh, cwe, che, cbx0, cbx1, cby0, cby1 \
+                in band_descs:
+            nx, ny = cbx1 - cbx0, cby1 - cby0
+            self.bands.append((bname, bw, bh, cwe, che, cbx0, cby0,
+                               nx, ny, TagTreeDecoder(nx, ny),
                                TagTreeDecoder(nx, ny)))
             for cby in range(ny):
                 for cbx in range(nx):
-                    self.state[(bname, cbx, cby)] = {
+                    self.state[(bname, cbx0 + cbx, cby0 + cby)] = {
                         "included": False, "lblock": 3,
                         "n_planes": 0, "n_passes": 0, "chunks": []}
         self.mb_of = mb_of
@@ -696,11 +728,11 @@ class _PrecinctState:
                 pos += 2
             return pos
         contrib = []
-        cw, ch = 1 << self.cb_exp[0], 1 << self.cb_exp[1]
-        for bname, bw, bh, nx, ny, incl, zbp in self.bands:
+        for bname, bw, bh, cwe, che, cbx0, cby0, nx, ny, incl, zbp \
+                in self.bands:
             for cby in range(ny):
                 for cbx in range(nx):
-                    st = self.state[(bname, cbx, cby)]
+                    st = self.state[(bname, cbx0 + cbx, cby0 + cby)]
                     if st["included"]:
                         inc = r.bit()
                     else:
@@ -727,19 +759,23 @@ class _PrecinctState:
         return pos
 
     def blocks(self):
-        """→ [(band, cbx, cby, cbw, cbh, n_planes, n_passes, body)]
-        for every included code-block, chunks concatenated."""
-        cw, ch = 1 << self.cb_exp[0], 1 << self.cb_exp[1]
+        """→ [(band, x0, y0, cbw, cbh, n_planes, n_passes, body)] for
+        every included code-block — PIXEL offsets into the band array
+        (code-block grids are band-global; sizes honor the precinct's
+        effective code-block exponents), chunks concatenated."""
         out = []
-        for bname, bw, bh, nx, ny, _i, _z in self.bands:
+        for bname, bw, bh, cwe, che, cbx0, cby0, nx, ny, _i, _z \
+                in self.bands:
+            cw, ch = 1 << cwe, 1 << che
             for cby in range(ny):
                 for cbx in range(nx):
-                    st = self.state[(bname, cbx, cby)]
+                    gx, gy = cbx0 + cbx, cby0 + cby
+                    st = self.state[(bname, gx, gy)]
                     if not st["included"]:
                         continue
-                    cbw = min(cw, bw - cbx * cw)
-                    cbh = min(ch, bh - cby * ch)
-                    out.append((bname, cbx, cby, cbw, cbh,
+                    cbw = min(cw, bw - gx * cw)
+                    cbh = min(ch, bh - gy * ch)
+                    out.append((bname, gx * cw, gy * ch, cbw, cbh,
                                 st["n_planes"], st["n_passes"],
                                 b"".join(st["chunks"])))
         return out
@@ -969,8 +1005,8 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         raise NotImplementedError("mixed/deep component depths")
 
     scod = cod[0]
-    if scod & ~0x06:
-        raise NotImplementedError("JPEG2000 custom precincts")
+    if scod & ~0x07:
+        raise NotImplementedError(f"JPEG2000 Scod {scod:#x}")
     use_sop = bool(scod & 0x02)  # SOP marker segments (A.8.1)
     use_eph = bool(scod & 0x04)  # EPH markers (A.8.2)
     prog, layers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], \
@@ -998,6 +1034,14 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     transform = cod[9]  # 1 = 5/3 reversible, 0 = 9/7 irreversible
     if transform not in (0, 1):
         raise NotImplementedError(f"wavelet transform {transform}")
+    levels_ = cod[5]
+    if scod & 0x01:  # custom precinct sizes: one byte per resolution
+        if len(cod) < 10 + levels_ + 1:
+            raise ValueError("COD missing precinct size bytes")
+        pp = [(cod[10 + i] & 0x0F, cod[10 + i] >> 4)
+              for i in range(levels_ + 1)]
+    else:
+        pp = [(15, 15)] * (levels_ + 1)  # default: one huge precinct
 
     sqcd = qcd[0]
     qstyle = sqcd & 0x1F
@@ -1035,37 +1079,59 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             {(r, b[0]): np.zeros((b[2], b[1]), np.int64)
              for r, bands in enumerate(layout) for b in bands}
             for _ in range(ncomp)]
-        precincts = {
-            (c, r): _PrecinctState(layout[r], (cbw_exp, cbh_exp),
-                                   lambda bn, r=r: mb_map[(r, bn)])
-            for r in range(levels + 1) for c in range(ncomp)}
+        # resolution grid sizes (B.5): res r of an origin-0 tile is
+        # the tile downsampled levels-r times
+        rdims = [(tw, th)]
+        for _ in range(levels):
+            w_, h_ = rdims[-1]
+            rdims.append(((w_ + 1) // 2, (h_ + 1) // 2))
+        n_prec = {}
+        precincts = {}
+        for r in range(levels + 1):
+            rw_, rh_ = rdims[levels - r]
+            ppx, ppy = pp[r]
+            npx = max(1, -(-rw_ // (1 << ppx)))
+            npy = max(1, -(-rh_ // (1 << ppy)))
+            n_prec[r] = npx * npy
+            for c in range(ncomp):
+                precincts[(c, r)] = [
+                    _PrecinctState(
+                        _precinct_band_descs(layout[r], r,
+                                             (cbw_exp, cbh_exp),
+                                             ppx, ppy, px, py),
+                        lambda bn, r=r: mb_map[(r, bn)])
+                    for py in range(npy) for px in range(npx)]
         p = pos
-        # packet sequence per the COD progression (one precinct per
-        # resolution: the position loop is a no-op)
+        # packet sequence per the COD progression (precinct raster
+        # order within each resolution)
         if prog == 0:  # LRCP
-            seq = [(l_, r, c) for l_ in range(layers)
-                   for r in range(levels + 1) for c in range(ncomp)]
+            seq = [(l_, r, c, pi) for l_ in range(layers)
+                   for r in range(levels + 1) for c in range(ncomp)
+                   for pi in range(n_prec[r])]
         elif prog == 1:  # RLCP
-            seq = [(l_, r, c) for r in range(levels + 1)
-                   for l_ in range(layers) for c in range(ncomp)]
+            seq = [(l_, r, c, pi) for r in range(levels + 1)
+                   for l_ in range(layers) for c in range(ncomp)
+                   for pi in range(n_prec[r])]
         else:  # RPCL: R, P, C, L
-            seq = [(l_, r, c) for r in range(levels + 1)
-                   for c in range(ncomp) for l_ in range(layers)]
-        for layer, r, c in seq:
+            seq = [(l_, r, c, pi) for r in range(levels + 1)
+                   for pi in range(n_prec[r]) for c in range(ncomp)
+                   for l_ in range(layers)]
+        for layer, r, c, pi in seq:
             if use_sop and data[p:p + 2] == b"\xff\x91":
                 p += 6  # SOP segment: marker + Lsop(=4) + Nsop
-            p = precincts[(c, r)].decode_packet(data, p, layer,
-                                                eph=use_eph)
+            p = precincts[(c, r)][pi].decode_packet(data, p, layer,
+                                                    eph=use_eph)
         if p > end:
             raise ValueError("tile packet data overruns Psot")
-        for (c, r), prec in precincts.items():
-            for (bname, cbx, cby, cbw2, cbh2, n_planes, n_passes,
-                 body) in prec.blocks():
-                coefs = ebcot_decode_block(body, cbw2, cbh2, bname,
-                                           n_planes, n_passes)
-                y0, x0 = cby << cbh_exp, cbx << cbw_exp
-                comp_coefs[c][(r, bname)][y0:y0 + cbh2,
-                                          x0:x0 + cbw2] = coefs
+        for (c, r), plist in precincts.items():
+            for prec in plist:
+                for (bname, x0, y0, cbw2, cbh2, n_planes, n_passes,
+                     body) in prec.blocks():
+                    coefs = ebcot_decode_block(body, cbw2, cbh2,
+                                               bname, n_planes,
+                                               n_passes)
+                    comp_coefs[c][(r, bname)][y0:y0 + cbh2,
+                                              x0:x0 + cbw2] = coefs
         tplanes = []
         for c in range(ncomp):
             def band_of(r, bname, c=c):
@@ -1158,7 +1224,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                offsets: tuple[int, int] = (0, 0),
                tile_offsets: tuple[int, int] | None = None,
                progression: str = "LRCP",
-               sop_eph: bool = False) -> bytes:
+               sop_eph: bool = False,
+               precincts: tuple[int, int] | None = None) -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
@@ -1200,7 +1267,15 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
         mct = 0
     ncomp = len(planes)
     cbw_exp, cbh_exp = cblk_exp
-    cw, ch = 1 << cbw_exp, 1 << cbh_exp
+    # per-resolution precinct exponents; default = the spec's 2^15
+    # "whole tile" precinct (no Scod bit, no COD size bytes)
+    if precincts is not None:
+        ppx_, ppy_ = precincts
+        if not (2 <= ppx_ <= 15 and 2 <= ppy_ <= 15):
+            raise ValueError("precinct exponents out of range")
+        pp = [(ppx_, ppy_)] * (levels + 1)
+    else:
+        pp = [(15, 15)] * (levels + 1)
 
     fwd = dwt97_forward if irreversible else dwt53_forward
     quant: dict[str, tuple[int, int, float]] = {}
@@ -1224,23 +1299,46 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             return (np.sign(arr)
                     * np.floor(np.abs(arr) / d)).astype(np.int64)
 
-        per_rc: dict = {}
+        # precinct grids per resolution (identical math to the
+        # decoder; default 2^15 = one precinct per resolution)
+        rdims = [(tw, th)]
+        for _ in range(levels):
+            w_, h_ = rdims[-1]
+            rdims.append(((w_ + 1) // 2, (h_ + 1) // 2))
+        prec_grid = {}
         for r in range(levels + 1):
+            rw_, rh_ = rdims[levels - r]
+            ppx, ppy = pp[r]
+            prec_grid[r] = (max(1, -(-rw_ // (1 << ppx))),
+                            max(1, -(-rh_ // (1 << ppy))))
+
+        per_rcp: dict = {}
+        for r in range(levels + 1):
+            ppx, ppy = pp[r]
+            ppx_b = ppx - (1 if r > 0 else 0)
+            ppy_b = ppy - (1 if r > 0 else 0)
+            cwe = min(cbw_exp, ppx_b)
+            che = min(cbh_exp, ppy_b)
+            cw_, ch_ = 1 << cwe, 1 << che
+            npx, npy = prec_grid[r]
             for c in range(ncomp):
-                cb_grid = {}
-                entries = []
+                # encode every code-block of the (band-global) grid
+                # once at the EFFECTIVE block size, then split into
+                # precinct-local grids
+                blocks_by_key: dict = {}
+                mb_by_band: dict = {}
                 for bname, bw, bh in layout[r]:
                     if bw == 0 or bh == 0:
                         continue
-                    nx, ny = -(-bw // cw), -(-bh // ch)
+                    nx_t, ny_t = -(-bw // cw_), -(-bh // ch_)
                     mb = (_GUARD_BITS + quant[bname][0] - 1
                           if irreversible else _mb(depth, bname))
-                    cb_grid[bname] = (nx, ny, mb)
+                    mb_by_band[bname] = mb
                     arr = band_array(c, r, bname)
-                    for cby in range(ny):
-                        for cbx in range(nx):
-                            blk = arr[cby * ch:cby * ch + ch,
-                                      cbx * cw:cbx * cw + cw]
+                    for gy in range(ny_t):
+                        for gx in range(nx_t):
+                            blk = arr[gy * ch_:gy * ch_ + ch_,
+                                      gx * cw_:gx * cw_ + cw_]
                             body, n_planes, n_passes = \
                                 ebcot_encode_block(blk, bname)
                             if n_planes == 0:
@@ -1249,17 +1347,54 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                                 raise ValueError(
                                     "coefficient magnitude exceeds "
                                     "Mb — raise guard bits")
-                            entries.append((bname, cbx, cby, n_planes,
-                                            n_passes, body))
-                per_rc[(r, c)] = (cb_grid, entries)
+                            blocks_by_key[(bname, gx, gy)] = (
+                                n_planes, n_passes, body)
+                for py in range(npy):
+                    for px in range(npx):
+                        descs = _precinct_band_descs(
+                            layout[r], r, (cbw_exp, cbh_exp),
+                            ppx, ppy, px, py)
+                        cb_grid = {}
+                        entries = []
+                        for (bname, bw, bh, _cwe, _che, cbx0, cbx1,
+                             cby0, cby1) in descs:
+                            cb_grid[bname] = (cbx1 - cbx0,
+                                              cby1 - cby0,
+                                              mb_by_band[bname])
+                            for gy in range(cby0, cby1):
+                                for gx in range(cbx0, cbx1):
+                                    e = blocks_by_key.get(
+                                        (bname, gx, gy))
+                                    if e is None:
+                                        continue
+                                    entries.append(
+                                        (bname, gx - cbx0, gy - cby0,
+                                         e[0], e[1], e[2]))
+                        per_rcp[(r, c, py * npx + px)] = (cb_grid,
+                                                          entries)
+
+        # packet sequence mirrors the decoder's progression exactly
+        n_prec = {r: prec_grid[r][0] * prec_grid[r][1]
+                  for r in range(levels + 1)}
+        if progression == "LRCP":
+            seq = [(l_, r, c, pi) for l_ in range(n_layers)
+                   for r in range(levels + 1) for c in range(ncomp)
+                   for pi in range(n_prec[r])]
+        elif progression == "RLCP":
+            seq = [(l_, r, c, pi) for r in range(levels + 1)
+                   for l_ in range(n_layers) for c in range(ncomp)
+                   for pi in range(n_prec[r])]
+        else:  # RPCL
+            seq = [(l_, r, c, pi) for r in range(levels + 1)
+                   for pi in range(n_prec[r]) for c in range(ncomp)
+                   for l_ in range(n_layers)]
 
         packets = []
         if n_layers == 1:
-            for r in range(levels + 1):
-                for c in range(ncomp):
-                    cb_grid, entries = per_rc[(r, c)]
-                    packets.append(_encode_packet(entries, cb_grid,
-                                                  eph=sop_eph))
+            for _l, r, c, pi in seq:
+                cb_grid, entries = per_rcp[(r, c, pi)]
+                packets.append(_encode_packet(entries, cb_grid,
+                                              eph=sop_eph))
         else:
             # multi-layer: each block first-included at
             # (index % n_layers); the first layer-0 block with ≥2
@@ -1268,7 +1403,7 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             # quality-progressive encoders emit)
             encs: dict = {}
             plan: dict = {}
-            for (r, c), (cb_grid, entries) in per_rc.items():
+            for (r, c, pi), (cb_grid, entries) in per_rcp.items():
                 first_layer = {}
                 zbp_values = {}
                 split_done = False
@@ -1289,26 +1424,13 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                         split_done = True
                     else:
                         contribs[lay][key] = (n_passes, body)
-                encs[(r, c)] = _PrecinctEncoder(cb_grid, first_layer,
-                                                zbp_values)
-                plan[(r, c)] = contribs
-            # packet sequence per the progression (single precinct per
-            # resolution: the position loop is a no-op)
-            if progression == "LRCP":
-                seq = [(l_, r, c) for l_ in range(n_layers)
-                       for r in range(levels + 1)
-                       for c in range(ncomp)]
-            elif progression == "RLCP":
-                seq = [(l_, r, c) for r in range(levels + 1)
-                       for l_ in range(n_layers)
-                       for c in range(ncomp)]
-            else:  # RPCL: R, P, C, L
-                seq = [(l_, r, c) for r in range(levels + 1)
-                       for c in range(ncomp)
-                       for l_ in range(n_layers)]
-            for layer, r, c in seq:
-                packets.append(encs[(r, c)].encode_packet(
-                    layer, plan[(r, c)][layer], eph=sop_eph))
+                encs[(r, c, pi)] = _PrecinctEncoder(cb_grid,
+                                                    first_layer,
+                                                    zbp_values)
+                plan[(r, c, pi)] = contribs
+            for layer, r, c, pi in seq:
+                packets.append(encs[(r, c, pi)].encode_packet(
+                    layer, plan[(r, c, pi)][layer], eph=sop_eph))
         if sop_eph:
             # SOP marker segment before every packet (A.8.1):
             # marker + Lsop(=4) + per-tile sequence number mod 65536
@@ -1342,11 +1464,14 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
     for _ in range(ncomp):
         siz += bytes([depth - 1, 1, 1])
     cs += b"\xff\x51" + siz
-    cod = struct.pack(">HBBHBBBBBB", 12, 0x06 if sop_eph else 0,
+    scod_ = (0x06 if sop_eph else 0) | (0x01 if precincts else 0)
+    prec_bytes = (bytes((px | (py << 4)) for px, py in pp)
+                  if precincts else b"")
+    cod = struct.pack(">HBBHBBBBBB", 12 + len(prec_bytes), scod_,
                       _PROG_IDS[progression],
                       n_layers, mct, levels,
                       cbw_exp - 2, cbh_exp - 2, 0,
-                      0 if irreversible else 1)
+                      0 if irreversible else 1) + prec_bytes
     cs += b"\xff\x52" + cod
     n_sub = 3 * levels + 1
     if irreversible:  # scalar expounded (style 2), 16-bit entries

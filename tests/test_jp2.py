@@ -275,8 +275,8 @@ def test_jp2_sop_eph_markers():
     header markers (A.8.2) — the resilience markers Kakadu-style
     encoders emit by default: Scod bits 1/2, a 6-byte SOP before every
     packet, EPH between header and body. Bit-exact composed with
-    multi-layer, multi-tile, offsets and RPCL; custom precincts
-    (Scod bit 0) still raise named."""
+    multi-layer, multi-tile, offsets and RPCL; a truncated COD that
+    sets the precinct bit without precinct bytes raises."""
     import struct
 
     from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
@@ -297,8 +297,51 @@ def test_jp2_sop_eph_markers():
     assert (decode_jp2(encode_jp2(rgb, sop_eph=True, n_layers=2,
                                   progression="RPCL",
                                   offsets=(4, 4))) == rgb).all()
-    # precincts stay a named seam
+    # the precinct bit without the per-resolution size bytes is a
+    # malformed COD, not a seam (precincts decode for real now)
     bad = bytearray(blob)
     bad[cod_at + 4] = 0x01
-    with pytest.raises(NotImplementedError, match="precinct"):
+    with pytest.raises(ValueError, match="precinct size"):
         decode_jp2(bytes(bad))
+
+
+def test_jp2_custom_precincts():
+    """Custom precinct partitions (Scod bit 0, per-resolution PPx/PPy
+    in COD): multiple precincts per resolution each carry their own
+    packets with precinct-local tag trees; position loops in every
+    progression become real; precinct-in-band smaller than the
+    code-block shrinks the effective block size (B.7). Bit-exact
+    composed with layers, tiles, offsets, SOP/EPH and the lossy
+    path; the default (no Scod bit) stays the single 2^15 precinct."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (70, 100), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    blob = encode_jp2(img, precincts=(5, 5), cblk_exp=(4, 4),
+                      jp2_container=False)
+    cod_at = blob.find(b"\xff\x52")
+    assert blob[cod_at + 4] & 0x01  # Scod precinct bit
+    # COD carries levels+1 precinct size bytes (PPx | PPy<<4)
+    assert blob[cod_at + 12 + 2] == (5 | (5 << 4))
+    assert (decode_jp2(blob)[:, :, 0] == img).all()
+    for p in ("LRCP", "RLCP", "RPCL"):
+        out = decode_jp2(encode_jp2(rgb, precincts=(5, 5),
+                                    cblk_exp=(4, 4), n_layers=3,
+                                    progression=p))
+        assert (out == rgb).all(), p
+    # tiles + offsets + precincts
+    out = decode_jp2(encode_jp2(rgb, precincts=(4, 4),
+                                cblk_exp=(3, 3), tile_size=64,
+                                offsets=(4, 4)))
+    assert (out == rgb).all()
+    # precinct smaller than nominal code-block → effective shrink
+    out = decode_jp2(encode_jp2(img, precincts=(3, 3),
+                                cblk_exp=(5, 5)))
+    assert (out[:, :, 0] == img).all()
+    # asymmetric precincts + SOP/EPH + lossy
+    out = decode_jp2(encode_jp2(rgb, precincts=(5, 4),
+                                irreversible=True, sop_eph=True,
+                                n_layers=2))
+    mse = ((out.astype(float) - rgb) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 40
