@@ -530,9 +530,6 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
     template = (flags >> 1) & 3
     enableskip = (flags >> 3) & 1
     defpixel = (flags >> 7) & 1
-    if enableskip:
-        raise NotImplementedError(
-            "JBIG2 halftone HENABLESKIP; plug a real JBIG2 library in")
     hgw, hgh = struct.unpack_from(">II", payload, 18)
     hgx, hgy = struct.unpack_from(">ii", payload, 26)
     hrx, hry = struct.unpack_from(">HH", payload, 34)
@@ -540,6 +537,22 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
         raise ValueError("halftone region without pattern dictionary")
     hph, hpw = patterns[0].shape
     n_bits = max((len(patterns) - 1).bit_length(), 1)
+    # HENABLESKIP (6.6.5.1): grid cells whose pattern placement falls
+    # entirely outside the region are never decoded (bitplane pixels
+    # forced 0) — the rotated/skewed-grid optimization
+    skip = None
+    if enableskip:
+        skip = np.zeros((hgh, hgw), np.uint8)
+        for mg in range(hgh):
+            for ng in range(hgw):
+                x = (hgx + mg * hry + ng * hrx) >> 8
+                y = (hgy + mg * hrx - ng * hry) >> 8
+                if x + hpw <= 0 or x >= rw or y + hph <= 0 or y >= rh:
+                    skip[mg, ng] = 1
+    if enableskip and mmr:
+        raise NotImplementedError(
+            "JBIG2 halftone HENABLESKIP with HMMR (T.6 has no skip "
+            "path)")
     gray = np.zeros((hgh, hgw), np.int64)
     prev = np.zeros((hgh, hgw), np.int64)
     if mmr:
@@ -567,6 +580,8 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
             plane = np.zeros((hgh, hgw), np.uint8)
             for y in range(hgh):
                 for x in range(hgw):
+                    if skip is not None and skip[y, x]:
+                        continue  # skipped pixel: 0, never decoded
                     plane[y, x] = dec.decode(icx, mps,
                                              ctx(plane, x, y))
             bit = plane ^ prev  # Gray code: b_j = plane_j XOR b_{j+1}
@@ -590,13 +605,29 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
 def encode_halftone_region(w: int, h: int, gray: np.ndarray,
                            patterns: list[np.ndarray],
                            template: int = 0,
-                           mmr: bool = False) -> bytes:
+                           mmr: bool = False,
+                           grid_offset: tuple[int, int] = (0, 0),
+                           enableskip: bool = False) -> bytes:
     """Inverse of decode_halftone_region: axis-aligned grid with
     spacing = pattern width (the standard halftoning layout), gray
     values in [0, len(patterns)). mmr=True codes the Gray-coded
-    bitplanes as one continuous T.6 stream (HMMR=1)."""
+    bitplanes as one continuous T.6 stream (HMMR=1). grid_offset
+    (pixels, may be negative) shifts the grid origin; enableskip sets
+    HENABLESKIP so fully-out-of-region cells are never coded."""
     hph, hpw = patterns[0].shape
     hgh, hgw = gray.shape
+    gx_px, gy_px = grid_offset
+    hgx, hgy = gx_px << 8, gy_px << 8
+    hrx, hry = hpw << 8, 0
+    skip = None
+    if enableskip:
+        skip = np.zeros((hgh, hgw), np.uint8)
+        for mg in range(hgh):
+            for ng in range(hgw):
+                x = (hgx + mg * hry + ng * hrx) >> 8
+                y = (hgy + mg * hrx - ng * hry) >> 8
+                if x + hpw <= 0 or x >= w or y + hph <= 0 or y >= h:
+                    skip[mg, ng] = 1
     n_bits = max((len(patterns) - 1).bit_length(), 1)
     planes = []
     prev = np.zeros((hgh, hgw), np.int64)
@@ -605,6 +636,9 @@ def encode_halftone_region(w: int, h: int, gray: np.ndarray,
         planes.append((bit ^ prev).astype(np.uint8))
         prev = bit
     if mmr:
+        if enableskip:
+            raise NotImplementedError(
+                "HENABLESKIP with HMMR (T.6 has no skip path)")
         from .ccittcodec import g4_encode
         tall = np.concatenate(planes, axis=0)
         body = g4_encode(np.where(tall == 1, 0, 255).astype(np.uint8))
@@ -616,17 +650,22 @@ def encode_halftone_region(w: int, h: int, gray: np.ndarray,
         mps = np.zeros(n_ctx, np.int64)
         enc = MQEncoder()
         for plane in planes:
+            if skip is not None:
+                plane = np.where(skip == 1, np.uint8(0), plane)
             for y in range(hgh):
                 for x in range(hgw):
+                    if skip is not None and skip[y, x]:
+                        continue
                     enc.encode(icx, mps, ctx(plane, x, y),
                                int(plane[y, x]))
         body = enc.flush()
-    flags = ((template & 3) << 1) | (1 if mmr else 0)
+    flags = (((template & 3) << 1) | (1 if mmr else 0)
+             | (8 if enableskip else 0))
     return (struct.pack(">IIII", w, h, 0, 0) + b"\x00"
             + bytes([flags])
             + struct.pack(">II", hgw, hgh)
-            + struct.pack(">ii", 0, 0)
-            + struct.pack(">HH", hpw << 8, 0)
+            + struct.pack(">ii", hgx, hgy)
+            + struct.pack(">HH", hrx, hry)
             + body)
 
 

@@ -528,3 +528,27 @@ def test_mmr_halftone_grayscale():
     a = jbig2_decode_embedded(jbig2_encode_halftone(img))
     b = jbig2_decode_embedded(jbig2_encode_halftone(img, mmr=True))
     assert (a == b).all()
+
+
+def test_halftone_henableskip():
+    """HENABLESKIP (6.6.5.1): grid cells whose pattern placement falls
+    entirely outside the region are never coded — bitplane pixels
+    forced 0 on both sides. Composite identical to the no-skip encode
+    of the same shifted grid, with a strictly smaller stream."""
+    import numpy as np
+    from effocr_spark.synth.jbig2codec import (decode_halftone_region,
+                                               encode_halftone_region,
+                                               make_dither_patterns)
+
+    rng = np.random.default_rng(22)
+    pats = make_dither_patterns(8, 4)
+    gray = rng.integers(0, 8, (10, 14))
+    with_skip = encode_halftone_region(48, 32, gray, pats,
+                                       grid_offset=(-4, -4),
+                                       enableskip=True)
+    without = encode_halftone_region(48, 32, gray, pats,
+                                     grid_offset=(-4, -4))
+    _, _, _, _, bm_a = decode_halftone_region(with_skip, pats)
+    _, _, _, _, bm_b = decode_halftone_region(without, pats)
+    assert (bm_a == bm_b).all()
+    assert len(with_skip) < len(without)
