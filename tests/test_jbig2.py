@@ -374,9 +374,10 @@ def test_halftone_seams_named():
 
     pd = encode_pattern_dict(make_dither_patterns(4, 4))
     page_info = struct.pack(">IIII", 16, 16, 0, 0) + b"\x01\x00\x00"
-    # HENABLESKIP flag set → named seam
+    # HENABLESKIP decodes for real now; the remaining named seam in
+    # this family is skip COMBINED with MMR (T.6 has no skip path)
     ht = (struct.pack(">IIII", 16, 16, 0, 0) + b"\x00"
-          + bytes([0x08]) + struct.pack(">II", 4, 4)
+          + bytes([0x09]) + struct.pack(">II", 4, 4)
           + struct.pack(">ii", 0, 0) + struct.pack(">HH", 4 << 8, 0))
     blob = (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
             + page_info
