@@ -668,6 +668,52 @@ def _write_npasses(w: _HdrWriter, n: int) -> None:
         w.write(n - 37, 7)
 
 
+def _packet_sequence(prog: int, layers: int, levels: int,
+                     ncomp: int, pp: list,
+                     prec_grid: dict) -> list:
+    """Packet order (l, r, c, pi) for every supported progression
+    (B.12). Positions are precinct raster indices within a resolution;
+    for the position-major orders (RPCL/PCRL/CPRL) precincts sort by
+    their TILE-coordinate origin (res origin × 2^(levels−r)), the
+    spec's spatial interleave."""
+    if prog == 0:  # LRCP
+        return [(l_, r, c, pi) for l_ in range(layers)
+                for r in range(levels + 1) for c in range(ncomp)
+                for pi in range(prec_grid[r][0] * prec_grid[r][1])]
+    if prog == 1:  # RLCP
+        return [(l_, r, c, pi) for r in range(levels + 1)
+                for l_ in range(layers) for c in range(ncomp)
+                for pi in range(prec_grid[r][0] * prec_grid[r][1])]
+    if prog == 2:  # RPCL
+        return [(l_, r, c, pi) for r in range(levels + 1)
+                for pi in range(prec_grid[r][0] * prec_grid[r][1])
+                for c in range(ncomp) for l_ in range(layers)]
+    # PCRL / CPRL: spatially-interleaved positions across resolutions
+    items = []
+    for r in range(levels + 1):
+        npx, npy = prec_grid[r]
+        scale = 1 << (levels - r)
+        for py in range(npy):
+            for px in range(npx):
+                ox = (px << pp[r][0]) * scale
+                oy = (py << pp[r][1]) * scale
+                items.append((oy, ox, r, py * npx + px))
+    if prog == 3:  # PCRL: Position, Component, Resolution, Layer
+        by_pos: dict = {}
+        for oy, ox, r, pi in sorted(items):
+            by_pos.setdefault((oy, ox), []).append((r, pi))
+        return [(l_, r, c, pi)
+                for pos_ in sorted(by_pos)
+                for c in range(ncomp)
+                for r, pi in by_pos[pos_]
+                for l_ in range(layers)]
+    if prog == 4:  # CPRL: Component, Position, Resolution, Layer
+        return [(l_, r, c, pi) for c in range(ncomp)
+                for oy, ox, r, pi in sorted(items)
+                for l_ in range(layers)]
+    raise NotImplementedError(f"progression order {prog}")
+
+
 def _precinct_band_descs(layout_r: list, r: int,
                          cb_exp: tuple[int, int], ppx: int, ppy: int,
                          px: int, py: int) -> list:
@@ -1011,9 +1057,8 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     use_eph = bool(scod & 0x04)  # EPH markers (A.8.2)
     prog, layers, mct = cod[1], struct.unpack_from(">H", cod, 2)[0], \
         cod[4]
-    if prog not in (0, 1, 2):  # LRCP / RLCP / RPCL
-        raise NotImplementedError(
-            "PCRL/CPRL progression orders")
+    if prog not in (0, 1, 2, 3, 4):
+        raise NotImplementedError(f"progression order {prog}")
     if not 1 <= layers <= 64:
         raise NotImplementedError(f"{layers} quality layers")
     levels = cod[5]
@@ -1102,20 +1147,12 @@ def _decode_codestream(data: bytes) -> np.ndarray:
                         lambda bn, r=r: mb_map[(r, bn)])
                     for py in range(npy) for px in range(npx)]
         p = pos
-        # packet sequence per the COD progression (precinct raster
-        # order within each resolution)
-        if prog == 0:  # LRCP
-            seq = [(l_, r, c, pi) for l_ in range(layers)
-                   for r in range(levels + 1) for c in range(ncomp)
-                   for pi in range(n_prec[r])]
-        elif prog == 1:  # RLCP
-            seq = [(l_, r, c, pi) for r in range(levels + 1)
-                   for l_ in range(layers) for c in range(ncomp)
-                   for pi in range(n_prec[r])]
-        else:  # RPCL: R, P, C, L
-            seq = [(l_, r, c, pi) for r in range(levels + 1)
-                   for pi in range(n_prec[r]) for c in range(ncomp)
-                   for l_ in range(layers)]
+        seq = _packet_sequence(prog, layers, levels, ncomp, pp,
+                               {r: (max(1, -(-rdims[levels - r][0]
+                                            // (1 << pp[r][0]))),
+                                    max(1, -(-rdims[levels - r][1]
+                                            // (1 << pp[r][1]))))
+                                for r in range(levels + 1)})
         for layer, r, c, pi in seq:
             if use_sop and data[p:p + 2] == b"\xff\x91":
                 p += 6  # SOP segment: marker + Lsop(=4) + Nsop
@@ -1211,7 +1248,7 @@ def _quant_params(delta: float, rb: int) -> tuple[int, int]:
     return eps, max(0, mu)
 
 
-_PROG_IDS = {"LRCP": 0, "RLCP": 1, "RPCL": 2}
+_PROG_IDS = {"LRCP": 0, "RLCP": 1, "RPCL": 2, "PCRL": 3, "CPRL": 4}
 
 
 def encode_jp2(img: np.ndarray, levels: int = 2,
@@ -1374,20 +1411,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                                                           entries)
 
         # packet sequence mirrors the decoder's progression exactly
-        n_prec = {r: prec_grid[r][0] * prec_grid[r][1]
-                  for r in range(levels + 1)}
-        if progression == "LRCP":
-            seq = [(l_, r, c, pi) for l_ in range(n_layers)
-                   for r in range(levels + 1) for c in range(ncomp)
-                   for pi in range(n_prec[r])]
-        elif progression == "RLCP":
-            seq = [(l_, r, c, pi) for r in range(levels + 1)
-                   for l_ in range(n_layers) for c in range(ncomp)
-                   for pi in range(n_prec[r])]
-        else:  # RPCL
-            seq = [(l_, r, c, pi) for r in range(levels + 1)
-                   for pi in range(n_prec[r]) for c in range(ncomp)
-                   for l_ in range(n_layers)]
+        seq = _packet_sequence(_PROG_IDS[progression], n_layers,
+                               levels, ncomp, pp, prec_grid)
 
         packets = []
         if n_layers == 1:

@@ -105,8 +105,8 @@ def test_jp2_unsupported_features_raise_named():
     with pytest.raises(NotImplementedError, match="transform"):
         decode_jp2(bytes(badt))
     prog = bytearray(blob)
-    prog[cod_at + 2 + 2 + 1] = 3  # progression order → PCRL (seam;
-    # LRCP/RLCP/RPCL decode for real)
+    prog[cod_at + 2 + 2 + 1] = 5  # out-of-range progression id (all
+    # five real orders LRCP/RLCP/RPCL/PCRL/CPRL decode now)
     with pytest.raises(NotImplementedError, match="progression"):
         decode_jp2(bytes(prog))
     with pytest.raises(ValueError):
@@ -345,3 +345,29 @@ def test_jp2_custom_precincts():
                                 n_layers=2))
     mse = ((out.astype(float) - rgb) ** 2).mean()
     assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 40
+
+
+def test_jp2_pcrl_cprl_progressions():
+    """The position-major progressions (PCRL/CPRL, B.12): precincts
+    interleave spatially across resolutions by tile-coordinate origin
+    (res origin × 2^(levels−r)). Bit-exact with multi-layer, custom
+    precincts, tiles and SOP/EPH; COD byte carries ids 3/4."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (70, 100), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    for p, pid in (("PCRL", 3), ("CPRL", 4)):
+        blob = encode_jp2(img, progression=p, n_layers=2,
+                          jp2_container=False)
+        cod_at = blob.find(b"\xff\x52")
+        assert blob[cod_at + 4 + 1] == pid
+        assert (decode_jp2(blob)[:, :, 0] == img).all(), p
+        out = decode_jp2(encode_jp2(rgb, progression=p,
+                                    precincts=(5, 5), cblk_exp=(4, 4),
+                                    n_layers=3))
+        assert (out == rgb).all(), p
+        out = decode_jp2(encode_jp2(rgb, progression=p,
+                                    precincts=(4, 4), cblk_exp=(3, 3),
+                                    tile_size=64, sop_eph=True))
+        assert (out == rgb).all(), p
