@@ -980,6 +980,13 @@ def q_extract_pdf_scanned(spark, sf_dir):
     rows.append(("pdf://jpx/offs", None, bytearray(
         make_jpx_pdf([render_line(jpx3)[0]], jp2_offsets=(8, 8),
                      n_layers=2, progression="RPCL")), None, "en"))
+    # custom precincts + spatially-interleaved PCRL progression +
+    # SOP/EPH would be overkill in one row — precincts/PCRL here, the
+    # resilience markers are pinned in tests
+    jpx4 = _en_ocr_line(_rng(999403, 0), 4)
+    rows.append(("pdf://jpx/prec", None, bytearray(
+        make_jpx_pdf([render_line(jpx4)[0]], precincts=(5, 5),
+                     n_layers=2, progression="PCRL")), None, "en"))
     jpx2 = _en_ocr_line(_rng(999401, 0), 4)
     rows.append(("pdf://jpx/tiled", None, bytearray(
         make_jpx_pdf([render_line(jpx2)[0]], levels=1, tile_size=64)),
@@ -1099,6 +1106,12 @@ def q_jpeg_features(spark, sf_dir):
     rows.append((20, bytearray(encode_jp2(img, levels=2,
                                           offsets=(8, 4), n_layers=2,
                                           progression="RPCL"))))
+    # custom precincts + CPRL + SOP/EPH markers — still lossless
+    rows.append((21, bytearray(encode_jp2(img, levels=2,
+                                          precincts=(5, 5),
+                                          cblk_exp=(4, 4), n_layers=2,
+                                          progression="CPRL",
+                                          sop_eph=True))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
     df = spark.createDataFrame(rows, "id long, media binary")
     out = media_features(df)

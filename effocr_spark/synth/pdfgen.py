@@ -970,7 +970,8 @@ def make_jpx_pdf(images: list["object"],
                  tile_size: int | None = None,
                  jp2_offsets: tuple[int, int] = (0, 0),
                  n_layers: int = 1,
-                 progression: str = "LRCP") -> bytes:
+                 progression: str = "LRCP",
+                 precincts: tuple[int, int] | None = None) -> bytes:
     """Scanned-document PDF with JPEG2000 image XObjects (/JPXDecode —
     the Internet-Archive-era digitization shape). images = HxW or
     HxWx3 uint8 arrays; each becomes one full-page losslessly-coded
@@ -995,7 +996,8 @@ def make_jpx_pdf(images: list["object"],
                           jp2_container=jp2_container,
                           tile_size=tile_size,
                           offsets=jp2_offsets, n_layers=n_layers,
-                          progression=progression)
+                          progression=progression,
+                          precincts=precincts)
         cs = "/DeviceRGB" if img.ndim == 3 else "/DeviceGray"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
