@@ -145,3 +145,38 @@ def test_jbig2_huffman_tables_property(seed):
         tab.encode(w, v)
     r = BitReader(w.getvalue())
     assert [tab.decode(r) for _ in vals] == vals
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=12, deadline=None)
+def test_jp2_full_surface_property(seed):
+    """Property: random size/content/levels/layers/progression/
+    precincts/offsets/SOP-EPH all compose bit-exactly on the
+    reversible path."""
+    import numpy as np
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(8, 60))
+    w = int(rng.integers(8, 60))
+    color = bool(rng.integers(0, 2))
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    levels = int(rng.integers(1, 4))
+    prog = ["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"][
+        int(rng.integers(0, 5))]
+    kw = dict(levels=levels, cblk_exp=(4, 4),
+              n_layers=int(rng.integers(1, 4)), progression=prog,
+              sop_eph=bool(rng.integers(0, 2)))
+    if rng.integers(0, 2):
+        kw["precincts"] = (int(rng.integers(3, 6)),
+                           int(rng.integers(3, 6)))
+    if rng.integers(0, 2):
+        a = 1 << levels
+        kw["offsets"] = (a * int(rng.integers(0, 4)),
+                         a * int(rng.integers(0, 4)))
+    out = decode_jp2(encode_jp2(img, **kw))
+    if color:
+        assert (out == img).all(), kw
+    else:
+        assert (out[:, :, 0] == img).all(), kw
