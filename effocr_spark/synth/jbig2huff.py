@@ -453,8 +453,10 @@ def decode_huffman_text_region(payload: bytes,
                                custom: list[HuffTable]
                                ) -> tuple[int, int, int, int,
                                           np.ndarray]:
-    """SBHUFF=1 text region → (x, y, w, h, bitmap). Non-transposed,
-    non-refined; CURT read as raw LOGSBSTRIPS bits; symbol IDs via the
+    """SBHUFF=1 text region → (x, y, w, h, bitmap). REFINE (6.4.11:
+    per-instance RI bit, RDW/RDH/RDX/RDY tables, byte-aligned MQ
+    refinement of BMSIZE bytes) and TRANSPOSED placement decode;
+    CURT read as raw LOGSBSTRIPS bits; symbol IDs via the
     runcode-built table."""
     rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
     flags = struct.unpack_from(">H", payload, 17)[0]
@@ -466,10 +468,7 @@ def decode_huffman_text_region(payload: bytes,
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    if refine or transposed:
-        raise NotImplementedError(
-            "JBIG2 huffman text region with REFINE/TRANSPOSED; plug a "
-            "real JBIG2 library in")
+    sbrtemplate = (flags >> 15) & 1
     hflags = struct.unpack_from(">H", payload, 19)[0]
     cursor = [0]
     fs_tab = _select(hflags & 3, 6, None, custom, cursor, "SBHUFFFS")
@@ -485,11 +484,35 @@ def decode_huffman_text_region(payload: bytes,
         raise NotImplementedError(
             "JBIG2 SBHUFFDT standard table B.11; supply a custom "
             "code-table segment or plug a real JBIG2 library in")
+    rdw_tab = rdh_tab = rdx_tab = rdy_tab = rsize_tab = None
+    if refine:
+        # 6.4.11 under SBHUFF: per-instance RDW/RDH/RDX/RDY via the
+        # selected tables (B.14/B.15 stay named seams; custom type-53
+        # tables — what this fixture family ships — decode for real),
+        # BMSIZE via SBHUFFRSIZE (B.1 or custom), refinement data MQ-
+        # coded at a byte boundary
+        rdw_tab = _select((hflags >> 6) & 3, 14, 15, custom, cursor,
+                          "SBHUFFRDW")
+        rdh_tab = _select((hflags >> 8) & 3, 14, 15, custom, cursor,
+                          "SBHUFFRDH")
+        rdx_tab = _select((hflags >> 10) & 3, 14, 15, custom, cursor,
+                          "SBHUFFRDX")
+        rdy_tab = _select((hflags >> 12) & 3, 14, 15, custom, cursor,
+                          "SBHUFFRDY")
+        rsize_tab = (_select(3, 1, None, custom, cursor,
+                             "SBHUFFRSIZE")
+                     if (hflags >> 14) & 1 else standard_table(1))
     sbstrips = 1 << logsbstrips
-    n_inst = struct.unpack_from(">I", payload, 21)[0]
+    pos0 = 21
+    rat = None
+    if refine and sbrtemplate == 0:
+        rat = [tuple(struct.unpack_from(">bb", payload, pos0)),
+               tuple(struct.unpack_from(">bb", payload, pos0 + 2))]
+        pos0 += 4
+    n_inst = struct.unpack_from(">I", payload, pos0)[0]
     if not symbols:
         raise ValueError("text region without symbol dictionary")
-    r = BitReader(payload, 25)
+    r = BitReader(payload, pos0 + 4)
     sym_tab = decode_symbol_id_table(r, len(symbols))
     bm = np.full((rh, rw), sbdefpixel, np.uint8)
     stript = -(dt_tab.decode(r)) * sbstrips
@@ -522,14 +545,40 @@ def decode_huffman_text_region(payload: bytes,
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
             hs, ws = sym.shape
-            x0 = curs
-            y0 = tt if refcorner in (1, 3) else tt - hs + 1
+            if refine and r.read_bit():
+                rdw = rdw_tab.decode(r)
+                rdh = rdh_tab.decode(r)
+                rdx = rdx_tab.decode(r)
+                rdy = rdy_tab.decode(r)
+                bmsize = rsize_tab.decode(r)
+                if OOB in (rdw, rdh, rdx, rdy, bmsize):
+                    raise ValueError("OOB refinement field")
+                nw, nh = ws + rdw, hs + rdh
+                if nw <= 0 or nh <= 0 or bmsize <= 0:
+                    raise ValueError("bad refinement dims/size")
+                r.byte_align()
+                start = r.byte_pos
+                from .jbig2codec import refinement_region_decode
+                # 6.4.11: GRREFERENCEDX = floor(RDW/2) + RDX
+                sym = refinement_region_decode(
+                    payload[start:start + bmsize], nw, nh, sym,
+                    template=sbrtemplate, dx=(rdw >> 1) + rdx,
+                    dy=(rdh >> 1) + rdy, at=rat)
+                r.skip_bytes(bmsize)
+                hs, ws = nh, nw
+            if transposed:
+                # S advances along y; the corner picks the x anchor
+                y0 = curs
+                x0 = tt if refcorner in (0, 1) else tt - ws + 1
+            else:
+                x0 = curs
+                y0 = tt if refcorner in (1, 3) else tt - hs + 1
             xx0, yy0 = max(x0, 0), max(y0, 0)
             xx1, yy1 = min(x0 + ws, rw), min(y0 + hs, rh)
             if xx0 < xx1 and yy0 < yy1:
                 bm[yy0:yy1, xx0:xx1] |= sym[yy0 - y0:yy1 - y0,
                                             xx0 - x0:xx1 - x0]
-            curs += ws - 1
+            curs += (hs if transposed else ws) - 1
             ninst += 1
             if ninst > n_inst:
                 raise ValueError("more instances than declared")
@@ -574,12 +623,25 @@ def encode_huffman_symbol_dict(symbols: list[np.ndarray]) -> bytes:
 
 def encode_huffman_text_region(w_px: int, h_px: int,
                                instances: list[tuple[int, int, int]],
-                               symbols: list[np.ndarray]
+                               symbols: list[np.ndarray],
+                               refinements: dict | None = None
                                ) -> tuple[bytes, list[bytes]]:
     """instances = [(x, y, sym_id)] placed TOPLEFT, SBSTRIPS=1 →
     (SBHUFF=1 type-7 payload, [custom table segment payloads]).
     FS = standard B.6; DS and DT = CUSTOM tables (type-53 segments,
-    emitted in that consumption order)."""
+    emitted in that consumption order). refinements maps an
+    (x, y, sym_id) instance to its REFINED target bitmap: the
+    instance carries RI=1, RDW/RDH via custom tables (RDX=RDY=0),
+    BMSIZE via standard B.1 and a byte-aligned MQ refinement stream
+    (SBRTEMPLATE 0 + nominal AT) — the 6.4.11 huffman-mode shape."""
+    from .jbig2codec import _REF_NOMINAL_AT, refinement_region_encode
+
+    refinements = refinements or {}
+
+    def inst_width(x, y, sid):
+        t = refinements.get((x, y, sid))
+        return t.shape[1] if t is not None else symbols[sid].shape[1]
+
     by_t: dict[int, list[tuple[int, int]]] = {}
     for x, y, sid in instances:
         by_t.setdefault(y, []).append((x, sid))
@@ -593,7 +655,7 @@ def encode_huffman_text_region(w_px: int, h_px: int,
         for x, sid in row:
             if curs is not None:
                 max_ds = max(max_ds, x - curs)
-            curs = x + symbols[sid].shape[1] - 1
+            curs = x + inst_width(x, t, sid) - 1
     # custom DS table: one line covering [0, 2^k), OOB ends strips
     ds_bits = max(max_ds.bit_length(), 1)
     ds_payload = encode_code_table([(1, ds_bits)], 0, oob_preflen=1)
@@ -603,6 +665,21 @@ def encode_huffman_text_region(w_px: int, h_px: int,
     dt_payload = encode_code_table([(1, dt_bits)], 0)
     dt_tab = parse_code_table(dt_payload)
     fs_tab = standard_table(6)
+    table_payloads = [ds_payload, dt_payload]
+    rd_tabs = []
+    if refinements:
+        deltas = [0]
+        for (x, y, sid), tgt in refinements.items():
+            deltas.append(tgt.shape[1] - symbols[sid].shape[1])
+            deltas.append(tgt.shape[0] - symbols[sid].shape[0])
+        low = min(deltas)
+        span = max(deltas) - low + 1
+        rd_bits = max(span.bit_length(), 1)
+        for _ in range(4):  # RDW, RDH, RDX, RDY consumption order
+            pl = encode_code_table([(1, rd_bits)], low)
+            table_payloads.append(pl)
+            rd_tabs.append(parse_code_table(pl))
+        rsize_tab = standard_table(1)
 
     w = BitWriter()
     sym_tab = encode_symbol_id_table(w, len(symbols))
@@ -625,21 +702,45 @@ def encode_huffman_text_region(w_px: int, h_px: int,
                 ds_tab.encode(w, x - curs)
                 curs = x
             sym_tab.encode(w, sid)
-            curs += symbols[sid].shape[1] - 1
+            if refinements:
+                tgt = refinements.get((x, t, sid))
+                w.write(1 if tgt is not None else 0, 1)
+                if tgt is not None:
+                    sym = symbols[sid]
+                    rdw = tgt.shape[1] - sym.shape[1]
+                    rdh = tgt.shape[0] - sym.shape[0]
+                    rd_tabs[0].encode(w, rdw)
+                    rd_tabs[1].encode(w, rdh)
+                    rd_tabs[2].encode(w, 0)
+                    rd_tabs[3].encode(w, 0)
+                    body = refinement_region_encode(
+                        tgt, sym, template=0, dx=rdw >> 1,
+                        dy=rdh >> 1, at=_REF_NOMINAL_AT)
+                    rsize_tab.encode(w, len(body))
+                    w.byte_align()
+                    w.write_bytes(body)
+            curs += inst_width(x, t, sid) - 1
         ds_tab.encode(w, OOB)
-    flags = 1 | (1 << 4)  # SBHUFF=1, REFCORNER=TOPLEFT, SBSTRIPS=1
+    flags = (1 | (1 << 4)  # SBHUFF=1, REFCORNER=TOPLEFT, SBSTRIPS=1
+             | ((1 << 1) if refinements else 0))  # REFINE
     hflags = (0       # FS: standard B.6
               | (3 << 2)   # DS: custom
               | (3 << 4))  # DT: custom
+    at_bytes = b""
+    if refinements:
+        hflags |= (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12)
+        at_bytes = b"".join(struct.pack(">bb", dx, dy)
+                            for dx, dy in _REF_NOMINAL_AT)
     payload = (struct.pack(">IIII", w_px, h_px, 0, 0) + b"\x00"
-               + struct.pack(">HH", flags, hflags)
+               + struct.pack(">HH", flags, hflags) + at_bytes
                + struct.pack(">I", len(instances)) + w.getvalue())
-    return payload, [ds_payload, dt_payload]
+    return payload, table_payloads
 
 
 def jbig2_encode_text_huffman(img_shape: tuple[int, int],
                               symbols: list[np.ndarray],
-                              instances: list[tuple[int, int, int]]
+                              instances: list[tuple[int, int, int]],
+                              refinements: dict | None = None
                               ) -> bytes:
     """Embedded-organization HUFFMAN symbol/text JBIG2: page info +
     SDHUFF symbol dictionary + custom code tables + SBHUFF text region
@@ -653,7 +754,8 @@ def jbig2_encode_text_huffman(img_shape: tuple[int, int],
     page_info = (struct.pack(">IIII", w, h, 0, 0) + b"\x01"
                  + b"\x00\x00")
     sd = encode_huffman_symbol_dict(symbols)
-    tr, tables = encode_huffman_text_region(w, h, instances, symbols)
+    tr, tables = encode_huffman_text_region(w, h, instances, symbols,
+                                            refinements=refinements)
     out = (_segment_header(0, _SEG_PAGE_INFO, 1, len(page_info))
            + page_info
            + _segment_header(1, _SEG_SYMBOL_DICT, 1, len(sd)) + sd)

@@ -553,3 +553,33 @@ def test_halftone_henableskip():
     _, _, _, _, bm_b = decode_halftone_region(without, pats)
     assert (bm_a == bm_b).all()
     assert len(with_skip) < len(without)
+
+
+def test_huffman_text_region_refine_and_transposed():
+    """SBHUFF=1 REFINE instances (6.4.11 huffman mode): RI bit per
+    instance, RDW/RDH/RDX/RDY via CUSTOM type-53 tables (B.14/B.15
+    stay named seams), BMSIZE via B.1, byte-aligned MQ refinement
+    stream — refined instance replaces its symbol with the exact
+    target bitmap through the FULL embedded stream; transposed
+    placement shares the arithmetic path's corner math."""
+    import numpy as np
+    from effocr_spark.synth.jbig2huff import (jbig2_encode_text_huffman,
+                                              parse_code_table)
+    from effocr_spark.synth.jbig2codec import jbig2_decode_embedded
+
+    rng = np.random.default_rng(23)
+    # width-ascending within the height class (the SDHUFF DW-delta
+    # ordering the huffman symbol dict requires)
+    syms = [(rng.random((8, 5)) < 0.4).astype(np.uint8),
+            (rng.random((8, 6)) < 0.5).astype(np.uint8)]
+    tgt = (rng.random((9, 7)) < 0.5).astype(np.uint8)
+    insts = [(2, 1, 0), (12, 1, 1), (24, 1, 0)]
+    stream = jbig2_encode_text_huffman((16, 48), syms, insts,
+                                       refinements={(24, 1, 0): tgt})
+    dec = jbig2_decode_embedded(stream)
+    exp = np.zeros((16, 48), np.uint8)
+    for xx, yy, sid in insts[:2]:
+        s = syms[sid]
+        exp[yy:yy + s.shape[0], xx:xx + s.shape[1]] |= s
+    exp[1:10, 24:31] |= tgt
+    assert ((dec < 128).astype(np.uint8) == exp).all()
