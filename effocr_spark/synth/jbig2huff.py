@@ -16,12 +16,18 @@ Implemented:
 - Symbol-ID code table via runcodes (7.4.3.1.7).
 - SDHUFF symbol dictionaries with per-height-class COLLECTIVE bitmaps
   (BMSIZE=0 uncompressed rows, or MMR via the T.6 codec).
-- SBHUFF text regions (non-transposed, non-refined; CURT as raw
-  log2(SBSTRIPS) bits).
+- SBHUFF text regions incl. TRANSPOSED placement and REFINE
+  instances (6.4.11 huffman mode: per-instance RI bit, RDW/RDH/RDX/
+  RDY via custom tables, BMSIZE via B.1, byte-aligned per-instance
+  MQ refinement streams); CURT as raw log2(SBSTRIPS) bits.
 
 Named seams (raise NotImplementedError): standard-table selections
-B.7-B.15 (this decoder takes custom tables or B.1-B.6 — the tables
-most encoders select), refinement, transposed text.
+B.7-B.15 (this decoder takes custom tables or B.1-B.6 — typing the
+remaining Annex-B tables from memory would pass mirrored roundtrips
+while failing real streams, so they stay fail-closed), and huffman
+SDREFAGG symbol dictionaries (the spec HARDCODES Table B.15 for
+their RDX/RDY with no custom-table selection, so the mode is blocked
+on exactly those tables).
 
 Reference parity target: dell-research-harvard/effocr consumes scanned
 archives whose JBIG2 layers a real pipeline must decode
