@@ -394,7 +394,19 @@ def q_reshape_battery(spark, sf_dir):
         F.lit(None).cast("long").alias("id"),
         F.lit(None).cast("long").alias("pos"),
         F.col("lang").alias("s"))
-    return hx.unionByName(pz).unionByName(rr).unionByName(so)
+    # winnowing document sketch (MOSS rolling-hash window minima) —
+    # the brief's "document fingerprinting (rolling hash)" operator
+    from effocr_spark.operators.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    wn = winnow_fingerprints(docs.filter(F.col("doc_id") < 8),
+                             "doc_id", "text").select(
+        F.lit("winnow").alias("section"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("pos"),
+        F.col("fp").alias("s"))
+    return hx.unionByName(pz).unionByName(rr).unionByName(so) \
+        .unionByName(wn)
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -1533,6 +1545,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang FROM documents WHERE source = 'src0'
                 EXCEPT ALL
                 SELECT lang FROM documents WHERE source = 'src1'))
+            UNION ALL
+            SELECT 'winnow', doc_id::BIGINT, NULL::BIGINT, fp FROM (
+              WITH g AS (
+                SELECT doc_id,
+                       list_transform(
+                         generate_series(1, greatest(length(text)-7,0)),
+                         i -> md5(substr(text, i, 8))) AS hs
+                FROM documents WHERE doc_id < 8),
+              m AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(hs)-3,0)),
+                         i -> list_min(hs[i:i+3]))) AS fps
+                FROM g WHERE len(hs) >= 4)
+              SELECT doc_id, unnest(fps) AS fp FROM m)
         """,
         "interval_join": """
             SELECT a.user_id, count(*) AS n_pairs

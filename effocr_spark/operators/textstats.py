@@ -103,3 +103,31 @@ def document_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         langid(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document sketch (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting algorithm): hash every character k-gram, take
+    the MINIMUM hash of each length-`window` sliding window of
+    consecutive k-gram hashes, and emit the DISTINCT selected hashes —
+    a locality-robust rolling-hash sketch (any shared substring of
+    length ≥ k + window − 1 guarantees a shared fingerprint).
+
+    Pure JVM expressions (transform / slice / array_min over a
+    sequence — no Python, no shuffle beyond the final explode), so the
+    sketch runs at scan speed on 100 TB; at scale the natural next op
+    is exact_dedup/groupBy on the (fingerprint → doc) inversion.
+    → (id, fp) one row per distinct selected hash per document."""
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(t.substr(i, F.lit(k))))
+    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)))
+    return (df.select(F.col(id_col),
+                      F.explode(F.array_distinct(mins)).alias("fp"))
+            .where(F.length(t) >= k + window - 1))
