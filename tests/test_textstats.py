@@ -1,3 +1,6 @@
+"""Text-analysis operators over the documents table: winnowing
+rolling-hash fingerprints (langid/quality/token stats are pinned
+in test_textstats_evalagg.py and the doc_stats driver oracle)."""
 
 
 def test_winnow_fingerprints(spark):
