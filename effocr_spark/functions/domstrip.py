@@ -124,18 +124,27 @@ def strip_html(html: bytes | str) -> str:
     ties go to earliest document order. Undecodable or empty input → "".
     """
     if isinstance(html, bytes):
-        # transport encodings a WARC-derived corpus carries verbatim
+        # transport encodings a WARC-derived corpus carries verbatim.
+        # Decompression is CAPPED (a crafted gzip bomb in one page
+        # must quarantine that page, never OOM the executor task).
+        max_html = 256 << 20
         if html[:2] == b"\x1f\x8b":  # gzip body (Content-Encoding)
-            import gzip
+            import zlib as _zlib
             try:
-                html = gzip.decompress(html)
+                d = _zlib.decompressobj(wbits=31)
+                html = d.decompress(html, max_html)
+                if d.unconsumed_tail:
+                    return ""  # expansion cap: quarantine-to-empty
             except Exception:
                 return ""
         elif html[:1] == b"\x78" and html[1:2] in (b"\x01", b"\x9c",
                                                    b"\xda"):
             import zlib as _zlib
             try:
-                html = _zlib.decompress(html)
+                d = _zlib.decompressobj()
+                html = d.decompress(html, max_html)
+                if d.unconsumed_tail:
+                    return ""
             except Exception:
                 return ""
         # charset: strict UTF-8 first; else an explicit charset=

@@ -1067,13 +1067,31 @@ def _unpredict(dict_part: bytes, body: bytes) -> bytes:
     raise NotImplementedError(f"predictor {pred}")
 
 
+#: per-stream decompression ceiling. At 100 TB a single crafted (or
+#: corrupt) deflate/LZW stream expanding to gigabytes would OOM the
+#: whole executor, taking every other document in the task down with
+#: it — cap and quarantine THAT DOCUMENT instead. 256 MB is far above
+#: any legitimate single content/image stream.
+MAX_STREAM_BYTES = 256 << 20
+
+
+def _capped_flate(body: bytes) -> bytes:
+    d = zlib.decompressobj()
+    out = d.decompress(body, MAX_STREAM_BYTES)
+    if d.unconsumed_tail:
+        raise ValueError(
+            "stream expansion exceeds MAX_STREAM_BYTES "
+            "(decompression bomb) — quarantining document")
+    return out
+
+
 def _apply_one(name: bytes, body: bytes) -> bytes:
     if name == b"FlateDecode":
         try:
-            return zlib.decompress(body.strip(b"\r\n"))
+            return _capped_flate(body.strip(b"\r\n"))
         except zlib.error:
             # some writers keep trailing EOL bytes in /Length
-            return zlib.decompress(body)
+            return _capped_flate(body)
     if name == b"LZWDecode":
         return lzw_decode(body.strip(b"\r\n"))
     if name == b"ASCIIHexDecode":
@@ -1384,6 +1402,10 @@ def lzw_decode(body: bytes) -> bytes:
             else:
                 raise ValueError("LZW code out of range")
             out += entry
+            if len(out) > MAX_STREAM_BYTES:
+                raise ValueError(
+                    "LZW expansion exceeds MAX_STREAM_BYTES "
+                    "(decompression bomb) — quarantining document")
             prev = entry
             # early change: grow width one code EARLY (PDF default)
             if len(table) >= (1 << width) - 1 and width < 12:

@@ -98,6 +98,10 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if bit_depth != 8 or interlace != 0 or color_type not in (0, 2):
                 raise ValueError("unsupported PNG variant")
+            if w <= 0 or h <= 0 or w * h > 100_000_000:
+                # allocation bomb guard: crafted IHDR dims quarantine
+                # the row, never OOM the executor
+                raise ValueError("implausible PNG dimensions")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":

@@ -53,6 +53,13 @@ _QE = [
 ]
 
 
+def _check_region_dims(rw: int, rh: int) -> None:
+    """Allocation bomb guard: a crafted region header (2^31 dims)
+    must quarantine the document, never OOM the executor."""
+    if rw <= 0 or rh <= 0 or rw * rh > 1_000_000_000:
+        raise ValueError("implausible JBIG2 region dimensions")
+
+
 class MQDecoder:
     """T.88 Annex E software-conventions MQ decoder. Context state
     (index, MPS) lives in caller-supplied arrays so one decoder serves
@@ -525,6 +532,7 @@ def decode_halftone_region(payload: bytes, patterns: list[np.ndarray]
     if len(payload) < 38:
         raise ValueError("short halftone region segment")
     rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+    _check_region_dims(rw, rh)
     flags = payload[17]
     mmr = flags & 1
     template = (flags >> 1) & 3
@@ -842,6 +850,8 @@ def jbig2_decode_embedded(data: bytes,
             if len(payload) < 19:
                 raise ValueError("short page info segment")
             page_w, page_h = struct.unpack_from(">II", payload, 0)
+            if page_w * min(page_h, 1 << 20) > 1_000_000_000:
+                raise ValueError("implausible JBIG2 page dimensions")
             if page_h == 0xFFFFFFFF:
                 page_h = None  # striped page: grows with regions
             default = (payload[16] >> 2) & 1
@@ -851,6 +861,7 @@ def jbig2_decode_embedded(data: bytes,
             if len(payload) < 18:
                 raise ValueError("short generic region segment")
             rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+            _check_region_dims(rw, rh)
             flags = payload[17]
             mmr = flags & 1
             template = (flags >> 1) & 3
@@ -887,6 +898,7 @@ def jbig2_decode_embedded(data: bytes,
             if len(payload) < 18:
                 raise ValueError("short refinement region segment")
             rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+            _check_region_dims(rw, rh)
             rflags = payload[17]
             rtemplate = rflags & 1
             rtpgron = bool(rflags & 2)
@@ -1273,6 +1285,7 @@ def _decode_text_region(payload: bytes,
     if len(payload) < 17 + 2 + 4:
         raise ValueError("short text region segment")
     rw, rh, rx, ry = struct.unpack_from(">IIII", payload, 0)
+    _check_region_dims(rw, rh)
     flags = struct.unpack_from(">H", payload, 17)[0]
     sbhuff = flags & 1
     refine = (flags >> 1) & 1

@@ -1036,6 +1036,11 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     ncomp = struct.unpack_from(">H", siz, 34)[0]
     if xtosiz > xosiz or ytosiz > yosiz:
         raise ValueError("tile offsets exceed image offsets")
+    if xsiz <= xosiz or ysiz <= yosiz \
+            or (xsiz - xosiz) * (ysiz - yosiz) > 100_000_000:
+        # allocation bomb guard: a crafted SIZ (2^31 dims) must
+        # quarantine the document, not OOM the executor
+        raise ValueError("implausible JPEG2000 image dimensions")
     if ncomp not in (1, 3):
         raise NotImplementedError(f"JPEG2000 {ncomp} components")
     comps = []

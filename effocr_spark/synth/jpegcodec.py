@@ -452,6 +452,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
+            if h == 0 or w == 0 or h * w > 100_000_000:
+                raise ValueError("implausible JPEG dimensions")
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker == 0xC3:  # SOF3: huffman lossless
@@ -466,6 +468,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "subsampled lossless JPEG components")
                 comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            if h == 0 or w == 0 or h * w > 100_000_000:
+                raise ValueError("implausible JPEG dimensions")
             frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": False, "lossless": True}
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
