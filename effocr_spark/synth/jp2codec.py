@@ -993,6 +993,7 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         raise ValueError("missing SOC marker")
     pos = 2
     siz = cod = qcd = None
+    qccs: list[bytes] = []
     tiles: dict[int, tuple[int, int]] = {}  # isot → (pk_start, pk_end)
     while pos + 2 <= len(data):
         sot_at = pos - 2  # position of the marker we just read
@@ -1020,10 +1021,12 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             cod = body
         elif marker == _QCD:
             qcd = body
-        elif marker in (0xFF53, 0xFF5D):  # COC / QCC
+        elif marker == 0xFF5D:  # QCC: per-component quantization
+            qccs.append(body)
+        elif marker == 0xFF53:  # COC
             raise NotImplementedError(
-                "JPEG2000 per-component COC/QCC overrides; plug a "
-                "real JPX library in")
+                "JPEG2000 per-component COC coding-style overrides; "
+                "plug a real JPX library in")
         # COM/other informational markers: skip
         pos += ln
     if siz is None or cod is None or qcd is None:
@@ -1093,33 +1096,53 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     else:
         pp = [(15, 15)] * (levels_ + 1)  # default: one huge precinct
 
-    sqcd = qcd[0]
-    qstyle = sqcd & 0x1F
-    guard = sqcd >> 5
-    if qstyle == 0:  # no quantization: 8-bit entries, exponent only
-        exps = [b >> 3 for b in qcd[1:]]
-        mus = [0] * len(exps)
-    elif qstyle == 2:  # scalar expounded: 16-bit (ε, μ) per subband
-        vals = struct.unpack(f">{(len(qcd) - 1) // 2}H", qcd[1:])
-        exps = [v >> 11 for v in vals]
-        mus = [v & 0x7FF for v in vals]
-    else:
-        raise NotImplementedError(
-            "scalar-derived quantization (Sqcd style 1)")
+    def parse_quant(qbody: bytes) -> tuple[int, dict, dict]:
+        """Sqcd/SPqcd (QCD body, or a QCC body after its Cqcc byte) →
+        (qstyle, mb_map, quant_map) keyed (resolution, band)."""
+        sq = qbody[0]
+        qs = sq & 0x1F
+        gd = sq >> 5
+        if qs == 0:  # no quantization: 8-bit entries, exponent only
+            exps = [b >> 3 for b in qbody[1:]]
+            mus = [0] * len(exps)
+        elif qs == 2:  # scalar expounded: 16-bit (ε, μ) per subband
+            vals = struct.unpack(f">{(len(qbody) - 1) // 2}H",
+                                 qbody[1:])
+            exps = [v >> 11 for v in vals]
+            mus = [v & 0x7FF for v in vals]
+        else:
+            raise NotImplementedError(
+                "scalar-derived quantization (Sqcd style 1)")
+        exp_iter = iter(zip(exps, mus))
+        mbm: dict[tuple[int, str], int] = {}
+        qm: dict[tuple[int, str], tuple[int, int]] = {}
+        e0, m0 = next(exp_iter)
+        mbm[(0, "LL")] = gd + e0 - 1
+        qm[(0, "LL")] = (e0, m0)
+        for r_ in range(1, levels + 1):
+            for bname in ("HL", "LH", "HH"):
+                eb, mb_ = next(exp_iter)
+                mbm[(r_, bname)] = gd + eb - 1
+                qm[(r_, bname)] = (eb, mb_)
+        return qs, mbm, qm
 
-    # per-band Mb from the QCD exponents (order: LL, then per res
-    # HL, LH, HH) — global: QCD applies to every tile
-    exp_iter = iter(zip(exps, mus))
-    mb_map: dict[tuple[int, str], int] = {}
-    quant_map: dict[tuple[int, str], tuple[int, int]] = {}
-    e0, m0 = next(exp_iter)
-    mb_map[(0, "LL")] = guard + e0 - 1
-    quant_map[(0, "LL")] = (e0, m0)
-    for r in range(1, levels + 1):
-        for bname in ("HL", "LH", "HH"):
-            eb, mb_ = next(exp_iter)
-            mb_map[(r, bname)] = guard + eb - 1
-            quant_map[(r, bname)] = (eb, mb_)
+    # QCD applies to every component; a QCC marker overrides ONE
+    # component's tables (the chroma-coarser-than-luma shape)
+    qstyle, mb_map0, quant_map0 = parse_quant(qcd)
+    mb_maps = [mb_map0] * ncomp
+    quant_maps = [quant_map0] * ncomp
+    mb_maps = list(mb_maps)
+    quant_maps = list(quant_maps)
+    for body in qccs:
+        ci = body[0]  # Cqcc: 1 byte (ncomp ≤ 3 here)
+        if ci >= ncomp:
+            raise ValueError("QCC component index out of range")
+        qs_c, mbm_c, qm_c = parse_quant(body[1:])
+        if qs_c != qstyle:
+            raise NotImplementedError(
+                "mixed quantization styles across components")
+        mb_maps[ci] = mbm_c
+        quant_maps[ci] = qm_c
 
     def decode_tile(pos: int, end: int, tw: int, th: int) -> list:
         """One tile's packets → per-component spatial planes (pre-MCT,
@@ -1149,7 +1172,7 @@ def _decode_codestream(data: bytes) -> np.ndarray:
                         _precinct_band_descs(layout[r], r,
                                              (cbw_exp, cbh_exp),
                                              ppx, ppy, px, py),
-                        lambda bn, r=r: mb_map[(r, bn)])
+                        lambda bn, r=r, c=c: mb_maps[c][(r, bn)])
                     for py in range(npy) for px in range(npx)]
         p = pos
         seq = _packet_sequence(prog, layers, levels, ncomp, pp,
@@ -1181,7 +1204,7 @@ def _decode_codestream(data: bytes) -> np.ndarray:
                 if qstyle == 0:
                     return q
                 # dequantize: x = (q ± 0.5)·Δ midpoint reconstruction
-                eb, mu = quant_map[(r, bname)]
+                eb, mu = quant_maps[c][(r, bname)]
                 rb = depth + _BAND_GAIN[bname]
                 delta = _band_delta(eb, mu, rb)
                 x = q.astype(np.float64)
@@ -1267,7 +1290,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                tile_offsets: tuple[int, int] | None = None,
                progression: str = "LRCP",
                sop_eph: bool = False,
-               precincts: tuple[int, int] | None = None) -> bytes:
+               precincts: tuple[int, int] | None = None,
+               chroma_delta: float | None = None) -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
@@ -1320,12 +1344,29 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
         pp = [(15, 15)] * (levels + 1)
 
     fwd = dwt97_forward if irreversible else dwt53_forward
-    quant: dict[str, tuple[int, int, float]] = {}
-    if irreversible:
+
+    def quant_tables(d: float) -> dict[str, tuple[int, int, float]]:
+        out = {}
         for bname in ("LL", "HL", "LH", "HH"):
             rb = depth + _BAND_GAIN[bname]
-            eps, mu = _quant_params(delta, rb)
-            quant[bname] = (eps, mu, _band_delta(eps, mu, rb))
+            eps, mu = _quant_params(d, rb)
+            out[bname] = (eps, mu, _band_delta(eps, mu, rb))
+        return out
+
+    quant: dict[str, tuple[int, int, float]] = {}
+    quant_c: list[dict] = []
+    if irreversible:
+        quant = quant_tables(delta)
+        quant_c = [quant] * ncomp
+        if chroma_delta is not None:
+            if ncomp != 3:
+                raise ValueError("chroma_delta needs a color image")
+            # QCC shape: chroma components carry their own (coarser)
+            # step via per-component markers
+            qc = quant_tables(chroma_delta)
+            quant_c = [quant, qc, qc]
+    elif chroma_delta is not None:
+        raise ValueError("chroma_delta needs irreversible=True")
 
     def tile_body(tplanes: list, tw: int, th: int) -> bytes:
         layout = _band_layout(tw, th, levels)
@@ -1337,7 +1378,7 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                                           "HH").index(bname)])
             if not irreversible:
                 return arr
-            d = quant[bname][2]
+            d = quant_c[c][bname][2]
             return (np.sign(arr)
                     * np.floor(np.abs(arr) / d)).astype(np.int64)
 
@@ -1373,7 +1414,7 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                     if bw == 0 or bh == 0:
                         continue
                     nx_t, ny_t = -(-bw // cw_), -(-bh // ch_)
-                    mb = (_GUARD_BITS + quant[bname][0] - 1
+                    mb = (_GUARD_BITS + quant_c[c][bname][0] - 1
                           if irreversible else _mb(depth, bname))
                     mb_by_band[bname] = mb
                     arr = band_array(c, r, bname)
@@ -1520,6 +1561,17 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             for bname in ("HL", "LH", "HH"):
                 qcd.append((depth + _BAND_GAIN[bname]) << 3)
     cs += b"\xff\x5c" + bytes(qcd)
+    if irreversible and chroma_delta is not None:
+        order = [("LL",)] + [("HL", "LH", "HH")] * levels
+        for ci in (1, 2):
+            spq = bytearray()
+            for grp in order:
+                for bname in grp:
+                    eps, mu, _ = quant_c[ci][bname]
+                    spq += struct.pack(">H", (eps << 11) | mu)
+            qcc = (struct.pack(">HB", 4 + len(spq), ci)
+                   + bytes([(_GUARD_BITS << 5) | 2]) + bytes(spq))
+            cs += b"\xff\x5d" + qcc
     ntx = -(-(xsiz - xtosiz) // xtsiz)
     nty = -(-(ysiz - ytosiz) // ytsiz)
     n_tiles = ntx * nty

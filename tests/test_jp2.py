@@ -371,3 +371,41 @@ def test_jp2_pcrl_cprl_progressions():
                                     precincts=(4, 4), cblk_exp=(3, 3),
                                     tile_size=64, sop_eph=True))
         assert (out == rgb).all(), p
+
+
+def test_jp2_qcc_per_component_quantization():
+    """QCC markers (per-component quantization override — the
+    chroma-coarser-than-luma shape real lossy encoders emit): chroma
+    components decode through their OWN (ε, μ) tables; the stream
+    shrinks vs uniform fine quantization while PSNR stays high, and
+    the lossless/regression paths are untouched; COC remains a named
+    seam and mixed quant styles raise."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    x = np.linspace(0, 255, 64)[None, :] + np.linspace(0, 60, 48)[:, None]
+    g = np.clip(x, 0, 255).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, (g * 0.7 + 30).astype(np.uint8)],
+                   axis=-1)
+    blob = encode_jp2(rgb, irreversible=True, delta=1 / 32,
+                      chroma_delta=1.0)
+    assert b"\xff\x5d" in blob  # QCC markers present
+    out = decode_jp2(blob)
+    mse = ((out.astype(float) - rgb) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) > 35
+    uni = encode_jp2(rgb, irreversible=True, delta=1 / 32)
+    assert len(blob) < len(uni)  # coarser chroma actually saves bits
+    # composes with precincts + layers + RPCL
+    out2 = decode_jp2(encode_jp2(rgb, irreversible=True, delta=1 / 32,
+                                 chroma_delta=1.0, precincts=(5, 5),
+                                 cblk_exp=(4, 4), n_layers=2,
+                                 progression="RPCL"))
+    mse2 = ((out2.astype(float) - rgb) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / max(mse2, 1e-12)) > 35
+    # COC stays a named seam
+    import struct
+    raw = bytearray(encode_jp2(g, jp2_container=False))
+    qcd_at = bytes(raw).find(b"\xff\x5c")
+    coc = b"\xff\x53" + struct.pack(">HB", 4, 0) + b"\x00"
+    raw[qcd_at:qcd_at] = coc
+    with pytest.raises(NotImplementedError, match="COC"):
+        decode_jp2(bytes(raw))
