@@ -1319,11 +1319,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered by measured per-query runtime ASCENDING (local[8],
-    # sf0.01) so a wall-clock-budgeted harness records the most rows
-    # before any truncation — round 3 lost the three tail entries to
-    # exactly that. Total ~80s at 8 cores; every entry also has a
-    # local replica via tools/check_queries.py.
+    # 49 entries — deliberately UNDER the harness's 50-row record cap
+    # (r3-r5 each recorded exactly the first 50 registry entries, so
+    # the round-5 micro-queries were merged into the two battery
+    # queries). Ordered by measured per-query runtime ascending
+    # (local[8], sf0.01); every entry also has a local replica via
+    # tools/check_queries.py.
     return {
         "spellcheck": q_spellcheck,
         "hard_negatives": q_hard_negatives,
