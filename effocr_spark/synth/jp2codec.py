@@ -1009,6 +1009,21 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             sod_at = data.find(b"\xff\x93", pos)
             if sod_at < 0:
                 raise ValueError("SOT without SOD")
+            # walk TILE-PART HEADER markers between the SOT segment
+            # and SOD: a tile-part COD/COC/QCD/QCC/PPT/POC changes how
+            # the tile decodes — skipping one silently would produce
+            # WRONG pixels, so they fail closed; COM/PLT are
+            # informational and skip
+            tp = pos + ln
+            while tp < sod_at:
+                tmk = struct.unpack_from(">H", data, tp)[0]
+                if tmk in (0xFF64, 0xFF58):  # COM / PLT: informational
+                    tp += 2 + struct.unpack_from(">H", data, tp + 2)[0]
+                    continue
+                raise NotImplementedError(
+                    f"JPEG2000 tile-part header marker {tmk:#06x} "
+                    f"(tile-scoped coding/quantization/packed-header "
+                    f"overrides); plug a real JPX library in")
             end = (sot_at + psot) if psot else len(data) - 2
             tiles[isot] = (sod_at + 2, end)
             pos = end
@@ -1027,7 +1042,14 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "JPEG2000 per-component COC coding-style overrides; "
                 "plug a real JPX library in")
-        # COM/other informational markers: skip
+        elif marker in (0xFF5F, 0xFF60, 0xFF5E):  # POC / PPM / RGN
+            # each CHANGES decoding (progression switch, packed
+            # headers, ROI shift) — skipping silently would produce
+            # wrong pixels; fail closed
+            raise NotImplementedError(
+                f"JPEG2000 main-header marker {marker:#06x} "
+                f"(POC/PPM/RGN); plug a real JPX library in")
+        # COM / TLM / PLM / CRG and other informational markers: skip
         pos += ln
     if siz is None or cod is None or qcd is None:
         raise ValueError("missing SIZ/COD/QCD")

@@ -409,3 +409,39 @@ def test_jp2_qcc_per_component_quantization():
     raw[qcd_at:qcd_at] = coc
     with pytest.raises(NotImplementedError, match="COC"):
         decode_jp2(bytes(raw))
+
+
+def test_jp2_header_markers_fail_closed_not_silently():
+    """Markers that CHANGE decoding can't be silently skipped:
+    a tile-part COD/COC/QCD (tile-scoped overrides) and main-header
+    POC/PPM/RGN raise named; informational COM in a tile header and
+    TLM/PLM/COM in the main header are tolerated."""
+    import struct
+
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 256, (30, 40), dtype=np.uint8)
+    blob = encode_jp2(img, jp2_container=False)
+    sot = blob.find(b"\xff\x90")
+
+    def insert_tile_marker(seg):
+        patched = bytearray(blob[:sot + 12] + seg + blob[sot + 12:])
+        psot = struct.unpack_from(">I", patched, sot + 6)[0]
+        struct.pack_into(">I", patched, sot + 6, psot + len(seg))
+        return bytes(patched)
+
+    com = b"\xff\x64" + struct.pack(">H", 6) + b"\x00\x01hi"
+    assert (decode_jp2(insert_tile_marker(com))[:, :, 0] == img).all()
+    tcod = b"\xff\x52" + struct.pack(">H", 12) + bytes(10)
+    with pytest.raises(NotImplementedError, match="tile-part"):
+        decode_jp2(insert_tile_marker(tcod))
+
+    qcd_at = blob.find(b"\xff\x5c")
+    poc = b"\xff\x5f" + struct.pack(">H", 9) + bytes(7)
+    with pytest.raises(NotImplementedError, match="POC"):
+        decode_jp2(blob[:qcd_at] + poc + blob[qcd_at:])
+    # informational main-header COM tolerated
+    mcom = b"\xff\x64" + struct.pack(">H", 8) + b"\x00\x01note"
+    assert (decode_jp2(blob[:qcd_at] + mcom
+                       + blob[qcd_at:])[:, :, 0] == img).all()
