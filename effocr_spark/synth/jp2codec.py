@@ -766,13 +766,25 @@ class _PrecinctState:
         self.mb_of = mb_of
 
     def decode_packet(self, data: bytes, pos: int, layer: int,
-                      eph: bool = False) -> int:
-        r = _HdrReader(data, pos)
-        if not r.bit():  # empty packet
-            pos = r.align()
-            if eph and data[pos:pos + 2] == b"\xff\x92":
-                pos += 2
+                      eph: bool = False, hdr=None) -> int:
+        """hdr: a persistent _HdrReader over a PACKED header stream
+        (PPT) — headers read from it, bodies stay in `data`; None =
+        headers inline before each body (the default layout)."""
+        r = hdr if hdr is not None else _HdrReader(data, pos)
+
+        def finish_header() -> int:
+            if hdr is None:
+                p2 = r.align()
+                if eph and data[p2:p2 + 2] == b"\xff\x92":
+                    p2 += 2
+                return p2
+            r.align()
+            if eph and r.data[r.pos:r.pos + 2] == b"\xff\x92":
+                r.pos += 2
             return pos
+
+        if not r.bit():  # empty packet
+            return finish_header()
         contrib = []
         for bname, bw, bh, cwe, che, cbx0, cby0, nx, ny, incl, zbp \
                 in self.bands:
@@ -796,9 +808,7 @@ class _PrecinctState:
                     length = r.read(nbits)
                     st["n_passes"] += n_passes
                     contrib.append((st, length))
-        pos = r.align()
-        if eph and data[pos:pos + 2] == b"\xff\x92":
-            pos += 2  # end-of-packet-header marker (A.8.2)
+        pos = finish_header()
         for st, length in contrib:
             st["chunks"].append(data[pos:pos + length])
             pos += length
@@ -858,7 +868,7 @@ class _PrecinctEncoder:
         w = _HdrWriter()
         if not contrib:
             w.bit(0)
-            return w.getvalue() + (b"\xff\x92" if eph else b"")
+            return (w.getvalue() + (b"\xff\x92" if eph else b""), b"")
         w.bit(1)
         bodies = []
         for bname, (nx, ny, mb) in self.cb_grid.items():
@@ -893,8 +903,8 @@ class _PrecinctEncoder:
                     w.bit(0)
                     w.write(len(chunk), nbits)
                     bodies.append(chunk)
-        return (w.getvalue() + (b"\xff\x92" if eph else b"")
-                + b"".join(bodies))
+        return (w.getvalue() + (b"\xff\x92" if eph else b""),
+                b"".join(bodies))
 
 
 def _encode_packet(band_blocks: list, cb_grid: dict,
@@ -906,7 +916,7 @@ def _encode_packet(band_blocks: list, cb_grid: dict,
     w = _HdrWriter()
     if not band_blocks:
         w.bit(0)
-        return w.getvalue() + (b"\xff\x92" if eph else b"")
+        return (w.getvalue() + (b"\xff\x92" if eph else b""), b"")
     w.bit(1)
     by_band: dict = {}
     for entry in band_blocks:
@@ -944,8 +954,8 @@ def _encode_packet(band_blocks: list, cb_grid: dict,
                 w.bit(0)
                 w.write(len(body), nbits)
                 bodies.append(body)
-    return (w.getvalue() + (b"\xff\x92" if eph else b"")
-            + b"".join(bodies))
+    return (w.getvalue() + (b"\xff\x92" if eph else b""),
+            b"".join(bodies))
 
 
 # --------------------------------------------------- top-level codec
@@ -1015,17 +1025,26 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             # WRONG pixels, so they fail closed; COM/PLT are
             # informational and skip
             tp = pos + ln
+            ppt_parts: list[tuple[int, bytes]] = []
             while tp < sod_at:
                 tmk = struct.unpack_from(">H", data, tp)[0]
+                tln = struct.unpack_from(">H", data, tp + 2)[0]
                 if tmk in (0xFF64, 0xFF58):  # COM / PLT: informational
-                    tp += 2 + struct.unpack_from(">H", data, tp + 2)[0]
+                    tp += 2 + tln
+                    continue
+                if tmk == 0xFF61:  # PPT: packed packet headers
+                    zppt = data[tp + 4]
+                    ppt_parts.append((zppt, data[tp + 5:tp + 2 + tln]))
+                    tp += 2 + tln
                     continue
                 raise NotImplementedError(
                     f"JPEG2000 tile-part header marker {tmk:#06x} "
-                    f"(tile-scoped coding/quantization/packed-header "
-                    f"overrides); plug a real JPX library in")
+                    f"(tile-scoped coding/quantization overrides); "
+                    f"plug a real JPX library in")
+            ppt = (b"".join(b for _z, b in sorted(ppt_parts))
+                   if ppt_parts else None)
             end = (sot_at + psot) if psot else len(data) - 2
-            tiles[isot] = (sod_at + 2, end)
+            tiles[isot] = (sod_at + 2, end, ppt)
             pos = end
             continue
         ln = struct.unpack_from(">H", data, pos)[0]
@@ -1166,7 +1185,8 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         mb_maps[ci] = mbm_c
         quant_maps[ci] = qm_c
 
-    def decode_tile(pos: int, end: int, tw: int, th: int) -> list:
+    def decode_tile(pos: int, end: int, tw: int, th: int,
+                    ppt: bytes | None = None) -> list:
         """One tile's packets → per-component spatial planes (pre-MCT,
         pre-shift)."""
         layout = _band_layout(tw, th, levels)
@@ -1203,11 +1223,13 @@ def _decode_codestream(data: bytes) -> np.ndarray:
                                     max(1, -(-rdims[levels - r][1]
                                             // (1 << pp[r][1]))))
                                 for r in range(levels + 1)})
+        hdr = _HdrReader(ppt, 0) if ppt is not None else None
         for layer, r, c, pi in seq:
             if use_sop and data[p:p + 2] == b"\xff\x91":
                 p += 6  # SOP segment: marker + Lsop(=4) + Nsop
             p = precincts[(c, r)][pi].decode_packet(data, p, layer,
-                                                    eph=use_eph)
+                                                    eph=use_eph,
+                                                    hdr=hdr)
         if p > end:
             raise ValueError("tile packet data overruns Psot")
         for (c, r), plist in precincts.items():
@@ -1246,7 +1268,7 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     img_w, img_h = xsiz - xosiz, ysiz - yosiz
     dtype = np.int64 if (transform == 1 and qstyle == 0) else np.float64
     planes = [np.zeros((img_h, img_w), dtype) for _ in range(ncomp)]
-    for isot, (pk_start, pk_end) in sorted(tiles.items()):
+    for isot, (pk_start, pk_end, tile_ppt) in sorted(tiles.items()):
         tx, ty = isot % ntx, isot // ntx
         if ty >= nty:
             raise ValueError("tile index outside the tile grid")
@@ -1259,7 +1281,8 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         tw, th = cx1 - cx0, cy1 - cy0
         if tw <= 0 or th <= 0:
             raise ValueError("tile outside the image region")
-        for c, tp in enumerate(decode_tile(pk_start, pk_end, tw, th)):
+        for c, tp in enumerate(decode_tile(pk_start, pk_end, tw, th,
+                                           ppt=tile_ppt)):
             planes[c][y0:y0 + th, x0:x0 + tw] = tp
     if ncomp == 3 and mct == 1:
         if transform == 1:  # inverse RCT (integer)
@@ -1313,7 +1336,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                progression: str = "LRCP",
                sop_eph: bool = False,
                precincts: tuple[int, int] | None = None,
-               chroma_delta: float | None = None) -> bytes:
+               chroma_delta: float | None = None,
+               packed_headers: bool = False) -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
@@ -1482,7 +1506,7 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
         seq = _packet_sequence(_PROG_IDS[progression], n_layers,
                                levels, ncomp, pp, prec_grid)
 
-        packets = []
+        packets = []  # (header, body) per packet, in sequence order
         if n_layers == 1:
             for _l, r, c, pi in seq:
                 cb_grid, entries = per_rcp[(r, c, pi)]
@@ -1524,12 +1548,24 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             for layer, r, c, pi in seq:
                 packets.append(encs[(r, c, pi)].encode_packet(
                     layer, plan[(r, c, pi)][layer], eph=sop_eph))
-        if sop_eph:
+        def sop(i: int) -> bytes:
             # SOP marker segment before every packet (A.8.1):
             # marker + Lsop(=4) + per-tile sequence number mod 65536
-            packets = [b"\xff\x91" + struct.pack(">HH", 4, i & 0xFFFF)
-                       + pk for i, pk in enumerate(packets)]
-        return b"".join(packets)
+            return (b"\xff\x91" + struct.pack(">HH", 4, i & 0xFFFF)
+                    if sop_eph else b"")
+
+        if packed_headers:
+            # PPT layout (A.7.2): headers concatenate into tile-part
+            # PPT segments, the bitstream after SOD carries bodies
+            # only (SOP markers stay with the bodies, EPH with the
+            # packed headers)
+            ppt_stream = b"".join(hd for hd, _bd in packets)
+            body_stream = b"".join(sop(i) + bd
+                                   for i, (_hd, bd)
+                                   in enumerate(packets))
+            return ppt_stream, body_stream
+        return None, b"".join(sop(i) + hd + bd
+                              for i, (hd, bd) in enumerate(packets))
 
     # markers
     if progression not in _PROG_IDS:
@@ -1607,12 +1643,22 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             cy1 = min(ytosiz + (ty + 1) * ytsiz, ysiz)
             x0, y0 = cx0 - xosiz, cy0 - yosiz
             tw, th = cx1 - cx0, cy1 - cy0
-            body = tile_body([pl[y0:y0 + th, x0:x0 + tw]
-                              for pl in planes], tw, th)
-            psot = 12 + 2 + len(body)  # SOT seg + SOD marker + data
+            ppt_stream, body = tile_body(
+                [pl[y0:y0 + th, x0:x0 + tw] for pl in planes], tw, th)
+            ppt_segs = b""
+            if ppt_stream is not None:
+                # Lppt is 16-bit: chunk long header streams across
+                # PPT segments with increasing Zppt
+                for zi, off in enumerate(range(0, max(len(ppt_stream),
+                                                      1), 65000)):
+                    chunk = ppt_stream[off:off + 65000]
+                    ppt_segs += (b"\xff\x61"
+                                 + struct.pack(">HB", 3 + len(chunk),
+                                               zi) + chunk)
+            psot = 12 + len(ppt_segs) + 2 + len(body)
             cs += b"\xff\x90" + struct.pack(">HHIBB", 10, isot,
                                             psot, 0, n_tiles)
-            cs += b"\xff\x93" + body
+            cs += ppt_segs + b"\xff\x93" + body
     cs += b"\xff\xd9"  # EOC
     if not jp2_container:
         return bytes(cs)

@@ -445,3 +445,26 @@ def test_jp2_header_markers_fail_closed_not_silently():
     mcom = b"\xff\x64" + struct.pack(">H", 8) + b"\x00\x01note"
     assert (decode_jp2(blob[:qcd_at] + mcom
                        + blob[qcd_at:])[:, :, 0] == img).all()
+
+
+def test_jp2_ppt_packed_packet_headers():
+    """PPT (A.7.2): packet headers concatenate into tile-part PPT
+    segments (Zppt-ordered, 65000-byte chunks for long streams) while
+    the post-SOD bitstream carries bodies only; SOP rides the body
+    stream, EPH the packed headers. Bit-exact composed with layers,
+    precincts, tiles, SOP/EPH and RPCL."""
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    blob = encode_jp2(img, packed_headers=True, jp2_container=False)
+    assert b"\xff\x61" in blob
+    assert (decode_jp2(blob)[:, :, 0] == img).all()
+    assert (decode_jp2(encode_jp2(rgb, packed_headers=True,
+                                  n_layers=3, precincts=(5, 5),
+                                  cblk_exp=(4, 4))) == rgb).all()
+    assert (decode_jp2(encode_jp2(rgb, packed_headers=True,
+                                  tile_size=32, sop_eph=True,
+                                  progression="RPCL",
+                                  n_layers=2)) == rgb).all()
