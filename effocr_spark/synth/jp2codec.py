@@ -40,17 +40,20 @@ form production encoders emit.
 Multiple TILES decode (raster tile grid, per-tile SOT/Psot spans and
 band layouts, ragged edge tiles) — the form large scans ship.
 
-Image/tile offsets (2^levels-aligned origins), RLCP/RPCL
-progressions, SOP/EPH resilience markers and CUSTOM PRECINCTS
-(per-resolution PPx/PPy, precinct-local tag trees, effective
-code-block shrink) decode and encode — all bit-exact on the
-reversible path.
+Image/tile offsets (2^levels-aligned origins), ALL FIVE progressions
+(LRCP/RLCP/RPCL/PCRL/CPRL), SOP/EPH resilience markers, CUSTOM
+PRECINCTS (per-resolution PPx/PPy, precinct-local tag trees,
+effective code-block shrink), PPT packed packet headers and QCC
+per-component quantization decode and encode — all bit-exact on the
+reversible path. Markers that change decoding but are unimplemented
+(tile-part COD/COC/QCD/QCC/POC, main-header POC/PPM/RGN-nonmaxshift,
+COC) FAIL CLOSED instead of being silently skipped.
 
 Named seams (raise NotImplementedError): odd-parity canvas origins,
-PCRL/CPRL progressions, selective arithmetic bypass / pass
-termination / segmentation symbols, scalar-DERIVED quantization
-(style 1), subsampled components. OpenJPEG's defaults fall inside
-the implemented envelope.
+selective arithmetic bypass / pass termination / segmentation
+symbols, scalar-DERIVED quantization (style 1), subsampled
+components, COC, PPM, POC. OpenJPEG's defaults fall inside the
+implemented envelope.
 """
 
 from __future__ import annotations
@@ -1004,6 +1007,7 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     pos = 2
     siz = cod = qcd = None
     qccs: list[bytes] = []
+    rgns: list[bytes] = []
     tiles: dict[int, tuple[int, int]] = {}  # isot → (pk_start, pk_end)
     while pos + 2 <= len(data):
         sot_at = pos - 2  # position of the marker we just read
@@ -1061,13 +1065,15 @@ def _decode_codestream(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "JPEG2000 per-component COC coding-style overrides; "
                 "plug a real JPX library in")
-        elif marker in (0xFF5F, 0xFF60, 0xFF5E):  # POC / PPM / RGN
-            # each CHANGES decoding (progression switch, packed
-            # headers, ROI shift) — skipping silently would produce
-            # wrong pixels; fail closed
+        elif marker == 0xFF5E:  # RGN: ROI (Maxshift decodes)
+            rgns.append(body)
+        elif marker in (0xFF5F, 0xFF60):  # POC / PPM
+            # each CHANGES decoding (progression switch, packed main
+            # headers) — skipping silently would produce wrong
+            # pixels; fail closed
             raise NotImplementedError(
                 f"JPEG2000 main-header marker {marker:#06x} "
-                f"(POC/PPM/RGN); plug a real JPX library in")
+                f"(POC/PPM); plug a real JPX library in")
         # COM / TLM / PLM / CRG and other informational markers: skip
         pos += ln
     if siz is None or cod is None or qcd is None:
@@ -1185,6 +1191,23 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         mb_maps[ci] = mbm_c
         quant_maps[ci] = qm_c
 
+    # RGN (Maxshift, Srgn=0): ROI coefficients were upshifted SPrgn
+    # bits at encode — Mb grows by the shift and decoded values with
+    # magnitude ≥ 2^SPrgn downshift back (E.2/T.800 Annex H)
+    rgn_shift = [0] * ncomp
+    for body in rgns:
+        ci, srgn, sprgn = body[0], body[1], body[2]
+        if ci >= ncomp:
+            raise ValueError("RGN component index out of range")
+        if srgn != 0:
+            raise NotImplementedError(
+                f"RGN style {srgn} (only Maxshift decodes)")
+        rgn_shift[ci] = sprgn
+    if any(rgn_shift):
+        mb_maps = [
+            {k: v + rgn_shift[ci] for k, v in mb_maps[ci].items()}
+            for ci in range(ncomp)]
+
     def decode_tile(pos: int, end: int, tw: int, th: int,
                     ppt: bytes | None = None) -> list:
         """One tile's packets → per-component spatial planes (pre-MCT,
@@ -1245,6 +1268,11 @@ def _decode_codestream(data: bytes) -> np.ndarray:
         for c in range(ncomp):
             def band_of(r, bname, c=c):
                 q = comp_coefs[c][(r, bname)]
+                s = rgn_shift[c]
+                if s:
+                    a = np.abs(q)
+                    q = np.where(a >= (1 << s),
+                                 np.sign(q) * (a >> s), q)
                 if qstyle == 0:
                     return q
                 # dequantize: x = (q ± 0.5)·Δ midpoint reconstruction
@@ -1337,7 +1365,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                sop_eph: bool = False,
                precincts: tuple[int, int] | None = None,
                chroma_delta: float | None = None,
-               packed_headers: bool = False) -> bytes:
+               packed_headers: bool = False,
+               roi: tuple[int, int, int, int] | None = None) -> bytes:
     """uint8 HxW grayscale or HxWx3 RGB → JPEG2000. Default: LOSSLESS
     (5/3 reversible, RCT for color, decode == img exactly).
     irreversible=True: the LOSSY real-archive path — 9/7 float
@@ -1399,6 +1428,24 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             out[bname] = (eps, mu, _band_delta(eps, mu, rb))
         return out
 
+    # ROI via Maxshift (RGN markers, Srgn=0): upshift the region's
+    # wavelet coefficients by s = bitlength of the GLOBAL max
+    # magnitude, so every background coefficient stays below 2^s and
+    # the decoder separates them by magnitude alone. Reversible
+    # single-tile fixture shape.
+    roi_s = 0
+    if roi is not None:
+        if irreversible or tile_size:
+            raise NotImplementedError(
+                "ROI fixture supports the reversible single-tile path")
+        mx = 1
+        for pl in planes:
+            for lev_bands in [dwt53_forward(pl, levels)[0]] + [
+                    b for bs in dwt53_forward(pl, levels)[1:]
+                    for b in bs]:
+                mx = max(mx, int(np.abs(lev_bands).max(initial=0)))
+        roi_s = int(mx).bit_length()
+
     quant: dict[str, tuple[int, int, float]] = {}
     quant_c: list[dict] = []
     if irreversible:
@@ -1422,11 +1469,21 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             arr = (comp_bands[c][0] if r == 0
                    else comp_bands[c][r][("HL", "LH",
                                           "HH").index(bname)])
-            if not irreversible:
-                return arr
-            d = quant_c[c][bname][2]
-            return (np.sign(arr)
-                    * np.floor(np.abs(arr) / d)).astype(np.int64)
+            if irreversible:
+                d = quant_c[c][bname][2]
+                arr = (np.sign(arr)
+                       * np.floor(np.abs(arr) / d)).astype(np.int64)
+            if roi_s:
+                # band-coordinate ROI rectangle: LL scales by
+                # 2^levels, a detail band at res r by 2^(levels-r+1)
+                scale = 1 << (levels if r == 0 else levels - r + 1)
+                rx0, ry0, rw_, rh_ = roi
+                bx0, by0 = rx0 // scale, ry0 // scale
+                bx1 = -(-(rx0 + rw_) // scale)
+                by1 = -(-(ry0 + rh_) // scale)
+                arr = arr.copy()
+                arr[max(by0, 0):by1, max(bx0, 0):bx1] <<= roi_s
+            return arr
 
         # precinct grids per resolution (identical math to the
         # decoder; default 2^15 = one precinct per resolution)
@@ -1461,7 +1518,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                         continue
                     nx_t, ny_t = -(-bw // cw_), -(-bh // ch_)
                     mb = (_GUARD_BITS + quant_c[c][bname][0] - 1
-                          if irreversible else _mb(depth, bname))
+                          if irreversible
+                          else _mb(depth, bname)) + roi_s
                     mb_by_band[bname] = mb
                     arr = band_array(c, r, bname)
                     for gy in range(ny_t):
@@ -1619,6 +1677,9 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
             for bname in ("HL", "LH", "HH"):
                 qcd.append((depth + _BAND_GAIN[bname]) << 3)
     cs += b"\xff\x5c" + bytes(qcd)
+    if roi_s:
+        for ci in range(ncomp):
+            cs += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, roi_s)
     if irreversible and chroma_delta is not None:
         order = [("LL",)] + [("HL", "LH", "HH")] * levels
         for ci in (1, 2):

@@ -468,3 +468,29 @@ def test_jp2_ppt_packed_packet_headers():
                                   tile_size=32, sop_eph=True,
                                   progression="RPCL",
                                   n_layers=2)) == rgb).all()
+
+
+def test_jp2_rgn_maxshift_roi():
+    """RGN ROI via Maxshift (Srgn=0): the encoder upshifts the
+    region's coefficients past every background magnitude, the
+    decoder separates by magnitude alone and downshifts — bit-exact
+    lossless, gray and color, composed with quality layers; non-
+    Maxshift RGN styles stay a named seam."""
+    import struct
+
+    from effocr_spark.synth.jp2codec import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    blob = encode_jp2(img, roi=(8, 8, 16, 12), jp2_container=False)
+    assert b"\xff\x5e" in blob  # RGN marker present
+    assert (decode_jp2(blob)[:, :, 0] == img).all()
+    rgb = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert (decode_jp2(encode_jp2(rgb, roi=(0, 0, 16, 16),
+                                  n_layers=2)) == rgb).all()
+    # non-Maxshift RGN style fails closed
+    bad = bytearray(blob)
+    rgn_at = bytes(bad).find(b"\xff\x5e")
+    bad[rgn_at + 5] = 1  # Srgn → 1
+    with pytest.raises(NotImplementedError, match="Maxshift"):
+        decode_jp2(bytes(bad))
