@@ -1178,8 +1178,6 @@ def _decode_codestream(data: bytes) -> np.ndarray:
     qstyle, mb_map0, quant_map0 = parse_quant(qcd)
     mb_maps = [mb_map0] * ncomp
     quant_maps = [quant_map0] * ncomp
-    mb_maps = list(mb_maps)
-    quant_maps = list(quant_maps)
     for body in qccs:
         ci = body[0]  # Cqcc: 1 byte (ncomp ≤ 3 here)
         if ci >= ncomp:
