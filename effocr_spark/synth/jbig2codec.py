@@ -60,6 +60,15 @@ def _check_region_dims(rw: int, rh: int) -> None:
         raise ValueError("implausible JBIG2 region dimensions")
 
 
+def _check_page_alloc(h: int, w: int) -> None:
+    """Same bomb guard for PAGE buffer allocations: region dims are
+    bounded by _check_region_dims, but the page a region grows/creates
+    is (ry+rh, rx+rw)-sized and the 32-bit offsets are otherwise
+    unbounded — a crafted ry near 2^32 must quarantine, not OOM."""
+    if h * w > 1_000_000_000:
+        raise ValueError("implausible JBIG2 page dimensions")
+
+
 class MQDecoder:
     """T.88 Annex E software-conventions MQ decoder. Context state
     (index, MPS) lives in caller-supplied arrays so one decoder serves
@@ -850,10 +859,15 @@ def jbig2_decode_embedded(data: bytes,
             if len(payload) < 19:
                 raise ValueError("short page info segment")
             page_w, page_h = struct.unpack_from(">II", payload, 0)
-            if page_w * min(page_h, 1 << 20) > 1_000_000_000:
-                raise ValueError("implausible JBIG2 page dimensions")
             if page_h == 0xFFFFFFFF:
                 page_h = None  # striped page: grows with regions
+            # bomb-guard only CONCRETE dimensions: a striped page's
+            # height is unknown here and its growth is bounded by
+            # _check_region_dims per region (guarding the sentinel
+            # value used to quarantine any striped page wider than
+            # ~953 px — r6 ADVICE)
+            if page_h is not None and page_w * page_h > 1_000_000_000:
+                raise ValueError("implausible JBIG2 page dimensions")
             default = (payload[16] >> 2) & 1
             page = np.full((page_h or 0, page_w), default, np.uint8)
         elif stype in (_SEG_IMM_GENERIC, _SEG_IMM_LOSSLESS_GENERIC,
@@ -885,8 +899,10 @@ def jbig2_decode_embedded(data: bytes,
                                            tpgdon, at)
             if page is None:
                 page_w, page_h = rx + rw, ry + rh
+                _check_page_alloc(page_h, page_w)
                 page = np.zeros((page_h, page_w), np.uint8)
             if page.shape[0] < ry + rh:  # striped page grows
+                _check_page_alloc(ry + rh, page.shape[1])
                 grown = np.zeros((ry + rh, page.shape[1]), np.uint8)
                 grown[: page.shape[0]] = page
                 page = grown
@@ -927,8 +943,10 @@ def jbig2_decode_embedded(data: bytes,
                                                         patterns)
             if page is None:
                 page_w, page_h = rx + rw, ry + rh
+                _check_page_alloc(page_h, page_w)
                 page = np.zeros((page_h, page_w), np.uint8)
             if page.shape[0] < ry + rh:
+                _check_page_alloc(ry + rh, page.shape[1])
                 grown = np.zeros((ry + rh, page.shape[1]), np.uint8)
                 grown[: page.shape[0]] = page
                 page = grown
@@ -956,8 +974,10 @@ def jbig2_decode_embedded(data: bytes,
                                                          symbols)
             if page is None:
                 page_w, page_h = rx + rw, ry + rh
+                _check_page_alloc(page_h, page_w)
                 page = np.zeros((page_h, page_w), np.uint8)
             if page.shape[0] < ry + rh:
+                _check_page_alloc(ry + rh, page.shape[1])
                 grown = np.zeros((ry + rh, page.shape[1]), np.uint8)
                 grown[: page.shape[0]] = page
                 page = grown

@@ -1291,6 +1291,15 @@ def _decode_codestream(data: bytes) -> np.ndarray:
 
     ntx = -(-(xsiz - xtosiz) // xtsiz)
     nty = -(-(ysiz - ytosiz) // ytsiz)
+    # multi-tile streams: interior tile origins are xtosiz + i*xtsiz,
+    # so TILE SIZE must be 2^levels-aligned too or interior tiles get
+    # odd canvas parity and the local-coordinate band layout silently
+    # decodes wrong pixels — same fail-closed policy as the offset
+    # check above (r6 ADVICE)
+    if (ntx > 1 and xtsiz % align) or (nty > 1 and ytsiz % align):
+        raise NotImplementedError(
+            "unaligned JPEG2000 tile size with multiple tiles "
+            "(canvas-parity band layout)")
     img_w, img_h = xsiz - xosiz, ysiz - yosiz
     dtype = np.int64 if (transform == 1 and qstyle == 0) else np.float64
     planes = [np.zeros((img_h, img_w), dtype) for _ in range(ncomp)]

@@ -583,3 +583,41 @@ def test_huffman_text_region_refine_and_transposed():
         exp[yy:yy + s.shape[0], xx:xx + s.shape[1]] |= s
     exp[1:10, 24:31] |= tgt
     assert ((dec < 128).astype(np.uint8) == exp).all()
+
+
+def test_striped_page_wider_than_953px_decodes():
+    """r6 ADVICE: the bomb guard ran before the striped-height sentinel
+    check, so any striped page wider than ~953 px quarantined. Striped
+    pages must decode at letter-scan widths; growth is bounded by the
+    page-alloc guard instead."""
+    import struct
+    import numpy as np
+    from effocr_spark.synth import jbig2codec as J
+
+    img = np.full((30, 1200), 255, np.uint8)
+    img[10:20, 100:1100] = 0
+    blob = bytearray(J.jbig2_encode_embedded(img))
+    hdr_len = len(J._segment_header(0, J._SEG_PAGE_INFO, 1, 19))
+    struct.pack_into(">I", blob, hdr_len + 4, 0xFFFFFFFF)  # striped
+    out = J.jbig2_decode_embedded(bytes(blob))
+    assert out.shape == (30, 1200)
+    assert out[12, 500] < 128
+
+
+def test_striped_page_huge_region_offset_quarantines():
+    """A region placed at ry=2^30 on a striped page must raise (page
+    allocation bomb), never allocate a billion-row page buffer."""
+    import struct
+    import numpy as np
+    import pytest
+    from effocr_spark.synth import jbig2codec as J
+
+    img = np.full((30, 1200), 255, np.uint8)
+    blob = bytearray(J.jbig2_encode_embedded(img))
+    hdr_len = len(J._segment_header(0, J._SEG_PAGE_INFO, 1, 19))
+    struct.pack_into(">I", blob, hdr_len + 4, 0xFFFFFFFF)
+    reg_off = hdr_len + 19 + len(J._segment_header(
+        1, J._SEG_IMM_LOSSLESS_GENERIC, 1, 1))
+    struct.pack_into(">I", blob, reg_off + 12, 1 << 30)  # ry
+    with pytest.raises(ValueError, match="implausible JBIG2 page"):
+        J.jbig2_decode_embedded(bytes(blob))

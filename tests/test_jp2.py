@@ -494,3 +494,24 @@ def test_jp2_rgn_maxshift_roi():
     bad[rgn_at + 5] = 1  # Srgn → 1
     with pytest.raises(NotImplementedError, match="Maxshift"):
         decode_jp2(bytes(bad))
+
+
+def test_unaligned_tile_size_multi_tile_fails_closed():
+    """r6 ADVICE: a multi-tile stream whose XTsiz is not 2^levels-
+    aligned has interior tile origins with odd canvas parity — the
+    local-coordinate band layout would silently decode wrong pixels, so
+    the decoder must raise instead."""
+    import struct
+    import numpy as np
+    import pytest
+    from effocr_spark.synth import jp2codec
+
+    blob = jp2codec.encode_jp2(np.full((40, 100), 255, np.uint8),
+                               levels=1, tile_size=64)
+    idx = bytes(blob).find(b"\xff\x51")  # SIZ
+    off = idx + 2 + 2 + 2 + 16  # ... XTsiz
+    patched = bytearray(blob)
+    xts = struct.unpack_from(">I", patched, off)[0]
+    struct.pack_into(">I", patched, off, xts + 1)
+    with pytest.raises(NotImplementedError, match="tile size"):
+        jp2codec.decode_jp2(bytes(patched))

@@ -811,3 +811,27 @@ def test_inline_image_colorspace_name_token_not_substring():
     assert len(imgs) == 1
     out = decode_png(imgs[0])
     assert out.ndim == 3 and (out[:, :, 0] == img).all()
+
+
+def test_truncated_flate_stream_quarantines():
+    """r6 ADVICE: _capped_flate (decompressobj) silently returned
+    partial output for a truncated FlateDecode stream where plain
+    zlib.decompress raised — corrupt content streams must quarantine
+    (ok=False), never extract partial text with ok=True."""
+    import re
+    import pytest
+    import zlib
+    from effocr_spark.functions.pdftext import _capped_flate, extract_pdf_text
+    from effocr_spark.synth.pdfgen import make_pdf
+
+    payload = zlib.compress(b"some deflate payload " * 20)
+    with pytest.raises(zlib.error, match="incomplete"):
+        _capped_flate(payload[: len(payload) // 2])
+
+    good = make_pdf([["Truncate me please now"]])
+    m = re.search(rb"stream\r?\n", good)
+    s = m.end()
+    e = good.find(b"endstream", s)
+    bad = good[:s] + good[s:e][: (e - s) // 2] + good[e:]
+    with pytest.raises(Exception):
+        extract_pdf_text(bad)

@@ -132,3 +132,35 @@ def test_word_silver_requires_bank(spark):
     protos = broadcast_prototypes(spark)  # no word bank
     with pytest.raises(Exception, match="en_words"):
         extract_pages(df, protos, word_silver=0.8).collect()
+
+
+def test_emit_char_text_single_pass_matches_two_pass(spark):
+    """r7 optimization: emit_char_text surfaces the pre-merge char
+    stream from the SAME localize+encode pass. Both columns must be
+    bit-identical to the old two-pass spelling (separate char-only and
+    silver extractions)."""
+    from effocr_spark.pipeline import broadcast_prototypes, extract_pages
+    from effocr_spark.synth.font import render_line
+    from effocr_spark.synth.imgcodec import encode_png
+
+    text = "the quick brown fox"
+    img, _, word_boxes = render_line(text)
+    damaged = _damage(img, int(word_boxes[1][0]) + 4,
+                      int(word_boxes[1][0]) + 8)
+    rows = [("clean://0", None, bytearray(encode_png(img)), None, "en"),
+            ("dmg://0", None, bytearray(encode_png(damaged)), None, "en")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    protos = broadcast_prototypes(spark, word_vocab=VOCAB)
+
+    one_pass = {r["url"]: (r["char_text"], r["extracted_text"])
+                for r in extract_pages(df, protos, word_silver=0.8,
+                                       emit_char_text=True).collect()}
+    base = {r["url"]: r["extracted_text"]
+            for r in extract_pages(df, protos).collect()}
+    silver = {r["url"]: r["extracted_text"]
+              for r in extract_pages(df, protos,
+                                     word_silver=0.8).collect()}
+    for url in base:
+        assert one_pass[url] == (base[url], silver[url])
