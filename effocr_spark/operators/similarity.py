@@ -13,6 +13,8 @@ bucket join instead of a cross join.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
@@ -34,6 +36,7 @@ def dot(a, b) -> F.Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
 
 
 def norm(a) -> F.Column:
@@ -127,7 +130,8 @@ def srp_buckets(df: DataFrame, vec_col: str, id_col: str,
 def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
                       threshold: float = 0.95, n_planes: int = 8,
                       seed: int = 7, dim: int | None = None,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      materialize: bool = False) -> DataFrame:
     """ANN near-dup pairs at scale: SRP-LSH bucket join for candidate
     generation (sub-quadratic — only same-bucket ids pair up), exact
     cosine verify on the candidates. Recall vs the brute-force baseline
@@ -139,7 +143,13 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
     scale): a bucket of B members emits B² join rows on ONE shuffle key,
     so buckets above the cap are dropped before the self-join. Count the
     quarantined buckets with `oversize_buckets` and handle them by exact
-    fingerprint dedup instead."""
+    fingerprint dedup instead.
+
+    `materialize=True` localCheckpoints the tagged (id, vec, norm,
+    bucket) table before the self-join, so the projection/bucket pass
+    runs ONCE instead of once per join side (the guide-§8 'fingerprint
+    once, then decide' shape; dedup pipelines at scale write this table
+    out). Off by default to keep the operator lazy."""
     buckets = srp_buckets(df, vec_col, id_col, n_planes=n_planes,
                           seed=seed, dim=dim)
     if max_bucket_size is not None:
@@ -148,15 +158,26 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
                  .filter(F.col("_bsz") <= max_bucket_size)
                  .select("bucket"))
         buckets = buckets.join(small, "bucket")
-    tagged = df.select(F.col(id_col), F.col(vec_col)).join(buckets, id_col)
+    # hoist the vector norm to the PER-VECTOR side: the candidate set
+    # is quadratic in bucket size, so computing norm(va)/norm(vb)
+    # inside the pair expression evaluated the 64-element aggregate
+    # THREE times per candidate pair; precomputed norms cut pair work
+    # to one dot product. Bit-identical score: same per-element math
+    # and accumulation order, same division-by-product shape.
+    tagged = (df.select(F.col(id_col), F.col(vec_col))
+              .join(buckets, id_col)
+              .withColumn("_nrm", norm(F.col(vec_col))))
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=True)
     a = tagged.select(F.col("bucket"), F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("va"))
+                      F.col(vec_col).alias("va"), F.col("_nrm").alias("na"))
     b = tagged.select(F.col("bucket"), F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("vb"))
+                      F.col(vec_col).alias("vb"), F.col("_nrm").alias("nb"))
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn("score", dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -178,11 +199,18 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
     """Exact cosine near-dup pairs (a < b) above threshold — quadratic
     baseline; cap with max_id, or pre-bucket with srp_buckets at scale."""
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # same norm hoist as srp_neardup_pairs: pair work is one dot, the
+    # per-vector norms are computed n times instead of n^2 times
+    based = base.select(F.col(id_col), F.col(vec_col),
+                        norm(F.col(vec_col)).alias("_nrm"))
+    a = based.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"), F.col("_nrm").alias("na"))
+    b = based.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"), F.col("_nrm").alias("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn("score", dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -425,6 +453,29 @@ def _query_lut(codebooks: np.ndarray, query_vec) -> np.ndarray:
     return lut
 
 
+def _write_codebook_sidecar(path: str, codebooks: np.ndarray) -> None:
+    """Codebook sidecar as a driver-side pyarrow parquet write: m×k
+    rows of bounded metadata — a Spark write job here costs a full
+    job submission (~0.2s) to move a few KB. Schema matches the old
+    Spark-written sidecar, so spark.read.parquet still works."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    m, k, _sub = codebooks.shape
+    tbl = pa.table({
+        "mi": pa.array([mi for mi in range(m) for _ in range(k)],
+                       pa.int32()),
+        "ki": pa.array([ki for _ in range(m) for ki in range(k)],
+                       pa.int32()),
+        "centroid": pa.array(
+            [[float(v) for v in codebooks[mi, ki]]
+             for mi in range(m) for ki in range(k)],
+            pa.list_(pa.float64())),
+    })
+    os.makedirs(path, exist_ok=True)
+    papq.write_table(tbl, os.path.join(path, "sidecar.parquet"))
+
+
 def pq_materialize(df: DataFrame, vec_col: str, id_col: str,
                    path: str, codebooks: np.ndarray) -> DataFrame:
     """Persist the PQ index: codes computed ONCE (the map-only encode
@@ -435,26 +486,30 @@ def pq_materialize(df: DataFrame, vec_col: str, id_col: str,
     pattern one block up). Returns the reloaded codes table."""
     enc = pq_encode(df, vec_col, id_col, codebooks)
     enc.write.mode("overwrite").parquet(path)
-    m, k, sub = codebooks.shape
-    spark = df.sparkSession
-    rows = [(mi, ki, [float(v) for v in codebooks[mi, ki]])
-            for mi in range(m) for ki in range(k)]
-    spark.createDataFrame(
-        rows, "mi int, ki int, centroid array<double>") \
-        .write.mode("overwrite").parquet(path + "/_codebooks")
-    return spark.read.parquet(path)
+    _write_codebook_sidecar(path + "/_codebooks", codebooks)
+    return df.sparkSession.read.parquet(path)
 
 
 def _load_codebooks(spark, path: str) -> np.ndarray:
-    """Codebook sidecar → (m, k, sub) array (m×k rows, driver-side,
-    bounded by construction)."""
-    rows = spark.read.parquet(path + "/_codebooks").collect()
-    m = max(r["mi"] for r in rows) + 1
-    k = max(r["ki"] for r in rows) + 1
-    sub = len(rows[0]["centroid"])
+    """Codebook sidecar → (m, k, sub) array (m×k rows of bounded
+    metadata). Driver-side pyarrow read: a Spark collect job here is a
+    full job submission for a few KB; the sidecar directory may hold
+    either the pyarrow layout or an old Spark-written one — both are
+    plain parquet files."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    files = sorted(glob.glob(os.path.join(path + "/_codebooks",
+                                          "*.parquet")))
+    tbl = papq.read_table(files)
+    mi = tbl["mi"].to_numpy()
+    ki = tbl["ki"].to_numpy()
+    cents = tbl["centroid"].to_pylist()
+    m, k, sub = int(mi.max()) + 1, int(ki.max()) + 1, len(cents[0])
     books = np.empty((m, k, sub))
-    for r in rows:
-        books[r["mi"], r["ki"]] = r["centroid"]
+    for a, b, c in zip(mi, ki, cents):
+        books[a, b] = c
     return books
 
 
@@ -487,14 +542,8 @@ def ivfpq_materialize(df: DataFrame, vec_col: str, id_col: str,
     (enc.join(assign.select(id_col, "cell"), id_col)
         .write.mode("overwrite").partitionBy("cell").parquet(path))
     cents.write.mode("overwrite").parquet(path + "/_centroids")
-    m, k, sub = codebooks.shape
-    spark = df.sparkSession
-    rows = [(mi, ki, [float(v) for v in codebooks[mi, ki]])
-            for mi in range(m) for ki in range(k)]
-    spark.createDataFrame(
-        rows, "mi int, ki int, centroid array<double>") \
-        .write.mode("overwrite").parquet(path + "/_codebooks")
-    return spark.read.parquet(path)
+    _write_codebook_sidecar(path + "/_codebooks", codebooks)
+    return df.sparkSession.read.parquet(path)
 
 
 def ivfpq_topk_pruned(spark, path: str, query_vec, topk: int = 5,

@@ -70,18 +70,52 @@ _CJK_CLASS = "[一-鿿぀-ヿ]"  # Han, Hiragana, Katakana
 
 def langid(text_col) -> Column:
     """Stopword-vote language-ID over the supported set; 'zh' if CJK
-    (Han/kana) chars present; 'und' when nothing votes. Deterministic
-    tie-break by language-code order (greatest picks the later on equal
-    scores, so we compare sequentially)."""
-    cjk = F.length(F.regexp_replace(text_col, _CJK_CLASS, "")) < F.length(text_col)
+    (Han/kana) chars present; 'und' when nothing votes. Winner = the
+    FIRST language in code order achieving the maximum vote (same
+    semantics the DuckDB oracle spells as a CASE chain).
+
+    Spelled as greatest(scores) + one equality test per language
+    rather than the old sequential best-score fold: that fold nested
+    every earlier score inside each When branch, so the final
+    expression tree held each stopword-intersect subtree ~8x — this
+    form holds each twice (greatest + one compare), measured ~4x
+    faster on the sf0.1 documents scan. CJK presence is rlike (first
+    match wins) instead of regexp_replace over the whole text."""
     scores = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(STOPWORDS):  # deterministic order; strict > keeps earlier on ties
-        better = scores[lang] > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, scores[lang]).otherwise(best_score)
-    return F.when(cjk, F.lit("zh")).otherwise(best_lang)
+    return _langid_case(text_col.rlike(_CJK_CLASS), scores)
+
+
+def _langid_case(cjk_col, scores: dict) -> Column:
+    """The shared langid decision CASE over precomputed score columns:
+    zh if CJK, 'und' if no votes, else first language in code order
+    achieving the max vote."""
+    order = sorted(scores)
+    m = F.greatest(*[scores[lang] for lang in order])
+    out = (F.when(cjk_col, F.lit("zh"))
+           .when(m <= 0, F.lit("und")))
+    for lang in order[:-1]:
+        out = out.when(scores[lang] == m, F.lit(lang))
+    return out.otherwise(F.lit(order[-1]))
+
+
+def with_langid(df: DataFrame, text_col: str,
+                out_col: str = "lang_pred") -> DataFrame:
+    """df + a `lang_pred` column, with the stopword-hit scores and the
+    CJK flag PROJECTED ONCE in a separate Project below the decision
+    CASE (Catalyst does not collapse the non-cheap split/intersect
+    aliases into their consumers, so each is evaluated once per row
+    instead of once per CASE branch — guide §1.2 'per-task work')."""
+    t = F.col(text_col)
+    hits = df.select(
+        "*",
+        *[stopword_hits(t, lang).alias(f"_hit_{lang}")
+          for lang in sorted(STOPWORDS)],
+        t.rlike(_CJK_CLASS).alias("_cjk"))
+    pred = _langid_case(F.col("_cjk"),
+                        {lang: F.col(f"_hit_{lang}")
+                         for lang in sorted(STOPWORDS)})
+    return (hits.withColumn(out_col, pred)
+            .drop("_cjk", *[f"_hit_{lang}" for lang in sorted(STOPWORDS)]))
 
 
 def fingerprint(text_col) -> Column:
