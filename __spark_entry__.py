@@ -504,6 +504,32 @@ def _dot_double(a, b):
                F.transform(b, lambda x: x.cast("double")))
 
 
+def _emb_table(sf_dir: str, lo: int | None = None, hi: int | None = None):
+    """Driver-side pyarrow read of the embeddings parquet (bounded:
+    2k rows at sf0.1), optionally row-filtered on vec_id. Fetching ONE
+    query vector (or a 90-row prototype bank) through a Spark
+    collect/first() costs a full job submission (~0.2-0.3s each at
+    local[32]); a production ANN query never launches a cluster job to
+    obtain its own query point. Values are identical — same file, same
+    float32 payload (the oracle gates pin it). Computed per run; no
+    caching."""
+    import pyarrow.parquet as papq
+
+    filters = None
+    if lo is not None:
+        filters = [("vec_id", ">=", lo), ("vec_id", "<", hi)]
+    return papq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filters=filters)
+
+
+def _emb_vec(sf_dir: str, vec_id: int) -> list[float]:
+    """The single embedding row `vec_id` as a list of Python floats —
+    exactly what .first()["embedding"] returned."""
+    t = _emb_table(sf_dir, vec_id, vec_id + 1)
+    return [float(v) for v in t["embedding"][0].as_py()]
+
+
 def q_pq_topk(spark, sf_dir):
     """Product quantization ADC top-k — the OTHER half of the
     production IVF-PQ ANN stack (operators/similarity.py): driver-side
@@ -524,7 +550,7 @@ def q_pq_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     books = pq_train(emb, "embedding", m=8, k=32, sample=500)
-    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    qvec = _emb_vec(sf_dir, 3)
     # per-invocation index dir (mkdtemp): a fixed shared path raced
     # between concurrent harness runs — one run's overwrite could
     # delete parquet files mid-scan of the other's search (r6 ADVICE)
@@ -543,7 +569,7 @@ def q_ivf_topk(spark, sf_dir):
     from effocr_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    qvec = _emb_vec(sf_dir, 3)
     out = ivf_topk(emb.filter(F.col("vec_id") != 3), "embedding",
                    "vec_id", qvec, k=5, nprobe=2, n_cells=8)
     return out.select("vec_id", "cell",
@@ -552,7 +578,7 @@ def q_ivf_topk(spark, sf_dir):
 
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _emb_vec(sf_dir, 0)
     qlit = F.array(*[F.lit(float(v)).cast("double") for v in qvec])
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     num = F.aggregate(F.zip_with(e, qlit, lambda x, y: x * y),
@@ -649,13 +675,11 @@ def q_knn_topk(spark, sf_dir):
     from effocr_spark.functions.recognize import knn_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    protos = sorted(
-        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100))
-        .select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"])
-    proto_ids = np.array([r["vec_id"] for r in protos], dtype=np.int64)
-    proto_mat = np.array([list(r["embedding"]) for r in protos],
-                         dtype=np.float64)
+    ptab = _emb_table(sf_dir, 10, 100)  # driver-side, 90 bounded rows
+    order = np.argsort(ptab["vec_id"].to_numpy(), kind="stable")
+    proto_ids = ptab["vec_id"].to_numpy()[order].astype(np.int64)
+    proto_mat = np.array(ptab["embedding"].to_pylist(),
+                         dtype=np.float64)[order]
     bc = spark.sparkContext.broadcast((proto_ids, proto_mat))
 
     def topk_batches(batches):
@@ -895,6 +919,12 @@ def q_extract_pdf(spark, sf_dir):
         "url string, warc_ts timestamp, html binary, text string, lang string")
     mixed = pages.select("url", "warc_ts", "html", "text", "lang") \
         .unionByName(extra)
+    # materialize the mixed input once: the 3-branch router scans its
+    # input once per branch, re-running the distributed page GENERATOR
+    # (pages_df mapInPandas) each time — localCheckpoint pins the ~38
+    # tiny rows so generation happens once per invocation (computed
+    # from scratch every run; nothing persists across runs)
+    mixed = mixed.localCheckpoint(eager=True)
     res = extract_pages(mixed, _protos_bc(spark), salt_partitions=8)
     return res.select("url", "branch", "extracted_text", "ok")
 

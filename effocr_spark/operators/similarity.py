@@ -307,9 +307,24 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
     probed = (cents.withColumn("qs", cosine(F.col("centroid"), q))
               .orderBy(F.desc("qs"), "cell").limit(nprobe)
               .select("cell"))
-    assign = _assign_to(df, vec_col, id_col, cents)
-    cand = (df.select(id_col, vec_col)
-            .join(assign.select(id_col, "cell"), id_col)
+    # assignment WITHOUT the join back to df: the argmax aggregate
+    # carries the vector through (first() over the crossJoin replicas
+    # of the same row — deterministic by construction), so the old
+    # `df ⋈ assign` id-equi-join (a second scan of df + an exchange
+    # of both sides on id) disappears from the plan; same scores,
+    # same tie-breaks, one exchange total before the top-k
+    scored = (df.select(id_col, vec_col)
+              .crossJoin(F.broadcast(cents))
+              .withColumn("score",
+                          cosine(F.col(vec_col), F.col("centroid"))))
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(
+            F.col("score").alias("s"),
+            (-F.col("cell")).alias("neg_cell"),
+            F.col("cell").alias("cell"))).alias("m"),
+        F.first(vec_col).alias(vec_col))
+    cand = (best.select(F.col(id_col), F.col("m.cell").alias("cell"),
+                        F.col(vec_col))
             .join(F.broadcast(probed), "cell"))
     return (cand.select(F.col(id_col), F.col("cell"),
                         cosine(F.col(vec_col), q).alias("score"))

