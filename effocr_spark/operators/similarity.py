@@ -153,11 +153,19 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
     buckets = srp_buckets(df, vec_col, id_col, n_planes=n_planes,
                           seed=seed, dim=dim)
     if max_bucket_size is not None:
-        small = (buckets.groupBy("bucket")
-                 .agg(F.count("*").alias("_bsz"))
-                 .filter(F.col("_bsz") <= max_bucket_size)
-                 .select("bucket"))
-        buckets = buckets.join(small, "bucket")
+        # bucket-size cap as a count() window over the LIGHT (id,
+        # bucket) table rather than groupBy + join back: the join
+        # spelling re-derived the bucket projections once for the size
+        # aggregate and once for the join side — the window evaluates
+        # them once, and its bucket partitioning is the same key the
+        # self-join below shuffles on (guide §2.4: share the exchange)
+        from pyspark.sql import Window
+
+        buckets = (buckets
+                   .withColumn("_bsz", F.count("*").over(
+                       Window.partitionBy("bucket")))
+                   .filter(F.col("_bsz") <= max_bucket_size)
+                   .drop("_bsz"))
     # hoist the vector norm to the PER-VECTOR side: the candidate set
     # is quadratic in bucket size, so computing norm(va)/norm(vb)
     # inside the pair expression evaluated the 64-element aggregate
