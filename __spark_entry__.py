@@ -546,10 +546,28 @@ def q_pq_topk(spark, sf_dir):
 
     from effocr_spark.operators.similarity import (pq_materialize,
                                                    pq_topk_pruned,
-                                                   pq_train)
+                                                   pq_train,
+                                                   pq_train_array)
+
+    import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_train(emb, "embedding", m=8, k=32, sample=500)
+    # sample for driver-side codebook training via the same pyarrow row
+    # read as the query vector (the Spark TakeOrdered job moved 500
+    # rows for ~0.3-0.5s of job submission). Equivalence to
+    # pq_train's orderBy(embedding[0]).limit(500): the sort key is the
+    # leading float — on DISTINCT keys both engines pick the same 500
+    # rows in the same order; on any duplicate key (or too few rows)
+    # fall back to the Spark path rather than risk tie-order drift.
+    tab = _emb_table(sf_dir)
+    xs = np.array(tab["embedding"].to_pylist(), np.float64)
+    keys = xs[:, 0]
+    if np.unique(keys).size == keys.size and xs.shape[0] >= 500 \
+            and not np.isnan(keys).any():
+        sample = xs[np.argsort(keys, kind="stable")[:500]]
+        books = pq_train_array(sample, m=8, k=32)
+    else:
+        books = pq_train(emb, "embedding", m=8, k=32, sample=500)
     qvec = _emb_vec(sf_dir, 3)
     # per-invocation index dir (mkdtemp): a fixed shared path raced
     # between concurrent harness runs — one run's overwrite could

@@ -401,6 +401,15 @@ def pq_train(df: DataFrame, vec_col: str, m: int = 4, k: int = 16,
     rows = (df.select(vec_col).orderBy(F.col(vec_col).getItem(0))
             .limit(sample).collect())
     x = np.array([r[0] for r in rows], np.float64)
+    return pq_train_array(x, m=m, k=k, iters=iters)
+
+
+def pq_train_array(x: np.ndarray, m: int = 4, k: int = 16,
+                   iters: int = 10) -> np.ndarray:
+    """The numpy k-means body of pq_train over an already-sampled
+    (n, dim) float64 array — callers that hold the sample driver-side
+    (e.g. a pyarrow row read of a small table) skip the Spark
+    TakeOrdered job; identical math, identical codebooks."""
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -421,3 +421,25 @@ def test_ivfpq_materialized_index(spark, emb_df, vecs, tmp_path):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
     assert "embedding" not in plan  # vectors never read at query time
+
+
+def test_pq_train_array_matches_spark_sample(spark):
+    """r7: q_pq_topk samples its training rows via a driver-side
+    pyarrow read (distinct leading floats -> same 500 rows, same
+    order as orderBy(embedding[0]).limit(500)). The codebooks must be
+    byte-identical to the Spark-sampled path."""
+    import numpy as np
+    import pyarrow.parquet as papq
+    from effocr_spark.operators.similarity import pq_train, pq_train_array
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    b1 = pq_train(emb, "embedding", m=8, k=16, sample=100)
+    tab = papq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    xs = np.array(tab["embedding"].to_pylist(), np.float64)
+    keys = xs[:, 0]
+    assert np.unique(keys).size == keys.size  # the guard's premise
+    b2 = pq_train_array(xs[np.argsort(keys, kind="stable")[:100]],
+                        m=8, k=16)
+    assert np.array_equal(b1, b2)
