@@ -559,14 +559,19 @@ def q_pq_topk(spark, sf_dir):
     # leading float — on DISTINCT keys both engines pick the same 500
     # rows in the same order; on any duplicate key (or too few rows)
     # fall back to the Spark path rather than risk tie-order drift.
-    tab = _emb_table(sf_dir)
-    xs = np.array(tab["embedding"].to_pylist(), np.float64)
-    keys = xs[:, 0]
-    if np.unique(keys).size == keys.size and xs.shape[0] >= 500 \
-            and not np.isnan(keys).any():
-        sample = xs[np.argsort(keys, kind="stable")[:500]]
-        books = pq_train_array(sample, m=8, k=32)
-    else:
+    import pyarrow.parquet as papq
+    n_rows = papq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    books = None
+    if 500 <= n_rows <= 100_000:  # driver-side read stays bounded
+        tab = _emb_table(sf_dir)
+        xs = np.array(tab["embedding"].to_pylist(), np.float64)
+        keys = xs[:, 0]
+        if np.unique(keys).size == keys.size and not np.isnan(keys).any():
+            sample = xs[np.argsort(keys, kind="stable")[:500]]
+            books = pq_train_array(sample, m=8, k=32)
+    if books is None:
+        # duplicate/NaN sort keys or a table too large to pull to the
+        # driver: the Spark TakeOrdered sample path (identical result)
         books = pq_train(emb, "embedding", m=8, k=32, sample=500)
     qvec = _emb_vec(sf_dir, 3)
     # per-invocation index dir (mkdtemp): a fixed shared path raced
