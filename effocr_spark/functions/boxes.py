@@ -26,12 +26,20 @@ def xywh2xyxy(x: np.ndarray) -> np.ndarray:
 
 
 def box_iou(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
-    """[N,4] x [M,4] → [N,M] pairwise IoU (localizer_engine.py:150-169)."""
-    a1, a2 = box1[:, None, :2], box1[:, None, 2:4]
-    b1, b2 = box2[None, :, :2], box2[None, :, 2:4]
-    inter = np.clip(np.minimum(a2, b2) - np.maximum(a1, b1), 0, None).prod(2)
-    area1 = (a2 - a1).prod(2)
-    area2 = (b2 - b1).prod(2)
+    """[N,4] x [M,4] → [N,M] pairwise IoU (localizer_engine.py:150-169).
+
+    Spelled per-coordinate rather than over stacked [N,M,2] temporaries:
+    identical elementwise min/max/sub/clip/multiply (prod over a length-2
+    axis IS w*h in the same order), half the bytes touched per pass —
+    NMS calls this once per strip with N=M≈100, where temporary size is
+    pure dispatch overhead (r7)."""
+    ax0, ay0, ax1, ay1 = (box1[:, None, i] for i in range(4))
+    bx0, by0, bx1, by1 = (box2[None, :, i] for i in range(4))
+    iw = np.clip(np.minimum(ax1, bx1) - np.maximum(ax0, bx0), 0, None)
+    ih = np.clip(np.minimum(ay1, by1) - np.maximum(ay0, by0), 0, None)
+    inter = iw * ih
+    area1 = (ax1 - ax0) * (ay1 - ay0)
+    area2 = (bx1 - bx0) * (by1 - by0)
     return inter / (area1 + area2 - inter + eps)
 
 
@@ -58,13 +66,17 @@ def _greedy_nms(boxes: np.ndarray, iou_thres: float) -> np.ndarray:
     suppressed = np.zeros(n, dtype=bool)
     keep = []
     if n <= _NMS_MATRIX_CAP:
-        ious = box_iou(boxes, boxes)  # one vectorized pass
+        # one vectorized IoU pass AND one vectorized threshold compare:
+        # the `> iou_thres` used to run per kept row inside the greedy
+        # loop (an n-element ufunc dispatch per kept box — half the
+        # loop's cost at strip sizes); the booleans are identical
+        over = box_iou(boxes, boxes) > iou_thres
         for i in range(n):
             if suppressed[i]:
                 continue
             keep.append(i)
             if i + 1 < n:
-                suppressed[i + 1 :] |= ious[i, i + 1 :] > iou_thres
+                suppressed[i + 1 :] |= over[i, i + 1 :]
         return np.asarray(keep, dtype=np.int64)
     for i in range(n):
         if suppressed[i]:

@@ -96,6 +96,7 @@ def synthetic_yolo_head(img: np.ndarray, vertical: bool = False) -> np.ndarray:
     axis = 0 if not vertical else 1          # project onto x (cols) or y (rows)
     profile = ink.any(axis=axis)
     runs = _ink_runs(profile)
+    has = profile  # the per-column/row ink flags ARE the run profile
 
     char_boxes = []  # (x0, y0, x1, y1) original pixels
     if runs:
@@ -104,7 +105,6 @@ def synthetic_yolo_head(img: np.ndarray, vertical: bool = False) -> np.ndarray:
         # first/last ink row per column, then min/max across each run's
         # columns via reduceat
         if not vertical:
-            has = ink.any(axis=0)
             first = np.where(has, ink.argmax(axis=0), h)
             last = np.where(has, h - 1 - ink[::-1, :].argmax(axis=0), -1)
             starts = np.array([a for a, _ in runs], dtype=np.int64)
@@ -119,7 +119,6 @@ def synthetic_yolo_head(img: np.ndarray, vertical: bool = False) -> np.ndarray:
             for (a, b), y0, y1 in zip(runs, y0s, y1s):
                 char_boxes.append((a, int(y0), b, int(y1)))
         else:
-            has = ink.any(axis=1)
             first = np.where(has, ink.argmax(axis=1), w)
             last = np.where(has, w - 1 - ink[:, ::-1].argmax(axis=1), -1)
             starts = np.array([a for a, _ in runs], dtype=np.int64)
