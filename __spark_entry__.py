@@ -594,7 +594,8 @@ def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _emb_vec(sf_dir, 3)
     out = ivf_topk(emb.filter(F.col("vec_id") != 3), "embedding",
-                   "vec_id", qvec, k=5, nprobe=2, n_cells=8)
+                   "vec_id", qvec, k=5, nprobe=2, n_cells=8,
+                   collect_centroids=True)
     return out.select("vec_id", "cell",
                       F.round("score", 4).alias("score"))
 
@@ -870,7 +871,7 @@ def q_srp_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     pairs = srp_neardup_pairs(emb, "embedding", "vec_id", threshold=0.3,
                               n_planes=4, dim=64, max_bucket_size=200,
-                              materialize=True)
+                              arrow_pairs=True)
     return pairs.select("id_a", "id_b", F.round("score", 4).alias("score"))
 
 

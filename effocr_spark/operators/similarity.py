@@ -103,6 +103,22 @@ def centroid_knn_join(df: DataFrame, vec_col: str, id_col: str,
                        F.col("m.s").alias("score"))
 
 
+def _srp_bucket_col(df: DataFrame, vec_col: str, n_planes: int,
+                    seed: int, dim: int | None) -> F.Column:
+    """The bit-packed sign-projection bucket expression (shared by
+    srp_buckets and the Arrow pair path so both derive the identical
+    bucket from the identical seeded hyperplanes)."""
+    rng = np.random.RandomState(seed)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = None
+    for i in range(n_planes):
+        bit = (dot(F.col(vec_col), _vec_lit(planes[i])) > 0).cast("long")
+        bucket = bit * (1 << i) if bucket is None else bucket + bit * (1 << i)
+    return bucket
+
+
 def srp_buckets(df: DataFrame, vec_col: str, id_col: str,
                 n_planes: int = 8, seed: int = 7,
                 dim: int | None = None) -> DataFrame:
@@ -116,14 +132,7 @@ def srp_buckets(df: DataFrame, vec_col: str, id_col: str,
     (an extra Spark job and a surprise in a lazy pipeline) kept only for
     interactive use.
     """
-    rng = np.random.RandomState(seed)
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = rng.standard_normal((n_planes, dim))
-    bucket = None
-    for i in range(n_planes):
-        bit = (dot(F.col(vec_col), _vec_lit(planes[i])) > 0).cast("long")
-        bucket = bit * (1 << i) if bucket is None else bucket + bit * (1 << i)
+    bucket = _srp_bucket_col(df, vec_col, n_planes, seed, dim)
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
@@ -131,7 +140,8 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
                       threshold: float = 0.95, n_planes: int = 8,
                       seed: int = 7, dim: int | None = None,
                       max_bucket_size: int | None = None,
-                      materialize: bool = False) -> DataFrame:
+                      materialize: bool = False,
+                      arrow_pairs: bool = False) -> DataFrame:
     """ANN near-dup pairs at scale: SRP-LSH bucket join for candidate
     generation (sub-quadratic — only same-bucket ids pair up), exact
     cosine verify on the candidates. Recall vs the brute-force baseline
@@ -149,7 +159,27 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
     bucket) table before the self-join, so the projection/bucket pass
     runs ONCE instead of once per join side (the guide-§8 'fingerprint
     once, then decide' shape; dedup pipelines at scale write this table
-    out). Off by default to keep the operator lazy."""
+    out). Off by default to keep the operator lazy.
+
+    `arrow_pairs=True` replaces the bucket SELF-JOIN + per-pair
+    interpreted higher-order dot with ONE grouped Arrow stage: each
+    bucket's (id, vec) members are handed to a vectorized NumPy kernel
+    that generates the i<j pairs and scores them in bulk. Scores are
+    BIT-IDENTICAL to the JVM expression (pinned by test): the elementwise
+    product and a cumsum along the vector axis reproduce the zip_with +
+    left-fold accumulation order exactly, np.sqrt/np.divide are the same
+    IEEE-754 ops, and Spark's divide-by-zero→NULL row drop maps to the
+    isfinite mask. Plan: one exchange on `bucket` (shared by the cap
+    window and the grouped stage) instead of a two-sided self-join —
+    shuffle bytes fall from 2× to 1× of the tagged table, and the
+    quadratic per-pair scoring runs at NumPy speed instead of one
+    interpreted lambda tree per candidate (guide §4: the boundary is
+    crossed once per bucket, Arrow-batched, with only the needed
+    columns)."""
+    if arrow_pairs:
+        return _srp_neardup_pairs_arrow(df, vec_col, id_col, threshold,
+                                        n_planes, seed, dim,
+                                        max_bucket_size)
     buckets = srp_buckets(df, vec_col, id_col, n_planes=n_planes,
                           seed=seed, dim=dim)
     if max_bucket_size is not None:
@@ -189,6 +219,74 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def _srp_neardup_pairs_arrow(df: DataFrame, vec_col: str, id_col: str,
+                             threshold: float, n_planes: int, seed: int,
+                             dim: int | None,
+                             max_bucket_size: int | None) -> DataFrame:
+    """Grouped-Arrow body of srp_neardup_pairs(arrow_pairs=True): bucket
+    tag inline on the full row (no join back), hot-bucket cap as the
+    same count() window, then applyInPandas per bucket. Pair scores are
+    bit-identical to the JVM higher-order path — see the caller's
+    docstring; tests/test_similarity_ops.py pins equality."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    bucket = _srp_bucket_col(df, vec_col, n_planes, seed, dim)
+    tagged = df.select(F.col(id_col), F.col(vec_col),
+                       bucket.alias("bucket"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        tagged = (tagged
+                  .withColumn("_bsz", F.count("*").over(
+                      Window.partitionBy("bucket")))
+                  .filter(F.col("_bsz") <= max_bucket_size)
+                  .drop("_bsz"))
+
+    # pair chunking bound: caps the (pairs × dim) product-matrix
+    # temporary at ~8 MB regardless of bucket size, so an uncapped
+    # degenerate bucket degrades to more chunks, never to an OOM
+    chunk = 1 << 16
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64")})
+        if n < 2:
+            return empty
+        raw_ids = pdf[id_col].to_numpy()
+        order = np.argsort(raw_ids, kind="stable")  # ids are unique
+        ids = raw_ids[order]
+        # float32 → float64 is exact, matching the expression's
+        # cast-before-multiply promotion
+        vs = np.array([np.asarray(v, np.float64)
+                       for v in pdf[vec_col]], np.float64)[order]
+        # norm = sqrt(left-fold(acc + x*x)): cumsum reproduces the fold
+        # accumulation order bit-for-bit (0.0 + x0² == x0²)
+        nr = np.sqrt((vs * vs).cumsum(axis=1)[:, -1])
+        iu, ju = np.triu_indices(n, 1)  # sorted ids ⇒ id_a < id_b
+        outs = []
+        for lo in range(0, len(iu), chunk):
+            ii, jj = iu[lo:lo + chunk], ju[lo:lo + chunk]
+            prod = vs[ii] * vs[jj]
+            dots = prod.cumsum(axis=1)[:, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = dots / (nr[ii] * nr[jj])
+            # Spark double-divide-by-zero yields NULL (row dropped by
+            # the >= filter); non-finite here iff the divisor was 0
+            m = np.isfinite(score) & (score >= threshold)
+            if m.any():
+                outs.append(pd.DataFrame({
+                    "id_a": ids[ii[m]], "id_b": ids[jj[m]],
+                    "score": score[m]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return tagged.groupBy("bucket").applyInPandas(
+        _pairs, f"id_a {id_type}, id_b {id_type}, score double")
 
 
 def oversize_buckets(buckets: DataFrame, bucket_col: str,
@@ -296,9 +394,30 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
     return _assign_to(df, vec_col, id_col, cents)
 
 
+def _pyfold_cosine(a, b) -> float:
+    """Driver-side replica of the JVM cosine expression with the SAME
+    accumulation order (cast-to-double per element, left-fold adds,
+    product of norms, one divide) — Python floats are the same IEEE-754
+    doubles, so the value is bit-identical. Raises ZeroDivisionError on
+    a zero norm (callers fall back to the Spark plan)."""
+    import math
+
+    d = 0.0
+    for x, y in zip(a, b):
+        d += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
              k: int = 5, nprobe: int = 2, n_cells: int = 8,
-             refine: int = 0) -> DataFrame:
+             refine: int = 0, collect_centroids: bool = False
+             ) -> DataFrame:
     """IVF ANN query: rank cells by query↔centroid cosine, search the
     top-nprobe cells EXACTLY. → (id, cell, score), the approximate
     top-k (recall < 1 by design when the true neighbor lives in an
@@ -309,9 +428,61 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_vec,
     pruning: the scan touches nprobe/n_cells of the files before any
     vector math — the same pruning hidden partitioning gives the
     extraction branches. Here the candidate filter is a broadcast
-    semi-join on the probed cell ids (nprobe rows)."""
+    semi-join on the probed cell ids (nprobe rows).
+
+    `collect_centroids=True` trades lazity for one table scan: the
+    n_cells centroid rows are collected ONCE (one TakeOrdered job) and
+    fed back as a literal local relation for both consumers — the
+    probed-cell ranking (computed driver-side with bit-identical float
+    math, see _pyfold_cosine) and the broadcast assignment side. The
+    lazy plan evaluates the centroid subtree TWICE (the probed
+    TakeOrdered and the broadcast build each scan the full table);
+    this spelling scans it once. Falls back to the lazy plan on any
+    non-finite centroid score so NULL/NaN ordering semantics can never
+    diverge."""
     q = _vec_lit(query_vec)
     cents = ivf_centroids(df, vec_col, id_col, n_cells, refine)
+    if collect_centroids:
+        rows = cents.collect()  # n_cells rows — bounded by construction
+        try:
+            ranked = sorted(
+                ((_pyfold_cosine(r["centroid"], query_vec), r["cell"])
+                 for r in rows), key=lambda t: (-t[0], t[1]))
+        except (ZeroDivisionError, ValueError, TypeError):
+            ranked = None
+        if ranked is not None and all(
+                s == s and abs(s) != float("inf") for s, _ in ranked):
+            import pandas as pd
+
+            probed_cells = [c for _, c in ranked[:nprobe]]
+            cell_type = (cents.schema["cell"].dataType.simpleString()
+                         if rows else "bigint")
+            spark = df.sparkSession
+            cents_local = spark.createDataFrame(
+                pd.DataFrame({
+                    "cell": [r["cell"] for r in rows],
+                    "centroid": [[float(v) for v in r["centroid"]]
+                                 for r in rows]}),
+                schema=f"cell {cell_type}, centroid array<double>")
+            scored = (df.select(id_col, vec_col)
+                      .crossJoin(F.broadcast(cents_local))
+                      .withColumn("score",
+                                  cosine(F.col(vec_col),
+                                         F.col("centroid"))))
+            best = scored.groupBy(id_col).agg(
+                F.max(F.struct(
+                    F.col("score").alias("s"),
+                    (-F.col("cell")).alias("neg_cell"),
+                    F.col("cell").alias("cell"))).alias("m"),
+                F.first(vec_col).alias(vec_col))
+            cand = (best.select(F.col(id_col),
+                                F.col("m.cell").alias("cell"),
+                                F.col(vec_col))
+                    .filter(F.col("cell").isin(probed_cells)
+                            if probed_cells else F.lit(False)))
+            return (cand.select(F.col(id_col), F.col("cell"),
+                                cosine(F.col(vec_col), q).alias("score"))
+                    .orderBy(F.desc("score"), F.col(id_col)).limit(k))
     probed = (cents.withColumn("qs", cosine(F.col("centroid"), q))
               .orderBy(F.desc("qs"), "cell").limit(nprobe)
               .select("cell"))

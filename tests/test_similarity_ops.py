@@ -141,6 +141,39 @@ def test_srp_neardup_hot_bucket_cap(spark):
     assert len(over) == 1 and over[0]["bucket_size"] == 20
 
 
+def test_srp_neardup_arrow_pairs_bit_identical(spark):
+    """The grouped-Arrow pair path (arrow_pairs=True) must return the
+    EXACT rows of the JVM self-join path — same pairs AND bit-identical
+    double scores (the NumPy kernel reproduces the zip_with/left-fold
+    accumulation order via cumsum). Random vectors, cap active, a low
+    threshold so thousands of pairs cross the comparison."""
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(16)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.1, n_planes=3, dim=16, max_bucket_size=80)
+    jvm = sorted(map(tuple, sim.srp_neardup_pairs(
+        df, "embedding", "vec_id", **kw).collect()))
+    arw = sorted(map(tuple, sim.srp_neardup_pairs(
+        df, "embedding", "vec_id", arrow_pairs=True, **kw).collect()))
+    assert len(jvm) > 100
+    assert jvm == arw  # tuple equality ⇒ bit-identical scores
+
+
+def test_ivf_topk_collected_centroids_identical(spark):
+    """collect_centroids=True (one centroid scan + driver-side probed
+    ranking with bit-identical fold math) must return EXACTLY the lazy
+    plan's rows — ids, cells, and double scores."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(i % 7) - 3.0 for i in range(64)]
+    lazy = [tuple(r) for r in sim.ivf_topk(
+        emb, "embedding", "vec_id", q, k=5, nprobe=2, n_cells=8).collect()]
+    fast = [tuple(r) for r in sim.ivf_topk(
+        emb, "embedding", "vec_id", q, k=5, nprobe=2, n_cells=8,
+        collect_centroids=True).collect()]
+    assert lazy == fast and len(lazy) == 5
+
+
 def test_ivf_topk_probe_semantics(spark):
     """IVF with nprobe == n_cells is EXACTLY brute force (every cell
     searched); with nprobe < n_cells it returns the exact top-k WITHIN
