@@ -350,6 +350,43 @@ def test_aes_known_answer_and_encrypted_pdf():
     assert extract_pdf_text(blob) == "AES locked page\nsecond line"
 
 
+def test_cbc128_unrolled_matches_generic_rounds():
+    """The source-generated unrolled AES-128 CBC loop must be
+    byte-identical to the generic per-round path on multi-block
+    streams (the Algorithm-2.B shape), and the 192/256 key sizes must
+    still route through the generic rounds."""
+    import random
+
+    from effocr_spark.functions.aescipher import (_cbc_encrypt_raw,
+                                                  _encrypt_words,
+                                                  _expand_key)
+    import struct as _struct
+
+    rng = random.Random(42)
+
+    def _generic_cbc(key, iv, data):
+        ks = _expand_key(key)
+        n = len(data) // 16
+        words = _struct.unpack(">%dI" % (4 * n), data)
+        p = list(_struct.unpack(">4I", iv))
+        out = []
+        for i in range(0, 4 * n, 4):
+            p = list(_encrypt_words(words[i] ^ p[0], words[i + 1] ^ p[1],
+                                    words[i + 2] ^ p[2],
+                                    words[i + 3] ^ p[3], ks))
+            out += p
+        return _struct.pack(">%dI" % len(out), *out)
+
+    for _ in range(5):
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        data = bytes(rng.randrange(256)
+                     for _ in range(16 * rng.randrange(1, 40)))
+        for klen in (16, 24, 32):
+            key = bytes(rng.randrange(256) for _ in range(klen))
+            assert _cbc_encrypt_raw(key, iv, data) == \
+                _generic_cbc(key, iv, data)
+
+
 def test_aes256_malformed_v5_dict_quarantines():
     """AES-256 (V5/R6) is implemented now; a V5 label on a legacy V4
     dictionary (missing the 48-byte /U and /UE) must still raise —
