@@ -448,7 +448,14 @@ def q_minhash_sigs(spark, sf_dir):
 def q_lsh_buckets(spark, sf_dir):
     from effocr_spark.operators.dedup import lsh_band_buckets, minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # spread the md5-heavy shingle expansion across the cores BEFORE it
+    # runs: the filtered table is a 1-2-partition parquet scan locally,
+    # so the 16-hash-per-shingle projection was pinned to 2 cores; the
+    # repartition shuffles ~200 tiny text rows and the signature
+    # groupBy(doc_id) reuses its partitioning (no extra exchange in the
+    # aggregate path). Same rows — min() is order-independent.
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     sigs = minhash_signatures(docs, "doc_id", "text")
     return lsh_band_buckets(sigs, "doc_id").select(
         "band_id", "band_val", "bucket_size",
@@ -664,7 +671,9 @@ def q_lsh_candidates(spark, sf_dir):
     from effocr_spark.operators.dedup import (lsh_candidate_pairs,
                                               minhash_signatures)
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # same repartition-before-the-md5-projection as q_lsh_buckets
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     sigs = minhash_signatures(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=20)
     return pairs.select("id_a", "id_b",

@@ -626,3 +626,54 @@ def pdf_branch(df: DataFrame,
             })
 
     return df.select("url", "html").mapInPandas(pdf_batches, OCR_OUT_SCHEMA)
+
+
+def dom_pdf_branch(df: DataFrame,
+                   pdf_password: bytes | str = b"") -> DataFrame:
+    """Both non-image branches in ONE Python stage over the ~is_image
+    rows, routed per row by the same %PDF- prefix the JVM sniff uses —
+    emits OCR_OUT_SCHEMA plus the `branch` label ('pdf'/'dom').
+
+    Why: the 3-way router scans the pages table once per branch; at
+    bench scale the separate dom and pdf stages cost a second full scan
+    of the non-image majority plus a fleet of near-empty Python task
+    launches for whichever branch is sparse (a pure-HTML crawl slice
+    pays ~0.4s of empty pdf tasks per pass at local[32]). Per-row
+    semantics are EXACTLY dom_branch/pdf_branch (same strip_html call,
+    same quarantine shape, same ok/error values) — pinned by
+    tests/test_pdf_branch.py::test_dom_pdf_branch_matches_split_branches."""
+    from ..functions.pdftext import extract_pdf_text
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, texts, oks, errs, brs = [], [], [], [], []
+            for url, data in zip(pdf["url"], pdf["html"]):
+                b = bytes(data) if data is not None else None
+                if b is not None and b[:5] == b"%PDF-":
+                    brs.append("pdf")
+                    try:
+                        stats: dict = {}
+                        texts.append(extract_pdf_text(
+                            b, password=pdf_password, stats=stats))
+                        oks.append(True)
+                        nq = stats.get("quarantined_streams", 0)
+                        errs.append(f"pdf: {nq} stream(s) quarantined "
+                                    f"(unresolved font)" if nq else None)
+                    except Exception as e:
+                        texts.append(None)
+                        oks.append(False)
+                        errs.append(f"pdf: {e!r}"[:200])
+                else:
+                    brs.append("dom")
+                    texts.append(strip_html(b) if b is not None else "")
+                    oks.append(True)
+                    errs.append(None)
+                urls.append(url)
+            yield pd.DataFrame({
+                "url": urls, "extracted_text": texts,
+                "n_chars": [0] * len(urls), "ok": oks, "error": errs,
+                "branch": brs,
+            })
+
+    return df.select("url", "html").mapInPandas(
+        batches, OCR_OUT_SCHEMA + ", branch string")

@@ -26,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.recognize import build_prototypes
-from .operators.extract import (dom_branch, is_image_page, is_pdf_page,
-                                ocr_branch, pdf_branch)
+from .operators.extract import (dom_pdf_branch, is_image_page,
+                                is_pdf_page, ocr_branch)
 
 RESULT_SCHEMA_HINT = (
     "url string, extracted_text string, n_chars int, ok boolean, "
@@ -79,9 +79,7 @@ def extract_pages(
     Branches are disjoint by construction, so fusion stays a
     unionByName (zero shuffles outside the salted OCR repartition)."""
     image_rows = pages.filter(is_image_page(F.col("html")))
-    pdf_rows = pages.filter(is_pdf_page(F.col("html")))
-    dom_rows = pages.filter(~is_image_page(F.col("html"))
-                            & ~is_pdf_page(F.col("html")))
+    other_rows = pages.filter(~is_image_page(F.col("html")))
 
     if salt_partitions:
         # defuse host skew: image-heavy hosts cluster in url space, and
@@ -95,13 +93,16 @@ def extract_pages(
                      encoder_artifact=encoder_artifact,
                      word_silver=word_silver, freq_dict=freq_dict,
                      emit_char_text=emit_char_text)
-    dom = dom_branch(dom_rows)
-    pdfs = pdf_branch(pdf_rows, pdf_password=pdf_password)
+    # both non-image branches run in ONE Python stage (per-row %PDF-
+    # routing inside the UDF — semantics pinned equal to the split
+    # dom_branch/pdf_branch): one scan of the non-image majority
+    # instead of two, and no near-empty task fleet for whichever
+    # branch is sparse in the corpus slice
+    other = dom_pdf_branch(other_rows, pdf_password=pdf_password)
     if emit_char_text:
         # the word stream exists only on the OCR branch; dom/pdf rows
         # carry a NULL char stream so the union schema stays aligned
-        dom = dom.withColumn("char_text", F.lit(None).cast("string"))
-        pdfs = pdfs.withColumn("char_text", F.lit(None).cast("string"))
+        other = other.withColumn("char_text", F.lit(None).cast("string"))
 
     if embedded_images:
         # the north star's "embedded images/PDF layouts": data-URI
@@ -121,7 +122,9 @@ def extract_pages(
         # escape sequences so the guards are VISIBLE in source and
         # survive line-based edits
         SEP = "\x01emb\x01"
-        cand = dom_rows.filter(has_embedded_png(F.col("html")))
+        pdf_rows = other_rows.filter(is_pdf_page(F.col("html")))
+        cand = (other_rows.filter(~is_pdf_page(F.col("html")))
+                .filter(has_embedded_png(F.col("html"))))
         emb = embedded_png_rows(cand).unionByName(
             pdf_image_rows(pdf_rows.filter(has_pdf_images(F.col("html"))),
                            pdf_password=pdf_password))
@@ -181,18 +184,15 @@ def extract_pages(
                     # count, not its text length)
                     F.coalesce(F.col("_emb_chars"), F.col("n_chars"))
                     .alias("n_chars"),
-                    "ok", "error",
+                    "ok", "error", "branch",
                     *(["char_text"] if emit_char_text else []))
             )
 
-        dom = _fuse(dom)
-        pdfs = _fuse(pdfs)
+        # ONE fusion join over the combined dom+pdf stream (was one
+        # join per branch — same rows, half the join stages)
+        other = _fuse(other)
 
-    return (
-        ocr.withColumn("branch", F.lit("ocr"))
-        .unionByName(dom.withColumn("branch", F.lit("dom")))
-        .unionByName(pdfs.withColumn("branch", F.lit("pdf")))
-    )
+    return ocr.withColumn("branch", F.lit("ocr")).unionByName(other)
 
 
 def run(spark: SparkSession, pages: DataFrame, out_path: str | None = None,

@@ -350,6 +350,45 @@ def test_aes_known_answer_and_encrypted_pdf():
     assert extract_pdf_text(blob) == "AES locked page\nsecond line"
 
 
+def test_dom_pdf_branch_matches_split_branches(spark, protos_bc):
+    """The combined non-image stage must emit EXACTLY the rows of the
+    separate dom_branch + pdf_branch (urls, texts, n_chars, ok, error)
+    with the right branch labels — healthy HTML, gzip HTML, healthy
+    PDF, corrupt PDF."""
+    import zlib
+
+    from effocr_spark.operators.extract import (dom_branch, dom_pdf_branch,
+                                                pdf_branch)
+    from effocr_spark.synth.pdfgen import make_encrypted_pdf, make_pdf
+
+    html = b"<html><body><p>plain paragraph text here</p></body></html>"
+    gz = zlib.compressobj(wbits=31)
+    gzipped = gz.compress(html) + gz.flush()
+    pdf_ok = make_pdf([["pdf line one", "pdf line two"]])
+    # malformed V5 label on a V4 dict raises → quarantined ok=False row
+    pdf_bad = (make_encrypted_pdf([["x"]], r=4)
+               .replace(b"/V 4 /R 4", b"/V 5 /R 6")
+               .replace(b"/CFM /AESV2", b"/CFM /AESV3"))
+    rows = [("u://dom", bytearray(html)), ("u://gz", bytearray(gzipped)),
+            ("u://pdf", bytearray(pdf_ok)), ("u://bad", bytearray(pdf_bad))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+
+    combined = {r["url"]: tuple(r) for r in
+                dom_pdf_branch(df).collect()}
+    from pyspark.sql import functions as F
+    split = {}
+    for r in dom_branch(df.filter(~(F.substring("html", 1, 5)
+                                    == F.lit(b"%PDF-")))).collect():
+        split[r["url"]] = tuple(r) + ("dom",)
+    for r in pdf_branch(df.filter(F.substring("html", 1, 5)
+                                  == F.lit(b"%PDF-"))).collect():
+        split[r["url"]] = tuple(r) + ("pdf",)
+    assert combined == split
+    assert combined["u://pdf"][1] == "pdf line one\npdf line two"
+    assert combined["u://bad"][3] is False  # ok flag
+    assert combined["u://dom"][5] == "dom"
+
+
 def test_cbc128_unrolled_matches_generic_rounds():
     """The source-generated unrolled AES-128 CBC loop must be
     byte-identical to the generic per-round path on multi-block
