@@ -53,23 +53,55 @@ def segment_columns(gray: np.ndarray) -> list[tuple[int, int]]:
     return segment_lines(gray.T)
 
 
+def column_strip_gray_triples(img: np.ndarray
+                              ) -> list[tuple[np.ndarray, np.ndarray, int]]:
+    """column_strips_with_offsets plus each strip's GRAYSCALE twin,
+    sliced from ONE page-level channel-min pass instead of re-reducing
+    every strip downstream (the localizer head needs only the gray
+    plane; channel-min commutes with slicing and the 255 padding, so
+    the twin is bit-identical to `strip.min(axis=2)`)."""
+    gray = img.min(axis=2) if img.ndim == 3 else img
+    strips = []
+    h = img.shape[0]
+    gpad = np.full((h, STRIP_MARGIN), 255, dtype=img.dtype)
+    for x0, x1 in reversed(segment_columns(gray)):
+        band = img[:, x0:x1]
+        if img.ndim == 3:
+            pad = np.full((h, STRIP_MARGIN, 3), 255, dtype=img.dtype)
+        else:
+            pad = gpad
+        strips.append((np.concatenate([pad, band, pad], axis=1),
+                       np.concatenate([gpad, gray[:, x0:x1], gpad], axis=1),
+                       x0 - STRIP_MARGIN))
+    return strips
+
+
 def column_strips_with_offsets(img: np.ndarray) -> list[tuple[np.ndarray, int]]:
     """Vertical page (tategaki) → (column strip, page x-offset) pairs in
     READING order (right-to-left), each ink col-band padded with
     STRIP_MARGIN white columns — pixel-compatible with single-column
     fixtures. strip-local x + offset = page x (the offset accounts for
     the left padding)."""
+    return [(s, off) for s, _g, off in column_strip_gray_triples(img)]
+
+
+def line_strip_gray_triples(img: np.ndarray
+                            ) -> list[tuple[np.ndarray, np.ndarray, int]]:
+    """line_strips_with_offsets plus each strip's GRAYSCALE twin — see
+    column_strip_gray_triples for the bit-parity argument."""
     gray = img.min(axis=2) if img.ndim == 3 else img
     strips = []
-    h = img.shape[0]
-    for x0, x1 in reversed(segment_columns(gray)):
-        band = img[:, x0:x1]
+    w = img.shape[1]
+    gpad = np.full((STRIP_MARGIN, w), 255, dtype=img.dtype)
+    for y0, y1 in segment_lines(gray):
+        band = img[y0:y1]
         if img.ndim == 3:
-            pad = np.full((h, STRIP_MARGIN, 3), 255, dtype=img.dtype)
+            pad = np.full((STRIP_MARGIN, w, 3), 255, dtype=img.dtype)
         else:
-            pad = np.full((h, STRIP_MARGIN), 255, dtype=img.dtype)
-        strips.append((np.concatenate([pad, band, pad], axis=1),
-                       x0 - STRIP_MARGIN))
+            pad = gpad
+        strips.append((np.concatenate([pad, band, pad], axis=0),
+                       np.concatenate([gpad, gray[y0:y1], gpad], axis=0),
+                       y0 - STRIP_MARGIN))
     return strips
 
 
@@ -77,18 +109,7 @@ def line_strips_with_offsets(img: np.ndarray) -> list[tuple[np.ndarray, int]]:
     """Page (H x W [x3]) → (line-strip image, page y-offset) pairs, each
     strip the ink band padded with STRIP_MARGIN white rows top and
     bottom. strip-local y + offset = page y."""
-    gray = img.min(axis=2) if img.ndim == 3 else img
-    strips = []
-    w = img.shape[1]
-    for y0, y1 in segment_lines(gray):
-        band = img[y0:y1]
-        if img.ndim == 3:
-            pad = np.full((STRIP_MARGIN, w, 3), 255, dtype=img.dtype)
-        else:
-            pad = np.full((STRIP_MARGIN, w), 255, dtype=img.dtype)
-        strips.append((np.concatenate([pad, band, pad], axis=0),
-                       y0 - STRIP_MARGIN))
-    return strips
+    return [(s, off) for s, _g, off in line_strip_gray_triples(img)]
 
 
 def column_strips(img: np.ndarray) -> list[np.ndarray]:

@@ -95,16 +95,19 @@ def localize_page(png_bytes: bytes, lang: str, vertical: bool,
     'n_chars': total} — crops stay uint8 until the batched transform.
     word_crops: also crop the class=word detections (left-sorted, the
     en_preprocess order) for the word-level recognizer stream."""
-    from ..functions.lineseg import (column_strips_with_offsets,
-                                     line_strips_with_offsets)
+    from ..functions.lineseg import (column_strip_gray_triples,
+                                     line_strip_gray_triples)
 
     im = decode_image(png_bytes)
-    pairs = (column_strips_with_offsets(im) if vertical
-             else line_strips_with_offsets(im))
+    # the gray twin rides along from lineseg's single page-level
+    # channel-min pass — the per-strip head used to re-reduce the same
+    # pixels (bit-identical: min commutes with slice + white padding)
+    triples = (column_strip_gray_triples(im) if vertical
+               else line_strip_gray_triples(im))
     lines = []
-    for s, off in pairs:
+    for s, g, off in triples:
         ln = _localize_strip(s, lang, vertical, conf_thres, iou_thres,
-                             word_crops=word_crops)
+                             word_crops=word_crops, gray=g)
         ln["offset"] = off  # strip → page coordinate translation (K2 sink)
         lines.append(ln)
     crops: list = []
@@ -119,9 +122,13 @@ def localize_page(png_bytes: bytes, lang: str, vertical: bool,
 
 def _localize_strip(im: np.ndarray, lang: str, vertical: bool,
                     conf_thres: float, iou_thres: float,
-                    word_crops: bool = False):
-    """The reference per-line dataflow over one strip image."""
-    head = synthmodel.synthetic_yolo_head(im, vertical=vertical)
+                    word_crops: bool = False,
+                    gray: np.ndarray | None = None):
+    """The reference per-line dataflow over one strip image. `gray` is
+    the strip's precomputed channel-min plane (lineseg already reduced
+    the page once); the head takes either form identically."""
+    head = synthmodel.synthetic_yolo_head(im if gray is None else gray,
+                                          vertical=vertical)
     det = boxes_fn.non_max_suppression(head, conf_thres=conf_thres,
                                        iou_thres=iou_thres, max_det=1000)
     char_det = det[det[:, 5] == synthmodel.CLS_CHAR]
