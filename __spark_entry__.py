@@ -938,20 +938,22 @@ def q_extract_pdf(spark, sf_dir):
     so the query pays file reads, not AES-256 encoder hashes.
     Golden-pinned."""
     from effocr_spark.pipeline import extract_pages
-    from effocr_spark.synth.pages import pages_df
+    from effocr_spark.synth.pages import PAGES_COLUMNS, generate_rows
     from effocr_spark.synth.pdf_fixture_set import load_fixtures
 
     # 12 PNG/HTML pages exercise the three-way routing; full-scale OCR
     # coverage lives in extract_pages (300 rows) — this query's focus
-    # is the 26-document PDF fixture corpus
-    pages, _ = pages_df(spark, 12, seed=42)
+    # is the 26-document PDF fixture corpus. The 12 rows are generated
+    # DRIVER-side (same pure function of (seed, id) the distributed
+    # generator maps — 0.09s vs a 0.4-0.6s 32-partition Spark job for
+    # a dozen rows; computed fresh every invocation, nothing persisted)
+    page_rows = [tuple(r[c] for c in PAGES_COLUMNS)
+                 for r in generate_rows(range(12), seed=42)]
     pdf_rows = [(url, None, bytearray(blob), None, "en")
                 for url, blob in load_fixtures()]
-    extra = _local_df(
-        spark, pdf_rows,
+    mixed = _local_df(
+        spark, page_rows + pdf_rows,
         "url string, warc_ts timestamp, html binary, text string, lang string")
-    mixed = pages.select("url", "warc_ts", "html", "text", "lang") \
-        .unionByName(extra)
     # materialize the mixed input once: the 3-branch router scans its
     # input once per branch, re-running the distributed page GENERATOR
     # (pages_df mapInPandas) each time — localCheckpoint pins the ~38
